@@ -12,13 +12,26 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // micros (not INT96) so DuckDB reads identical timestamp values
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // Timestamps go out as NTZ (isAdjustedToUTC=false) so the
+        // driver's pandas-side compare sees the same naive dtype the
+        // DuckDB oracle produces; session tz is UTC → values unchanged.
+        import org.apache.spark.sql.functions.col
+        import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+        val ntz = df.select(df.schema.fields.map { f =>
+          if (f.dataType == TimestampType)
+            col(f.name).cast(TimestampNTZType).as(f.name)
+          else col(f.name)
+        }.toIndexedSeq: _*)
+        ntz.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis kernels (SURVEY.md §2 #27-29), re-expressing the
+  * reference's "text analyzed data" goal (/root/reference/README.md:3)
+  * with codegen'd built-ins — no UDFs, so they run inside
+  * whole-stage codegen on the 100 TB scan path.
+  *
+  * Every function is deterministic and has an exact DuckDB-SQL twin
+  * (used by the oracle), so the driver's hash-compare is meaningful.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of trimmed, lowercased text. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: runs of letters, runs of digits, or a
+    * single other non-space char. Mirrors a byte-pair pre-tokenizer's
+    * word-split regex. */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(lower(text), lit(BpePattern))
+
+  /** English/Spanish stopword markers used by langId + quality. */
+  val EnStop: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is")
+  val EsStop: Seq[String] = Seq("el", "la", "los", "de", "que", "y", "en")
+
+  /** Heuristic language ID: CJK codepoints → zh; else whichever
+    * stopword family matches first; else "und". Purely syntactic and
+    * deterministic (the synthetic corpus' `lang` labels are random —
+    * the operator's contract is determinism, accuracy is corpus-
+    * dependent). */
+  def langId(text: Column): Column = {
+    val t = lower(text)
+    when(t.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
+      .when(t.rlike("(^|\\s)(" + EnStop.mkString("|") + ")(\\s|$)"), lit("en"))
+      .when(t.rlike("(^|\\s)(" + EsStop.mkString("|") + ")(\\s|$)"), lit("es"))
+      .otherwise(lit("und"))
+  }
+
+  /** Punctuation characters counted by qualityScore. */
+  val PunctClass = "[.,!?;:]"
+
+  /** Stopword count among whitespace tokens (higher-order filter —
+    * stays in codegen, no UDF). */
+  def stopwordCount(text: Column): Column = {
+    val stops = EnStop ++ EsStop
+    size(filter(tokens(text), t => t.isInCollection(stops)))
+  }
+
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, PunctClass, ""))
+
+  /** Composite quality metrics; every ratio is an exact int/int
+    * double division → engine-agnostic. */
+  def qualityColumns(text: Column): Seq[Column] = {
+    val nChars = length(text)
+    val nTok = wsTokenCount(text)
+    Seq(
+      nChars.cast("long").as("n_chars_m"),
+      nTok.cast("long").as("n_tokens"),
+      (nChars.cast("double") / nTok.cast("double")).as("chars_per_token"),
+      (punctCount(text).cast("double") / nChars.cast("double")).as("punct_ratio"),
+      (stopwordCount(text).cast("double") / nTok.cast("double")).as("stopword_ratio")
+    )
+  }
+
+  /** Character n-gram set (distinct) — near-dup verification kernel
+    * (SURVEY.md §2 #22). Empty array for strings shorter than n. */
+  def charNgrams(text: Column, n: Int): Column = {
+    val t = lower(text)
+    val m = length(t) - (n - 1)
+    when(m >= 1,
+      array_distinct(transform(sequence(lit(1), m), i => t.substr(i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Jaccard similarity of two precomputed distinct n-gram arrays:
+    * |A∩B| / |A∪B| as exact int/int double division. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = (size(a) + size(b)).cast("double") - inter
+    when(uni > 0d, inter / uni).otherwise(lit(0d))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import graft.functions.expressions.{CosineSim, DotProduct, Fnv64}
+
+/** Column-level vector API over the custom Catalyst kernels plus the
+  * random-hyperplane LSH used by the similarity operators
+  * (SURVEY.md §2 #23-26). Everything is deterministic: hyperplanes
+  * come from a fixed-seed PRNG baked at class-load. */
+object VectorFunctions {
+
+  private def c(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    GraftSqlBridge.column(e)
+  private def e(col: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    GraftSqlBridge.expression(col)
+
+  /** Cast array<float> (parquet embeddings) to array<double> so both
+    * engines (Spark kernel, DuckDB oracle) accumulate in double. */
+  def asDouble(col: Column): Column = col.cast(ArrayType(DoubleType))
+
+  def dot(a: Column, b: Column): Column = c(DotProduct(e(a), e(b)))
+  def cosine(a: Column, b: Column): Column = c(CosineSim(e(a), e(b)))
+  def fnv64(a: Column): Column = c(Fnv64(e(a)))
+
+  /** Deterministic random hyperplanes (unit-free Gaussian) for
+    * sign-LSH. Fixed seed → identical buckets on every run/executor. */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-LSH signature: bit i = (v · plane_i) > 0, packed into an
+    * int. nPlanes ≤ 31. One pass per plane; planes are literals so
+    * the whole signature stays in codegen. */
+  def lshSignature(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex
+      .map { case (p, i) =>
+        when(dot(vec, typedLit(p)) > 0d, lit(1 << i)).otherwise(lit(0))
+      }
+      .reduce(_ + _)
+
+  /** Split a packed signature into `bands` keys of `bitsPerBand` bits
+    * each; near-dup candidates = any shared (band, key). */
+  def bandKeys(sig: Column, bands: Int, bitsPerBand: Int): Column = {
+    val mask = (1 << bitsPerBand) - 1
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(sig, b * bitsPerBand).bitwiseAND(lit(mask)).as("key"))
+    }: _*)
+  }
+}

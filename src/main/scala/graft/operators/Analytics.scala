@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Dashboard / query surface (SURVEY.md §2 #12-17) — the "storing and
+  * querying" purpose of the reference (/root/reference/README.md:3).
+  * Every query is declarative (Catalyst does pushdown + join
+  * planning), aggregates are decimal-exact (order-independent at any
+  * cluster size), and outputs carry a deterministic total order.
+  */
+object Analytics {
+
+  /** #12 Group-by aggregate pack (TPC-H Q1 shape): one shuffle on the
+    * group keys, map-side partial aggregation, filter pushed to scan. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        Num.dsum(col("l_quantity")).as("sum_qty"),
+        Num.dsum(col("l_extendedprice")).as("sum_base_price"),
+        Num.dsum(col("l_extendedprice") * (lit(1d) - col("l_discount")))
+          .as("sum_disc_price"),
+        Num.davg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** #13 Filtered scan: date-range + quantity predicates and a narrow
+    * projection — both must reach the parquet reader (asserted in
+    * PlanSpec: PushedFilters + 4-column ReadSchema). */
+  def filterScan(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01 00:00:00") &&
+        col("l_shipdate") < lit("1995-04-01 00:00:00") &&
+        col("l_quantity") < 10d)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** #14 Fact⋈dims with broadcast: lineitem⋈orders shuffles on the
+    * join key; customer/nation/region are broadcast (explicit hint for
+    * the two tiny dims; AQE picks broadcast for customer at test SF,
+    * and at 100 TB customer exceeds the threshold and correctly
+    * shuffles). Revenue per region × order priority. */
+  def joinBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val ord = Tables.load(spark, dir, "orders")
+    val cust = Tables.load(spark, dir, "customer")
+    val nat = Tables.load(spark, dir, "nation")
+    val reg = Tables.load(spark, dir, "region")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy(col("r_name"), col("o_orderpriority"))
+      .agg(
+        Num.dsum(col("l_extendedprice") * (lit(1d) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("r_name", "o_orderpriority")
+  }
+
+  /** #15 Top-k by aggregate: planned as TakeOrderedAndProject —
+    * per-partition partial top-k, no global sort of the full set.
+    * Deterministic tiebreak on the key. */
+  def topkRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val ord = Tables.load(spark, dir, "orders")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy(col("o_custkey").as("cust_id"))
+      .agg(Num.dsum(col("l_extendedprice") * (lit(1d) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("cust_id").asc)
+      .limit(10)
+  }
+
+  /** #16 Tumbling time-window aggregate — hourly rollup of the event
+    * stream (the reference's minute/hour cadence, README.md:24). */
+  def windowTumbling(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("bucket_hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("sum_value"))
+      .orderBy("bucket_hour", "event_type")
+
+  /** #17 Semi/anti join: customers with vs without an urgent order —
+    * left_semi/left_anti never materialize the probe side's payload. */
+  def semiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val urgent = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val withU = cust.join(urgent, cust("c_custkey") === urgent("o_custkey"),
+        "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_cust"))
+      .withColumn("bucket", lit("with_urgent"))
+    val withoutU = cust.join(urgent, cust("c_custkey") === urgent("o_custkey"),
+        "left_anti")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_cust"))
+      .withColumn("bucket", lit("without_urgent"))
+    withU.unionByName(withoutU)
+      .select("bucket", "c_mktsegment", "n_cust")
+      .orderBy("bucket", "c_mktsegment")
+  }
+}

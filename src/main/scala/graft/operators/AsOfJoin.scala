@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** As-of join (SURVEY.md §2 #18): for each probe row, the newest
+  * build-side value at or before the probe's timestamp per key — the
+  * reference's "currentPrice at fetch time" semantics
+  * (/root/reference/dags/stock_data_to_gcp.py:47).
+  *
+  * Spark lacks a native as-of join; the scalable composition is the
+  * union-merge trick: tag both sides, single shuffle+sort on
+  * (key, ts), then a running `last_value(ignoreNulls)` carries the
+  * build value forward onto each probe row. Cost = one shuffle of
+  * probe+build and one sort per partition — same asymptotics as a
+  * sort-merge join, no per-key driver loop, no range cross-product.
+  * (Chosen over a custom SparkPlan because the composition already
+  * yields the right physical shape; SURVEY.md §4 preference (a).)
+  */
+object AsOfJoin {
+
+  /** Generic as-of join. `build` must be unique per (key, ts) —
+    * pre-aggregate it if not, or ties make the result ambiguous. */
+  def asOf(probe: DataFrame, build: DataFrame, key: String, ts: String,
+      valueCol: String, outName: String): DataFrame = {
+    val p = probe.withColumn("_is_build", lit(0))
+      .withColumn("_bval", lit(null).cast("double"))
+    val b = build.select(col(key), col(ts),
+        lit(1).as("_is_build"), col(valueCol).cast("double").as("_bval"))
+    val probeCols = probe.columns
+    val unioned = p.select((probeCols.map(col) ++
+      Seq(col("_is_build"), col("_bval"))).toIndexedSeq: _*)
+      .unionByName(b, allowMissingColumns = true)
+    // Build rows sort before probe rows at equal ts (is_build desc) so
+    // "at or before" includes equality.
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts).asc, col("_is_build").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn(outName, last(col("_bval"), ignoreNulls = true).over(w))
+      .filter(col("_is_build") === 0)
+      .drop("_is_build", "_bval")
+  }
+
+  /** Query #18: each click joined to the user's latest purchase value
+    * at or before the click. */
+  def clicksAsOfPurchases(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val probe = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val build = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max(col("value")).as("bval"))
+    asOf(probe, build, "user_id", "ts", "bval", "asof_value")
+      .select("event_id", "user_id", "ts", "asof_value")
+      .orderBy("event_id")
+  }
+}

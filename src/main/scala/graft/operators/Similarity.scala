@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.VectorFunctions._
+
+/** Embedding similarity operators over `embeddings` (SURVEY.md §2
+  * #23-26): the exact cosine kernel, brute-force ANN as the exact
+  * baseline, and sign-LSH bucketed variants as the 100 TB path.
+  *
+  * Scale design (§5): the brute-force variant broadcasts only the
+  * (tiny) query set — the candidate corpus streams through
+  * partitions; the LSH variants shuffle O(rows × bands) bucket keys
+  * and compare only within buckets. No unbounded cartesian product.
+  */
+object Similarity {
+
+  val LshPlanes = 16
+  val LshBands = 2
+  val LshBitsPerBand = 8
+  val EmbBucketCap = 512
+  val Dim = 64
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("vec"), col("label"))
+
+  /** #23 Exact cosine kernel on aligned pairs (vec_id, vec_id+1) via
+    * the codegen'd CosineSim expression; DuckDB-oracled. */
+  def cosinePairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val a = e.select(col("vec_id").as("vec_a"), col("vec").as("va"))
+    val b = e.select(col("vec_id").as("vec_b"), col("vec").as("vb"))
+    a.join(b, col("vec_a") + 1 === col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
+      .orderBy("vec_a")
+  }
+
+  /** #25 Brute-force ANN: top-5 cosine neighbors for query vectors
+    * (vec_id < 8). The query side is broadcast; ranking is a per-query
+    * window with deterministic tiebreak. */
+  def annBrute(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("vec").as("qvec"))
+    val scored = e.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        cosine(col("qvec"), col("vec")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("cand_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("cand_id"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy("q_id", "rnk")
+  }
+
+  private lazy val planes = hyperplanes(LshPlanes, Dim)
+
+  private def withBands(df: DataFrame, vecCol: String = "vec"): DataFrame =
+    df.withColumn("sig", lshSignature(col(vecCol), planes))
+      .select(col("*"),
+        explode(bandKeys(col("sig"), LshBands, LshBitsPerBand)).as("bk"))
+      .select(df.columns.map(col).toIndexedSeq :+
+        col("bk.band").as("band") :+ col("bk.key").as("key"): _*)
+
+  /** #26 LSH ANN: queries probe only the buckets sharing one of their
+    * band keys; exact re-rank inside the candidate set. Approximate →
+    * rows-only in the driver gate; recall vs annBrute is asserted in
+    * SimilaritySpec. */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cands = withBands(e.select(col("vec_id"), col("vec")))
+    val queries = withBands(e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("vec").as("qvec")), "qvec")
+    val matched = queries.join(cands, Seq("band", "key"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("qvec"), col("vec_id").as("cand_id"), col("vec"))
+      .distinct()
+      .select(col("q_id"), col("cand_id"),
+        cosine(col("qvec"), col("vec")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("cand_id").asc)
+    matched.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("cand_id"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** #24 Embedding-cosine near-dup: all vectors banded, pairs only
+    * inside buckets (capped), ranked by exact cosine. Rows-only. */
+  def dedupEmbed(spark: SparkSession, dir: String): DataFrame = {
+    val banded = withBands(emb(spark, dir).select(col("vec_id"), col("vec")))
+    val buckets = banded.groupBy("band", "key")
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("vec")))).as("xs"))
+      .filter(size(col("xs")).between(2, EmbBucketCap))
+    val pairs = buckets
+      .select(explode(col("xs")).as("x"), col("xs"))
+      .select(col("x"), explode(col("xs")).as("y"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        cosine(col("x.vec"), col("y.vec")).as("cos"))
+      .groupBy("a", "b").agg(first(col("cos")).as("cos"))
+    pairs
+      .select(col("a"), col("b"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("a"), col("b"))
+      .limit(100)
+  }
+}

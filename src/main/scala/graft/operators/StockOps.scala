@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.{ShardedReader, Tables}
+import graft.sinks.AppendSink
+
+/** The reference pipeline's data surface (SURVEY.md §2 #1-10),
+  * re-expressed over the driver testdata per the §3 mapping:
+  * `events` ≙ the intraday ticker stream (ts≙Time, user_id≙Ticker,
+  * value≙Price), `customer`/`orders`/`lineitem` ≙ the fundamentals
+  * behind the financial-ratio / financial-statement tables.
+  */
+object StockOps {
+
+  /** #5 Intraday snapshot projection — Time/Ticker/Price/Volume
+    * (/root/reference/dags/stock_data_to_gcp.py:43-47). `volume` maps
+    * to the only other per-event magnitude in the testdata
+    * (props payload size); the projection+filter is the point: it
+    * must reach the parquet scan (PushedFilters/ReadSchema). */
+  def snapshotProjection(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("ts").as("snap_time"),
+        col("user_id").as("ticker_id"),
+        col("value").as("price"),
+        length(col("props")).cast("long").as("volume"))
+      .orderBy("snap_time", "ticker_id", "price")
+
+  /** #6 Latest-value-per-key — the reference's `currentPrice`
+    * semantics (stock_data_to_gcp.py:47): one shuffle on the key,
+    * deterministic tiebreak on event_id. */
+  def latestPerKey(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.load(spark, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id").as("ticker_id"), col("ts").as("latest_ts"),
+        col("value").as("latest_price"))
+      .orderBy("ticker_id")
+  }
+
+  /** #7 Financial-ratio table (financial_ratio_to_gcp.py:43-47):
+    * per-key derived ratios. Decimal-exact sums; double divisions. */
+  def finRatio(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val ord = Tables.load(spark, dir, "orders")
+    val spend = ord.groupBy("o_custkey").agg(
+      count(lit(1)).as("order_cnt"),
+      Num.dsum(col("o_totalprice")).as("total_spend"))
+    cust.join(spend, cust("c_custkey") === spend("o_custkey"), "inner")
+      .select(
+        col("c_custkey").as("ticker_id"),
+        col("order_cnt"),
+        col("total_spend"),
+        (col("total_spend") / col("order_cnt").cast("double"))
+          .as("avg_order_value"),
+        when(col("c_acctbal") =!= 0d, col("total_spend") / col("c_acctbal"))
+          .as("spend_to_balance"))
+      .orderBy("ticker_id")
+  }
+
+  /** #8 Financial-statement wide aggregate table
+    * (financial_statement_to_gcp.py:43-47): many exact sums per key
+    * in one shuffle (single groupBy → map-side partials). */
+  def finStatement(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val ord = Tables.load(spark, dir, "orders")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy(col("o_custkey").as("ticker_id"))
+      .agg(
+        Num.dsum(col("l_extendedprice") * (lit(1d) - col("l_discount")))
+          .as("total_revenue"),
+        Num.dsum(col("l_extendedprice") * col("l_tax")).as("total_tax"),
+        Num.dsum(col("l_quantity")).as("total_qty"),
+        count(lit(1)).as("line_cnt"),
+        countDistinct(col("l_orderkey")).as("order_cnt"))
+      .orderBy("ticker_id")
+  }
+
+  /** #9 News table with locale date parsing: the reference parses
+    * `"%B %d, %Y"` strings (news_data_to_gcp.py:59). We round-trip
+    * event times through that exact format — format then parse with
+    * `MMMM d, yyyy` — proving the locale date path. */
+  def newsDateParse(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(
+        col("event_id"),
+        col("ts").as("collected_at"),
+        to_date(date_format(col("ts"), "MMMM d, yyyy"), "MMMM d, yyyy")
+          .as("news_date"),
+        col("user_id").as("ticker_id"),
+        col("event_type").as("title"),
+        col("value").as("price"))
+      .orderBy("event_id")
+
+  /** #10 Scheduled incremental batch: the 2-minute-cadence DAG
+    * (stock_data_to_gcp.py:85-91) as one idempotent batch — a fixed
+    * event-time window, id-deduped, rolled up hourly. The window
+    * predicate prunes at the scan; dedupe is one shuffle on the id. */
+  def incrementalBatch(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .filter(col("ts") >= lit("2024-01-01 00:00:00") &&
+        col("ts") < lit("2024-01-02 00:00:00"))
+      .dropDuplicates("event_id")
+      .groupBy(date_trunc("hour", col("ts")).as("batch_hour"))
+      .agg(count(lit(1)).as("n_events"), Num.dsum(col("value")).as("sum_value"))
+      .orderBy("batch_hour")
+
+  /** #1 Schema'd typed ingest: explicit file schema + warehouse-style
+    * cast coercion (Volume declared FLOAT in the reference's
+    * schema_fields, stock_data_to_gcp.py:128-133). */
+  def ingestTyped(spark: SparkSession, dir: String): DataFrame =
+    Tables.coerce(Tables.load(spark, dir, "events"),
+      Map("user_id" -> org.apache.spark.sql.types.DoubleType))
+      .select(col("event_id"), col("ts"), col("user_id").as("ticker_fl"),
+        col("event_type"), col("value"))
+      .orderBy("event_id")
+
+  /** #2+#3 Range-shard the fact table into 5 shards and union them
+    * back — row-preserving (proved by exact aggregate). */
+  def shardUnion(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val shards = ShardedReader.rangeShards(li, "l_orderkey", 5)
+    ShardedReader.unionShards(shards)
+      .agg(count(lit(1)).as("n_rows"),
+        Num.dsum(col("l_quantity")).as("sum_qty"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+  }
+
+  /** #4 Append + idempotent replay round-trip: write a day-partitioned
+    * batch twice via dynamic partition overwrite, read back, prove the
+    * replay did not duplicate (oracle aggregates the source once). */
+  def appendRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_append_${dir.hashCode}").getPath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    val batch = Tables.load(spark, dir, "events")
+      .withColumn("batch_date", to_date(col("ts")))
+    AppendSink.idempotentAppend(batch, out, Seq("batch_date"))
+    AppendSink.idempotentAppend(batch, out, Seq("batch_date")) // replay
+    AppendSink.readBack(spark, out)
+      .groupBy("batch_date")
+      .agg(count(lit(1)).as("n_events"), Num.dsum(col("value")).as("sum_value"))
+      .orderBy("batch_date")
+  }
+}

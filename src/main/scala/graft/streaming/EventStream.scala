@@ -1,0 +1,57 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.sources.Tables
+import graft.operators.Num
+
+/** Structured Streaming ingest (SURVEY.md §2 #11) — the reference's
+  * 2-minute-cadence DAG (/root/reference/dags/stock_data_to_gcp.py:87)
+  * as a continuous pipeline: file source → event-time window +
+  * watermark → append. Stateful latest-per-key mirrors the
+  * `currentPrice` snapshot as a live view.
+  *
+  * Streaming queries can't run under the batch Verify/Bench contract,
+  * so these are exercised by EventStreamSpec (memory sink,
+  * processAllAvailable); `Analytics.windowTumbling` is the batch twin
+  * of `hourlyCounts` and carries the DuckDB oracle.
+  */
+object EventStream {
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+  case class Latest(user_id: Long, latest_ts: Timestamp, latest_price: Double)
+
+  /** Streaming source over a directory of event parquet files. */
+  def readEvents(spark: SparkSession, inputDir: String): DataFrame =
+    spark.readStream.schema(Tables.events).parquet(inputDir)
+
+  /** Watermarked tumbling-window aggregate (append-able: closed
+    * windows emit exactly once). */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("bucket_hour"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Stateful latest-per-key via mapGroupsWithState: one state row per
+    * key (bounded by key cardinality, partitioned across executors). */
+  def latestPerUser(spark: SparkSession, events: DataFrame): Dataset[Latest] = {
+    import spark.implicits._
+    events.as[Ev]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[Latest]) =>
+          val newest = (rows ++ state.getOption.map(l =>
+            Ev(0L, l.latest_ts, uid, "", l.latest_price, "")))
+            .maxBy(e => (e.ts.getTime, e.event_id))
+          val latest = Latest(uid, newest.ts, newest.value)
+          state.update(latest)
+          latest
+      }
+  }
+}
