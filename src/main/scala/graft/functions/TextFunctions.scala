@@ -1,7 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.functions._
+import graft.functions.expressions.{MinHashSig, SimHash64}
 
 /** Text-analysis kernels (SURVEY.md §2 #27-29), re-expressing the
   * reference's "text analyzed data" goal (/root/reference/README.md:3)
@@ -15,6 +17,15 @@ object TextFunctions {
 
   /** Whitespace tokens of trimmed, lowercased text. */
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** MinHash signature (array<long>, length k) over word w-shingles —
+    * single-pass codegen'd kernel (see SignatureExpressions). */
+  def minhashSig(text: Column, k: Int, w: Int): Column =
+    GraftSqlBridge.column(MinHashSig(GraftSqlBridge.expression(text), k, w))
+
+  /** 64-bit SimHash of the whitespace tokens, packed into a long. */
+  def simhash64(text: Column): Column =
+    GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(text)))
 
   /** Whitespace token count. */
   def wsTokenCount(text: Column): Column = size(tokens(text))
@@ -71,14 +82,11 @@ object TextFunctions {
   }
 
   /** Character n-gram set (distinct) — near-dup verification kernel
-    * (SURVEY.md §2 #22). Empty array for strings shorter than n. */
-  def charNgrams(text: Column, n: Int): Column = {
-    val t = lower(text)
-    val m = length(t) - (n - 1)
-    when(m >= 1,
-      array_distinct(transform(sequence(lit(1), m), i => t.substr(i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
+    * (SURVEY.md §2 #22). Empty array for strings shorter than n.
+    * Codegen'd single-pass kernel (see SignatureExpressions). */
+  def charNgrams(text: Column, n: Int): Column =
+    GraftSqlBridge.column(
+      expressions.CharNgrams(GraftSqlBridge.expression(text), n))
 
   /** Jaccard similarity of two precomputed distinct n-gram arrays:
     * |A∩B| / |A∪B| as exact int/int double division. */

@@ -51,4 +51,21 @@ object VectorFunctions {
         shiftright(sig, b * bitsPerBand).bitwiseAND(lit(mask)).as("key"))
     }: _*)
   }
+
+  /** Per-band LSH keys straight from the hyperplanes (no packed-int
+    * cap on plane count): band b's key is the `bitsPerBand`-bit sign
+    * pattern of planes [b·r, (b+1)·r). L×r tunes the recall/candidate
+    * trade-off per corpus — more bands raise recall, more bits shrink
+    * buckets. */
+  def bandKeysFromPlanes(vec: Column, planes: Seq[Seq[Double]],
+      bands: Int, bitsPerBand: Int): Column = {
+    require(planes.size >= bands * bitsPerBand, "not enough planes")
+    array((0 until bands).map { b =>
+      val key = (0 until bitsPerBand).map { i =>
+        when(dot(vec, typedLit(planes(b * bitsPerBand + i))) > 0d,
+          lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), key.as("key"))
+    }: _*)
+  }
 }

@@ -1,0 +1,146 @@
+package graft.functions.expressions
+
+import java.util.Locale
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Document-signature kernels for near-dup detection (SURVEY.md §2
+  * #20-21). Composing these from built-in higher-order functions
+  * (transform/aggregate lambdas) is correct but catastrophically slow:
+  * HOFs are interpreted (CodegenFallback) and nested lambdas re-
+  * evaluate their captured subtrees per element, so a K×bands×shingles
+  * nest re-tokenizes each document thousands of times. These kernels
+  * instead run tokenize → shingle → K seeded hashes in ONE tight JVM
+  * loop per row, invoked from generated code via a static call — the
+  * per-row cost at 100 TB is a single virtual-free method call.
+  *
+  * Hash family: XXH64 with seed j (j = 0..K-1) over the shingle's
+  * UTF-8 bytes — matches `functions.xxhash64`'s underlying hash, and
+  * K seeded instances are pairwise independent in practice.
+  */
+
+/** MinHash signature: array<long> of length k; element j is the min
+  * over distinct lowercase word w-shingles of XXH64(shingle, seed=j).
+  * Documents with fewer than w tokens get an empty array (no shingle
+  * → no signature → never a near-dup candidate). */
+case class MinHashSig(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    MinHashSig.compute(v.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.MinHashSig.compute($c, $k, $w);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  /** Single-pass kernel, called from both interpreted and generated
+    * paths. Deterministic for a given (text, k, w). */
+  def compute(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val toks = tokenize(text)
+    if (toks.length < w) return new GenericArrayData(Array.empty[Long])
+    // Distinct w-shingles, hashed as UTF-8 bytes of "t1 t2 ... tw".
+    val seen = new java.util.HashSet[String]()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i + w <= toks.length) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = i + 1
+      while (j < i + w) { sb.append(' ').append(toks(j)); j += 1 }
+      val sh = sb.toString
+      if (seen.add(sh)) {
+        val bytes = sh.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var s = 0
+        while (s < k) {
+          val h = XXH64.hashUnsafeBytes(bytes,
+            org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, s)
+          if (h < mins(s)) mins(s) = h
+          s += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  private[expressions] def tokenize(text: UTF8String): Array[String] = {
+    val t = text.toString.toLowerCase(Locale.ROOT).trim
+    if (t.isEmpty) Array.empty[String] else t.split("\\s+")
+  }
+}
+
+/** 64-bit SimHash of the lowercase whitespace tokens: bit b of the
+  * result is 1 iff the sum over tokens of ±1 (sign = bit b of
+  * XXH64(token, seed=0)) is ≥ 0. Empty text → all ties → all bits 1
+  * (deterministic). */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    SimHash64.compute(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.SimHash64.compute($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Distinct character n-grams of the lowercased text (array<string>,
+  * first-occurrence order) — the exact-verification kernel behind
+  * n-gram Jaccard (SURVEY.md §2 #22). Equivalent to the composed
+  * transform(sequence…substr) form but one pass, no per-element
+  * re-evaluation of the captured text subtree. */
+case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    CharNgrams.compute(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.CharNgrams.compute($c, $n);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharNgrams {
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val t = text.toString.toLowerCase(Locale.ROOT)
+    val m = t.length - (n - 1)
+    if (m < 1) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i < m) { seen.add(t.substring(i, i + n)); i += 1 }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator(); var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+object SimHash64 {
+  def compute(text: UTF8String): Long = {
+    val toks = MinHashSig.tokenize(text)
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val bytes = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val h = XXH64.hashUnsafeBytes(bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 0)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) >= 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+}

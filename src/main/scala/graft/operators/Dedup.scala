@@ -26,43 +26,20 @@ object Dedup {
       .select("content_hash", "keep_id", "dup_count")
       .orderBy("keep_id")
 
-  /** Distinct word w-shingles of the lowercased text. */
-  def shingles(text: Column, w: Int): Column = {
-    val toks = TextFunctions.tokens(text)
-    val m = size(toks) - (w - 1)
-    when(m >= 1,
-      array_distinct(transform(sequence(lit(1), m),
-        i => concat_ws(" ", slice(toks, i, lit(w))))))
-      .otherwise(array().cast("array<string>"))
-  }
-
-  // MinHash parameters: K independent seeded xxhash64 permutations
-  // (g_j(s) = xxhash64(s, j) — wrap-free under ANSI arithmetic, unlike
-  // Kirsch-Mitzenmacher h1+j·h2 which overflows), banded b×r = K.
+  // MinHash parameters: K seeded XXH64 permutations computed by the
+  // codegen'd MinHashSig kernel, banded b×r = K.
   val MinhashK = 32
   val MinhashBands = 16
   val MinhashR = 2 // rows per band
   val BucketCap = 64 // frequent-bucket pruning bound
   val TopPairs = 1000
 
-  /** Per-doc MinHash signature column (array<bigint>, length K):
-    * min over shingles of the j-seeded hash, all inside codegen. */
-  def minhashSignature(shingleCol: Column): Column =
-    transform(sequence(lit(0), lit(MinhashK - 1)),
-      j => array_min(transform(shingleCol, s => xxhash64(s, j))))
-
-  /** Banded bucket keys for an array signature: murmur3 of each
-    * r-slice, tagged with the band index. */
-  private def sigBands(sig: Column, bands: Int, r: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      j => struct(j.as("band"), hash(slice(sig, j * r + 1, lit(r)), j).as("key")))
-
-  /** Candidate pairs from banded buckets: explode bands, shuffle on
-    * (band, key), emit a<b pairs inside buckets of size [2, cap]. */
-  private def bucketPairs(withSig: DataFrame, bands: Int, r: Int): DataFrame = {
-    val banded = withSig
-      .select(col("doc_id"), explode(sigBands(col("sig"), bands, r)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  /** Candidate pairs from banded buckets. Input must have columns
+    * (doc_id, band, key) — one row per doc per band. Shuffle on
+    * (band, key); emit a<b pairs inside buckets of size [2, cap]
+    * (frequent-bucket pruning); distinct because a pair can collide
+    * in several bands. Shuffled bytes = O(rows × bands × 24B). */
+  private def bucketPairs(banded: DataFrame): DataFrame =
     banded.groupBy("band", "key")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, BucketCap))
@@ -70,18 +47,37 @@ object Dedup {
       .select(col("a"), explode(col("ids")).as("b"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-  }
+
+  /** Band keys for a minhash signature row: band j's key is the hash
+    * of the j-th r-slice. `sig` must be a concrete (already projected)
+    * column so the kernel runs once per doc, not once per band. */
+  private def bandedMinhash(withSig: DataFrame): DataFrame =
+    withSig
+      .select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(MinhashBands - 1))).as("band"))
+      .select(col("doc_id"), col("band"),
+        hash(slice(col("sig"), col("band") * MinhashR + 1, lit(MinhashR)))
+          .as("key"))
 
   /** #20 MinHash+LSH near-dup: top candidate pairs by estimated
-    * Jaccard (signature agreement fraction). Output is the ranked
-    * candidate list (deterministic total order) — thresholding is a
-    * caller policy; MinhashSpec verifies estimates against exact
-    * Jaccard on a slice. */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val withSig = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), minhashSignature(shingles(col("text"), 2)).as("sig"))
+    * Jaccard (signature agreement fraction). Signatures come from the
+    * single-pass MinHashSig kernel; candidate generation shuffles only
+    * (doc_id, band, key) and the two signature join-backs shuffle one
+    * signature row per doc — at 100 TB the signature table would be
+    * persisted/checkpointed instead of recomputed per use. Output is
+    * the ranked candidate list (deterministic total order);
+    * thresholding is caller policy; MinhashSpec verifies estimates
+    * against exact Jaccard. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashLshOn(Tables.load(spark, dir, "documents"))
+
+  /** Core of #20 over any (doc_id, text) frame. */
+  def minhashLshOn(docs: DataFrame): DataFrame = {
+    val withSig = docs
+      .select(col("doc_id"),
+        TextFunctions.minhashSig(col("text"), MinhashK, 2).as("sig"))
       .filter(size(col("sig")) === MinhashK)
-    val pairs = bucketPairs(withSig, MinhashBands, MinhashR)
+    val pairs = bucketPairs(bandedMinhash(withSig))
     val sa = withSig.select(col("doc_id").as("a"), col("sig").as("sig_a"))
     val sb = withSig.select(col("doc_id").as("b"), col("sig").as("sig_b"))
     pairs.join(sa, "a").join(sb, "b")
@@ -97,38 +93,27 @@ object Dedup {
   // SimHash parameters: 64-bit signature, 4×16-bit bands.
   val SimhashBits = 64
   val SimhashBands = 4
-  private val BitMasks: Seq[Long] = (0 until SimhashBits).map(1L << _)
 
-  /** 64-bit SimHash as an array<int> of bits (deterministic: tie
-    * counts round to bit 1). */
-  def simhashBits(text: Column): Column = {
-    val tokh = transform(TextFunctions.tokens(text), t => xxhash64(t))
-    val counts = aggregate(tokh,
-      typedLit(Seq.fill(SimhashBits)(0)),
-      (acc, h) => zip_with(acc,
-        transform(typedLit(BitMasks),
-          m => when(h.bitwiseAND(m) =!= 0, 1).otherwise(-1)),
-        (a, d) => a + d))
-    transform(counts, v => when(v >= 0, 1).otherwise(0))
-  }
-
-  /** #21 SimHash near-dup: band on 16-bit chunks, rank candidate
-    * pairs by Hamming distance (asc). */
+  /** #21 SimHash near-dup: 64-bit SimHash64 kernel, band on 16-bit
+    * chunks, rank candidate pairs by Hamming distance (asc) via
+    * bit_count(xor). The 8-byte signature is cheap enough to carry
+    * everywhere; Hamming re-rank joins back one long per doc. */
   def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val chunkLen = SimhashBits / SimhashBands
-    val withBits = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), simhashBits(col("text")).as("bits"))
-    val withSig = withBits.withColumn("sig",
-      transform(sequence(lit(0), lit(SimhashBands - 1)),
-        c => aggregate(slice(col("bits"), c * chunkLen + 1, lit(chunkLen)),
-          lit(0L), (a, bit) => a * 2 + bit)))
-    val pairs = bucketPairs(withSig, SimhashBands, 1)
-    val ba = withBits.select(col("doc_id").as("a"), col("bits").as("bits_a"))
-    val bb = withBits.select(col("doc_id").as("b"), col("bits").as("bits_b"))
-    pairs.join(ba, "a").join(bb, "b")
+    val chunkBits = SimhashBits / SimhashBands
+    val mask = (1L << chunkBits) - 1
+    val withSig = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), TextFunctions.simhash64(col("text")).as("sig"))
+    val banded = withSig
+      .select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(SimhashBands - 1))).as("band"))
+      .select(col("doc_id"), col("band"),
+        expr(s"shiftrightunsigned(sig, band * $chunkBits) & ${mask}L").as("key"))
+    val pairs = bucketPairs(banded)
+    val sa = withSig.select(col("doc_id").as("a"), col("sig").as("sig_a"))
+    val sb = withSig.select(col("doc_id").as("b"), col("sig").as("sig_b"))
+    pairs.join(sa, "a").join(sb, "b")
       .withColumn("hamming",
-        lit(SimhashBits) - aggregate(zip_with(col("bits_a"), col("bits_b"),
-          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v))
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int"))
       .select("a", "b", "hamming")
       .orderBy(col("hamming").asc, col("a"), col("b"))
       .limit(500)

@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStream
+import graft.sources.Tables
+
+/** Structured Streaming spec (SURVEY.md §2 #11): the streaming
+  * windowed aggregate must converge to the batch twin's answer, and
+  * the stateful latest-per-key must match the batch latest_per_key. */
+class EventStreamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def stageEventsAsFiles(): String = {
+    val dir = Files.createTempDirectory("graft_stream_in").toString
+    // Re-write the batch events table as the stream input (micros ts),
+    // two files to simulate two micro-batch arrivals.
+    Tables.load(spark, SfDir, "events").repartition(2)
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("streaming hourly counts converge to the batch tumbling-window answer") {
+    val dir = stageEventsAsFiles()
+    val stream = EventStream.hourlyCounts(EventStream.readEvents(spark, dir))
+    val q = stream.writeStream.format("memory").queryName("hourly")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    // watermark closes all but the trailing windows; every emitted row
+    // must equal its batch twin exactly
+    val got = spark.table("hourly")
+      .select(col("bucket_hour"), col("event_type"), col("n"), col("sum_value"))
+    val batch = graft.operators.Analytics.windowTumbling(spark, SfDir)
+    val joined = got.join(batch,
+      got("bucket_hour") === batch("bucket_hour") &&
+        got("event_type") === batch("event_type"))
+      .filter(got("n") =!= batch("n") || got("sum_value") =!= batch("sum_value"))
+    assert(joined.count() === 0, "streamed window disagrees with batch twin")
+    assert(got.count() > 0, "no windows emitted")
+  }
+
+  test("stateful latest-per-user matches batch latest_per_key") {
+    val dir = stageEventsAsFiles()
+    val latest = EventStream.latestPerUser(spark,
+      EventStream.readEvents(spark, dir))
+    val q = latest.toDF().writeStream.format("memory").queryName("latest")
+      .outputMode("update").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    // last update per key = the stream's final state
+    val finalState = spark.table("latest")
+      .groupBy("user_id")
+      .agg(max(struct(col("latest_ts"), col("latest_price"))).as("m"))
+      .select(col("user_id"), col("m.latest_ts"), col("m.latest_price"))
+    val batch = graft.operators.StockOps.latestPerKey(spark, SfDir)
+    val diff = finalState.join(batch,
+      finalState("user_id") === batch("ticker_id"))
+      .filter(finalState("latest_ts") =!= batch("latest_ts"))
+    assert(diff.count() === 0, "stream state disagrees with batch latest")
+    assert(finalState.count() === batch.count())
+  }
+}

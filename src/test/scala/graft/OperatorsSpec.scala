@@ -1,0 +1,110 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.sinks.AppendSink
+
+/** Semantics tests for the pipeline + analytics operators
+  * (SURVEY.md §2 #1-18) on hand-built frames with known answers. */
+class OperatorsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("latest_per_key picks newest ts with event_id tiebreak") {
+    val got = StockOps.latestPerKey(spark, SfDir).collect()
+    // cross-check against an independent formulation (max struct)
+    val exp = graft.sources.Tables.load(spark, SfDir, "events")
+      .groupBy("user_id")
+      .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
+      .select(col("user_id"), col("m.ts"), col("m.value"))
+      .orderBy("user_id").collect()
+    assert(got.length === exp.length)
+    got.zip(exp).foreach { case (g, e) =>
+      assert(g.getLong(0) === e.getLong(0))
+      assert(g.getTimestamp(1) === e.getTimestamp(1))
+      assert(g.getDouble(2) === e.getDouble(2))
+    }
+  }
+
+  test("as-of join: probe gets newest build value at or before its ts") {
+    val probe = Seq((1L, 10L, ts("2024-01-01 00:05:00")),
+      (2L, 10L, ts("2024-01-01 00:00:30")),
+      (3L, 10L, ts("2024-01-01 00:01:00")), // equals a build ts → included
+      (4L, 20L, ts("2024-01-01 09:00:00")), // key with no build rows
+      (5L, 10L, ts("2023-12-31 23:00:00"))) // before all builds → null
+      .toDF("event_id", "user_id", "ts")
+    val build = Seq((10L, ts("2024-01-01 00:01:00"), 1.5),
+      (10L, ts("2024-01-01 00:04:00"), 2.5)).toDF("user_id", "ts", "bval")
+    val got = AsOfJoin.asOf(probe, build, "user_id", "ts", "bval", "v")
+      .orderBy("event_id").select("event_id", "v").collect()
+    assert(got.map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getDouble(1)))
+      .toSeq === Seq((1L, 2.5), (2L, null), (3L, 1.5), (4L, null), (5L, null)))
+  }
+
+  test("idempotent append: replay replaces, blind append duplicates") {
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val batch = Seq((1L, "2024-01-01", 5.0), (2L, "2024-01-02", 7.0))
+      .toDF("id", "d", "v")
+    AppendSink.idempotentAppend(batch, out, Seq("d"))
+    AppendSink.idempotentAppend(batch, out, Seq("d")) // replay
+    assert(AppendSink.readBack(spark, out).count() === 2)
+    AppendSink.append(batch, out, Seq("d")) // blind append does duplicate
+    assert(AppendSink.readBack(spark, out).count() === 4)
+  }
+
+  test("shard union is row-preserving and covers the whole keyspace") {
+    val li = graft.sources.Tables.load(spark, SfDir, "lineitem")
+    val r = StockOps.shardUnion(spark, SfDir).collect()(0)
+    assert(r.getLong(0) === li.count())
+  }
+
+  test("incremental batch is idempotent under input duplication") {
+    val once = StockOps.incrementalBatch(spark, SfDir)
+    val ev = graft.sources.Tables.load(spark, SfDir, "events")
+    // simulate a re-delivered batch: duplicate the whole day, dedupe must hold
+    val dup = ev.unionByName(ev)
+      .filter(col("ts") >= lit("2024-01-01 00:00:00") &&
+        col("ts") < lit("2024-01-02 00:00:00"))
+      .dropDuplicates("event_id")
+      .groupBy(date_trunc("hour", col("ts")).as("batch_hour"))
+      .agg(count(lit(1)).as("n_events"), Num.dsum(col("value")).as("sum_value"))
+      .orderBy("batch_hour")
+    assert(once.collect().toSeq === dup.collect().toSeq)
+  }
+
+  test("top-k plans as TakeOrderedAndProject (no global sort)") {
+    val plan = planOf(Analytics.topkRevenue(spark, SfDir))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("filter_scan pushes predicates and prunes columns at the parquet scan") {
+    val plan = planOf(Analytics.filterScan(spark, SfDir))
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("IsNotNull(l_shipdate)"), plan.take(3000))
+    // narrow ReadSchema: only the 5 referenced columns, not all 11
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_returnflag") && read.contains("l_quantity"), read)
+  }
+
+  test("join_broadcast plan broadcasts the dimension tables") {
+    val plan = planOf(Analytics.joinBroadcast(spark, SfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("news date round-trip through 'MMMM d, yyyy' preserves the date") {
+    val got = StockOps.newsDateParse(spark, SfDir)
+      .select(col("collected_at").cast("date").as("d"), col("news_date"))
+      .filter(col("d") =!= col("news_date"))
+    assert(got.count() === 0)
+  }
+
+  test("semi/anti buckets partition the customers") {
+    val cust = graft.sources.Tables.load(spark, SfDir, "customer").count()
+    val bucketTotals = Analytics.semiAnti(spark, SfDir)
+      .groupBy().agg(sum("n_cust")).as[Long].collect()(0)
+    assert(bucketTotals === cust)
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** ANN / embedding-similarity tests (SURVEY.md §2 #23-26): the LSH
+  * path must agree with the exact baseline on easy neighbors and
+  * never plan an unbounded cross product. */
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("ann_lsh recall vs ann_brute is substantial on the test corpus") {
+    val brute = Similarity.annBrute(spark, SfDir)
+      .select("q_id", "cand_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.annLsh(spark, SfDir)
+      .select("q_id", "cand_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.3, s"LSH recall $recall too low (found ${lsh.size})")
+  }
+
+  test("brute-force top-k is exactly the window-ranked cosine order") {
+    val got = Similarity.annBrute(spark, SfDir)
+    // ranks are 1..5 per query, cosine non-increasing within a query
+    val rows = got.select("q_id", "rnk", "cos_sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === Seq(1L, 2L, 3L, 4L, 5L), s"q=$q ranks")
+      assert(sorted.map(_._3).toSeq === sorted.map(_._3).sorted.reverse.toSeq,
+        s"q=$q cosine not sorted")
+    }
+  }
+
+  test("dedup_embed: top pair cosines are high and sorted descending") {
+    val got = Similarity.dedupEmbed(spark, SfDir).collect()
+    val sims = got.map(_.getDouble(2)).toSeq
+    assert(sims === sims.sorted.reverse)
+    assert(got.forall(r => r.getLong(0) < r.getLong(1)), "pairs not a<b")
+  }
+
+  test("lsh plans join on bucket keys, not cross products") {
+    for (df <- Seq(Similarity.annLsh(spark, SfDir),
+        Similarity.dedupEmbed(spark, SfDir))) {
+      val plan = planOf(df)
+      assert(!plan.contains("CartesianProduct"), plan.take(1500))
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    }
+    // brute force intentionally broadcasts the tiny query side only
+    val brutePlan = planOf(Similarity.annBrute(spark, SfDir))
+    assert(brutePlan.contains("BroadcastNestedLoopJoin") ||
+      brutePlan.contains("CartesianProduct")) // bounded: 8 query rows
+  }
+}
