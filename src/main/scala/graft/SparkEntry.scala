@@ -66,7 +66,10 @@ object SparkEntry {
     "append_roundtrip" ->
       s"""SELECT cast(ts AS date) AS batch_date, count(*) AS n_events,
          |  ${dsum("value")} AS sum_value
-         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+         |FROM events
+         |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+         |  AND ts < TIMESTAMP '2024-01-02 00:00:00'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "snapshot_proj" ->
       """SELECT ts AS snap_time, user_id AS ticker_id, value AS price,
         |  cast(length(props) AS bigint) AS volume

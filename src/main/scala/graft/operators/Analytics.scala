@@ -44,20 +44,26 @@ object Analytics {
     * and at 100 TB customer exceeds the threshold and correctly
     * shuffles). Revenue per region × order priority. */
   def joinBroadcast(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(spark, dir, "lineitem")
     val ord = Tables.load(spark, dir, "orders")
     val cust = Tables.load(spark, dir, "customer")
     val nat = Tables.load(spark, dir, "nation")
     val reg = Tables.load(spark, dir, "region")
-    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+    // Partial-aggregate pushdown: collapse lineitem to one row per
+    // order BEFORE the join chain — decimal sums are additive, so the
+    // final rollup over (region, priority) is exact. At 100 TB this
+    // shrinks the join probe side ~4× and the shuffle with it.
+    val liAgg = Tables.load(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum((col("l_extendedprice") * (lit(1d) - col("l_discount")))
+        .cast(Num.Dec)).as("rev_part"),
+        count(lit(1)).as("n_part"))
+    liAgg.join(ord, liAgg("l_orderkey") === ord("o_orderkey"))
       .join(cust, ord("o_custkey") === cust("c_custkey"))
       .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
       .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
       .groupBy(col("r_name"), col("o_orderpriority"))
-      .agg(
-        Num.dsum(col("l_extendedprice") * (lit(1d) - col("l_discount")))
-          .as("revenue"),
-        count(lit(1)).as("n_lines"))
+      .agg(sum(col("rev_part")).cast("double").as("revenue"),
+        sum(col("n_part")).as("n_lines"))
       .orderBy("r_name", "o_orderpriority")
   }
 
@@ -65,12 +71,14 @@ object Analytics {
     * per-partition partial top-k, no global sort of the full set.
     * Deterministic tiebreak on the key. */
   def topkRevenue(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(spark, dir, "lineitem")
     val ord = Tables.load(spark, dir, "orders")
-    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+    val liAgg = Tables.load(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum((col("l_extendedprice") * (lit(1d) - col("l_discount")))
+        .cast(Num.Dec)).as("rev_part"))
+    liAgg.join(ord, liAgg("l_orderkey") === ord("o_orderkey"))
       .groupBy(col("o_custkey").as("cust_id"))
-      .agg(Num.dsum(col("l_extendedprice") * (lit(1d) - col("l_discount")))
-        .as("revenue"))
+      .agg(sum(col("rev_part")).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("cust_id").asc)
       .limit(10)
   }

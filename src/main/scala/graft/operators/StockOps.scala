@@ -67,17 +67,27 @@ object StockOps {
     * (financial_statement_to_gcp.py:43-47): many exact sums per key
     * in one shuffle (single groupBy → map-side partials). */
   def finStatement(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(spark, dir, "lineitem")
     val ord = Tables.load(spark, dir, "orders")
-    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+    // Pre-aggregate lineitem per order (additive partials), then join
+    // the 4×-smaller partial table to orders and roll up per customer
+    // — order_cnt becomes an exact count of pre-collapsed rows.
+    val liAgg = Tables.load(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(
+        sum((col("l_extendedprice") * (lit(1d) - col("l_discount")))
+          .cast(Num.Dec)).as("rev_part"),
+        sum((col("l_extendedprice") * col("l_tax")).cast(Num.Dec))
+          .as("tax_part"),
+        sum(col("l_quantity").cast(Num.Dec)).as("qty_part"),
+        count(lit(1)).as("line_part"))
+    liAgg.join(ord, liAgg("l_orderkey") === ord("o_orderkey"))
       .groupBy(col("o_custkey").as("ticker_id"))
       .agg(
-        Num.dsum(col("l_extendedprice") * (lit(1d) - col("l_discount")))
-          .as("total_revenue"),
-        Num.dsum(col("l_extendedprice") * col("l_tax")).as("total_tax"),
-        Num.dsum(col("l_quantity")).as("total_qty"),
-        count(lit(1)).as("line_cnt"),
-        countDistinct(col("l_orderkey")).as("order_cnt"))
+        sum(col("rev_part")).cast("double").as("total_revenue"),
+        sum(col("tax_part")).cast("double").as("total_tax"),
+        sum(col("qty_part")).cast("double").as("total_qty"),
+        sum(col("line_part")).as("line_cnt"),
+        count(lit(1)).as("order_cnt"))
       .orderBy("ticker_id")
   }
 
@@ -131,14 +141,19 @@ object StockOps {
         countDistinct(col("l_orderkey")).as("n_orders"))
   }
 
-  /** #4 Append + idempotent replay round-trip: write a day-partitioned
-    * batch twice via dynamic partition overwrite, read back, prove the
-    * replay did not duplicate (oracle aggregates the source once). */
+  /** #4 Append + idempotent replay round-trip: write one scheduled
+    * batch (a single day, like the reference's per-run slice) twice
+    * via dynamic partition overwrite, read back, prove the replay did
+    * not duplicate (oracle aggregates the source once). A replay
+    * rewrites only the partitions present in the batch — at 100 TB a
+    * re-run day swaps one partition, never the table. */
   def appendRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val out = new java.io.File(
       sys.props("java.io.tmpdir"), s"graft_append_${dir.hashCode}").getPath
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
     val batch = Tables.load(spark, dir, "events")
+      .filter(col("ts") >= lit("2024-01-01 00:00:00") &&
+        col("ts") < lit("2024-01-02 00:00:00"))
       .withColumn("batch_date", to_date(col("ts")))
     AppendSink.idempotentAppend(batch, out, Seq("batch_date"))
     AppendSink.idempotentAppend(batch, out, Seq("batch_date")) // replay
