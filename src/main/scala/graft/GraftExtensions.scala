@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.expressions._
+
+/** SQL surface of the graft kernels: every custom Catalyst expression
+  * is exposed as a SQL function, so `spark.sql("SELECT cosine_sim(a,b)
+  * …")` works the same as the Column API (SURVEY.md §4 — Spark-native
+  * extension point, re-expressing the reference's "querying" purpose,
+  * /root/reference/README.md:3).
+  *
+  * Two entry points, same registration list:
+  *  - config `spark.sql.extensions=graft.GraftExtensions` at session
+  *    build time (cluster deployment path);
+  *  - `GraftFunctions.register(spark)` on a live session (notebook /
+  *    test path).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftFunctions {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.functions.expressions", name)
+
+  /** (name, doc, builder) for every graft SQL function. */
+  val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("cosine_sim",
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two double arrays"),
+      (es: Seq[Expression]) => CosineSim(es(0), es(1))),
+    ("dot_product",
+      info("dot_product", "dot_product(a, b) - dot product of two double arrays"),
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))),
+    ("fnv64",
+      info("fnv64", "fnv64(s) - FNV-1a 64-bit fingerprint of a string"),
+      (es: Seq[Expression]) => Fnv64(es(0))),
+    ("minhash_sig",
+      info("minhash_sig", "minhash_sig(s, k, w) - k-element MinHash signature over word w-shingles"),
+      (es: Seq[Expression]) => MinHashSig(es(0),
+        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),
+    ("simhash64",
+      info("simhash64", "simhash64(s) - 64-bit SimHash of the whitespace tokens"),
+      (es: Seq[Expression]) => SimHash64(es(0))),
+    ("char_ngrams",
+      info("char_ngrams", "char_ngrams(s, n) - distinct lowercase character n-grams"),
+      (es: Seq[Expression]) => CharNgrams(es(0), es(1).eval().asInstanceOf[Int]))
+  )
+
+  /** Register every graft function on a live session. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, i, builder) =>
+      GraftSqlBridge.registerFunction(spark, name, i, builder)
+    }
+}

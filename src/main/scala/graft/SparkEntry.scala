@@ -16,6 +16,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.A reference pipeline surface
     "ingest_typed" -> (StockOps.ingestTyped _),
+    "csv_ingest" -> (graft.sources.CsvIngest.csvIngestQuery _),
+    "skew_agg" -> (Skew.skewAgg _),
     "shard_union" -> (StockOps.shardUnion _),
     "append_roundtrip" -> (StockOps.appendRoundtrip _),
     "snapshot_proj" -> (StockOps.snapshotProjection _),
@@ -60,6 +62,19 @@ object SparkEntry {
       """SELECT event_id, ts, cast(user_id AS double) AS ticker_fl,
         |  event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+    "csv_ingest" ->
+      s"""SELECT event_type, count(*) AS n_events,
+         |  count(DISTINCT user_id) AS n_users,
+         |  ${dsum("value")} AS sum_value,
+         |  max(ts) AS max_ts
+         |FROM events
+         |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+         |  AND ts < TIMESTAMP '2024-01-02 00:00:00'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "skew_agg" ->
+      s"""SELECT event_type, count(*) AS n_events,
+         |  ${dsum("value")} AS sum_value
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "shard_union" ->
       s"""SELECT count(*) AS n_rows, ${dsum("l_quantity")} AS sum_qty,
          |  count(DISTINCT l_orderkey) AS n_orders FROM lineitem""".stripMargin,
