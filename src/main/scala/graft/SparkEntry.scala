@@ -43,6 +43,7 @@ object SparkEntry {
     "dedup_embed" -> (Similarity.dedupEmbed _),
     "ann_brute" -> (Similarity.annBrute _),
     "ann_lsh" -> (Similarity.annLsh _),
+    "ann_ivf" -> (Similarity.annIvf _),
     "lang_id" -> (TextOps.langIdQuery _),
     "quality_score" -> (TextOps.qualityQuery _),
     "token_count" -> (TextOps.tokenCountQuery _),

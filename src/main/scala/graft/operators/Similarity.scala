@@ -96,6 +96,58 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  // IVF parameters: C cells (deterministic pseudo-random centroid
+  // sample), nprobe cells probed per query. At real scale centroids
+  // come from a k-means pass; the sampled-centroid variant keeps the
+  // same plan shape (broadcast centroids → cell assignment → cell-
+  // partitioned probe) with zero training cost.
+  val IvfCells = 32
+  val IvfProbe = 4
+
+  /** #26b IVF ANN: partition the corpus into centroid cells, probe
+    * each query's nprobe nearest cells, exact re-rank inside. The
+    * only cross product is rows × C (broadcast, C bounded); the probe
+    * join is hash-partitioned on cell id. Rows-only; recall gated in
+    * SimilaritySpec. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    // centroids: the C vec_ids with smallest murmur3 hash — a
+    // deterministic uniform sample of the corpus
+    val centroids = broadcast(
+      e.select(col("vec_id").as("c_id"), col("vec").as("cvec"),
+          hash(col("vec_id")).as("h"))
+        .orderBy("h").limit(IvfCells).drop("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cs").desc, col("c_id").asc)
+    val assigned = e.crossJoin(centroids)
+      .select(col("vec_id"), col("vec"), col("c_id"),
+        cosine(col("vec"), col("cvec")).as("cs"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("c_id").as("cell"), col("vec_id"), col("vec"))
+    val qw = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cs").desc, col("c_id").asc)
+    val probes = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("vec").as("qvec"))
+      .crossJoin(centroids)
+      .select(col("q_id"), col("qvec"), col("c_id"),
+        cosine(col("qvec"), col("cvec")).as("cs"))
+      .withColumn("rn", row_number().over(qw))
+      .filter(col("rn") <= IvfProbe)
+      .select(col("q_id"), col("qvec"), col("c_id").as("cell"))
+    val scored = probes.join(assigned, "cell")
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        cosine(col("qvec"), col("vec")).as("cos"))
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("cand_id").asc)
+    scored.withColumn("rnk", row_number().over(rw).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("cand_id"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy("q_id", "rnk")
+  }
+
   /** #24 Embedding-cosine near-dup: all vectors banded, pairs only
     * inside buckets (capped), ranked by exact cosine. Rows-only. */
   def dedupEmbed(spark: SparkSession, dir: String): DataFrame = {

@@ -18,6 +18,15 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.3, s"LSH recall $recall too low (found ${lsh.size})")
   }
 
+  test("ann_ivf recall vs ann_brute is substantial on the test corpus") {
+    val brute = Similarity.annBrute(spark, SfDir)
+      .select("q_id", "cand_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.annIvf(spark, SfDir)
+      .select("q_id", "cand_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.2, s"IVF recall $recall too low (found ${ivf.size})")
+  }
+
   test("brute-force top-k is exactly the window-ranked cosine order") {
     val got = Similarity.annBrute(spark, SfDir)
     // ranks are 1..5 per query, cosine non-increasing within a query
