@@ -21,28 +21,39 @@ import graft.sources.Tables
   */
 object AsOfJoin {
 
-  /** Generic as-of join. `build` must be unique per (key, ts) —
-    * pre-aggregate it if not, or ties make the result ambiguous. */
+  /** Generic as-of join carrying any number of typed build columns.
+    * `build` must be unique per (key, ts) — pre-aggregate it if not,
+    * or ties make the result ambiguous. The carried payload is packed
+    * into one struct so `last(ignoreNulls)` forwards all columns
+    * atomically; output columns keep their build-side names and types. */
   def asOf(probe: DataFrame, build: DataFrame, key: String, ts: String,
-      valueCol: String, outName: String): DataFrame = {
-    val p = probe.withColumn("_is_build", lit(0))
-      .withColumn("_bval", lit(null).cast("double"))
+      valueCols: Seq[String]): DataFrame = {
+    val payload = struct(valueCols.map(col): _*)
     val b = build.select(col(key), col(ts),
-        lit(1).as("_is_build"), col(valueCol).cast("double").as("_bval"))
-    val probeCols = probe.columns
-    val unioned = p.select((probeCols.map(col) ++
-      Seq(col("_is_build"), col("_bval"))).toIndexedSeq: _*)
+      lit(1).as("_is_build"), payload.as("_bpay"))
+    val p = probe.withColumn("_is_build", lit(0))
+      .withColumn("_bpay", lit(null).cast(b.schema("_bpay").dataType))
+    val unioned = p.select((probe.columns.map(col) ++
+      Seq(col("_is_build"), col("_bpay"))).toIndexedSeq: _*)
       .unionByName(b, allowMissingColumns = true)
     // Build rows sort before probe rows at equal ts (is_build desc) so
     // "at or before" includes equality.
     val w = Window.partitionBy(key)
       .orderBy(col(ts).asc, col("_is_build").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    unioned
-      .withColumn(outName, last(col("_bval"), ignoreNulls = true).over(w))
+    val carried = unioned
+      .withColumn("_fwd", last(col("_bpay"), ignoreNulls = true).over(w))
       .filter(col("_is_build") === 0)
-      .drop("_is_build", "_bval")
+    valueCols.foldLeft(carried) { (df, c) =>
+      df.withColumn(c, col(s"_fwd.$c"))
+    }.drop("_is_build", "_bpay", "_fwd")
   }
+
+  /** Single-column convenience overload (previous API). */
+  def asOf(probe: DataFrame, build: DataFrame, key: String, ts: String,
+      valueCol: String, outName: String): DataFrame =
+    asOf(probe, build.withColumnRenamed(valueCol, outName), key, ts,
+      Seq(outName))
 
   /** Query #18: each click joined to the user's latest purchase value
     * at or before the click. */

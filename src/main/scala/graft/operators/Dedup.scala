@@ -71,8 +71,15 @@ object Dedup {
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     minhashLshOn(Tables.load(spark, dir, "documents"))
 
-  /** Core of #20 over any (doc_id, text) frame. */
-  def minhashLshOn(docs: DataFrame): DataFrame = {
+  /** #20 ranked candidate list (bounded output for inspection). */
+  def minhashLshOn(docs: DataFrame): DataFrame =
+    minhashPairs(docs)
+      .orderBy(col("est_jaccard").desc, col("a"), col("b"))
+      .limit(TopPairs)
+
+  /** All LSH candidate pairs with estimated Jaccard — unbounded,
+    * for apply-dedup and threshold policies. */
+  def minhashPairs(docs: DataFrame): DataFrame = {
     val withSig = docs
       .select(col("doc_id"),
         TextFunctions.minhashSig(col("text"), MinhashK, 2).as("sig"))
@@ -86,8 +93,19 @@ object Dedup {
           (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / MinhashK)
       .select("a", "b", "est_jaccard")
-      .orderBy(col("est_jaccard").desc, col("a"), col("b"))
-      .limit(TopPairs)
+  }
+
+  /** End-to-end near-dedup: drop every doc that near-duplicates
+    * (est_jaccard ≥ threshold) a doc with a smaller id — the standard
+    * keep-first policy. One anti-join of the corpus against the
+    * drop-set; no transitive closure pass (a→b, b→c with a<b<c drops
+    * b and c — the survivor set is exactly the pair-minimal one a
+    * greedy keep-first scan would produce). */
+  def applyNearDedup(docs: DataFrame, threshold: Double): DataFrame = {
+    val drops = minhashPairs(docs)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("b").as("doc_id")).distinct()
+    docs.join(drops, Seq("doc_id"), "left_anti")
   }
 
   // SimHash parameters: 64-bit signature, 4×16-bit bands.

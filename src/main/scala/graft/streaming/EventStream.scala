@@ -38,6 +38,34 @@ object EventStream {
       .select(col("window.start").as("bucket_hour"), col("event_type"),
         col("n"), col("sum_value"))
 
+  case class Alert(user_id: Long, ts: Timestamp, prev: Double,
+      value: Double, change: Double)
+
+  /** Price-move alerts via flatMapGroupsWithState: per key, compare
+    * each event (in event-time order) to the previous value and emit
+    * only moves ≥ `threshold` — the custom-state shape that windowed
+    * aggregation can't express (output cardinality is data-dependent,
+    * 0..n rows per key per batch). State is one double per key. */
+  def priceAlerts(spark: SparkSession, events: DataFrame,
+      threshold: Double): Dataset[Alert] = {
+    import spark.implicits._
+    events.as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[Double]) =>
+          var prev = state.getOption.getOrElse(Double.NaN)
+          val out = scala.collection.mutable.ListBuffer[Alert]()
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            if (!prev.isNaN && math.abs(e.value - prev) >= threshold)
+              out += Alert(uid, e.ts, prev, e.value, e.value - prev)
+            prev = e.value
+          }
+          state.update(prev)
+          out.iterator
+      }
+  }
+
   /** Stateful latest-per-key via mapGroupsWithState: one state row per
     * key (bounded by key cardinality, partitioned across executors). */
   def latestPerUser(spark: SparkSession, events: DataFrame): Dataset[Latest] = {

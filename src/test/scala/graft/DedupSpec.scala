@@ -64,6 +64,18 @@ class DedupSpec extends SparkTestBase {
     assert(h === h.sorted && h.forall(d => d >= 0 && d <= 64))
   }
 
+  test("applyNearDedup keeps first occurrence, drops planted copies") {
+    val real = graft.sources.Tables.load(spark, SfDir, "documents")
+    val d0 = real.filter(col("doc_id") === 0).select("text").as[String].collect()(0)
+    val planted = real.select("doc_id", "text")
+      .unionByName(Seq((9001L, d0), (9002L, d0)).toDF("doc_id", "text"))
+    val kept = Dedup.applyNearDedup(planted, threshold = 0.95)
+    val keptIds = kept.select("doc_id").as[Long].collect().toSet
+    assert(keptIds.contains(0L), "original dropped")
+    assert(!keptIds.contains(9001L) && !keptIds.contains(9002L),
+      "planted copies survived")
+  }
+
   test("no dedup plan contains a cartesian product or nested-loop join") {
     for (df <- Seq(Dedup.minhashLsh(spark, SfDir),
         Dedup.simhashNearDup(spark, SfDir),

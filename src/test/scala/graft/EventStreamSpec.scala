@@ -39,6 +39,27 @@ class EventStreamSpec extends SparkTestBase {
     assert(got.count() > 0, "no windows emitted")
   }
 
+  test("price alerts fire only on moves past the threshold") {
+    val dir = Files.createTempDirectory("graft_alerts").toString
+    import java.sql.Timestamp
+    Seq(
+      EventStream.Ev(1, Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "t", 10.0, ""),
+      EventStream.Ev(2, Timestamp.valueOf("2024-01-01 00:01:00"), 7L, "t", 10.4, ""),
+      EventStream.Ev(3, Timestamp.valueOf("2024-01-01 00:02:00"), 7L, "t", 12.0, ""),
+      EventStream.Ev(4, Timestamp.valueOf("2024-01-01 00:03:00"), 8L, "t", 5.0, ""))
+      .toDF().write.mode("overwrite").parquet(dir)
+    val alerts = EventStream.priceAlerts(spark,
+      EventStream.readEvents(spark, dir), threshold = 1.0)
+    val q = alerts.toDF().writeStream.format("memory").queryName("alerts")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("alerts").collect()
+    // only 10.4 -> 12.0 crosses the 1.0 threshold; key 8 has no prior
+    assert(got.length === 1)
+    assert(got(0).getAs[Long]("user_id") === 7L)
+    assert(math.abs(got(0).getAs[Double]("change") - 1.6) < 1e-9)
+  }
+
   test("stateful latest-per-user matches batch latest_per_key") {
     val dir = stageEventsAsFiles()
     val latest = EventStream.latestPerUser(spark,

@@ -43,6 +43,18 @@ class OperatorsSpec extends SparkTestBase {
       .toSeq === Seq((1L, 2.5), (2L, null), (3L, 1.5), (4L, null), (5L, null)))
   }
 
+  test("as-of join carries multiple typed payload columns") {
+    val probe = Seq((1L, 10L, ts("2024-01-01 00:05:00")))
+      .toDF("event_id", "user_id", "ts")
+    val build = Seq((10L, ts("2024-01-01 00:01:00"), 1.5, "open"),
+      (10L, ts("2024-01-01 00:04:00"), 2.5, "close"))
+      .toDF("user_id", "ts", "price", "phase")
+    val got = AsOfJoin.asOf(probe, build, "user_id", "ts",
+      Seq("price", "phase")).collect()(0)
+    assert(got.getAs[Double]("price") === 2.5)
+    assert(got.getAs[String]("phase") === "close")
+  }
+
   test("idempotent append: replay replaces, blind append duplicates") {
     val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val batch = Seq((1L, "2024-01-01", 5.0), (2L, "2024-01-02", 7.0))
