@@ -20,6 +20,7 @@ object SparkEntry {
     "skew_agg" -> (Skew.skewAgg _),
     "shard_union" -> (StockOps.shardUnion _),
     "append_roundtrip" -> (StockOps.appendRoundtrip _),
+    "bucketed_join" -> (graft.sinks.BucketedWarehouse.bucketedJoin _),
     "snapshot_proj" -> (StockOps.snapshotProjection _),
     "latest_per_key" -> (StockOps.latestPerKey _),
     "fin_ratio" -> (StockOps.finRatio _),
@@ -85,6 +86,12 @@ object SparkEntry {
          |FROM events
          |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
          |  AND ts < TIMESTAMP '2024-01-02 00:00:00'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "bucketed_join" ->
+      s"""SELECT o.o_orderpriority,
+         |  ${dsum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+         |  count(*) AS n_lines
+         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "snapshot_proj" ->
       """SELECT ts AS snap_time, user_id AS ticker_id, value AS price,

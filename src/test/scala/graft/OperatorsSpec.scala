@@ -106,6 +106,17 @@ class OperatorsSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("bucketed fact-fact join has no exchange below the join") {
+    val plan = planOf(graft.sinks.BucketedWarehouse.bucketedJoin(spark, SfDir))
+    // tree section only (details repeat node names)
+    val tree = plan.linesIterator.takeWhile(!_.startsWith("(1) ")).toSeq
+    val joinIdx = tree.indexWhere(_.contains("SortMergeJoin"))
+    assert(joinIdx >= 0, plan.take(1500))
+    // children of the join print below it: none may be an Exchange
+    assert(!tree.drop(joinIdx).exists(_.contains("Exchange")),
+      tree.mkString("\n"))
+  }
+
   test("news date round-trip through 'MMMM d, yyyy' preserves the date") {
     val got = StockOps.newsDateParse(spark, SfDir)
       .select(col("collected_at").cast("date").as("d"), col("news_date"))
