@@ -18,11 +18,16 @@ object BucketedWarehouse {
 
   val Buckets = 8
 
-  /** Write lineitem + orders as bucketed tables (idempotent
-    * overwrite); returns the table names. */
+  /** Write lineitem + orders as bucketed tables; returns the table
+    * names. The ingest shuffle is paid ONCE per source dir and
+    * session — re-invocations reuse the registered tables, which is
+    * the operational model bucketing exists for. */
   def build(spark: SparkSession, dir: String): (String, String) = {
-    val li = "graft_lineitem_b"
-    val ord = "graft_orders_b"
+    val suffix = (dir.hashCode & Int.MaxValue).toString
+    val li = s"graft_lineitem_b_$suffix"
+    val ord = s"graft_orders_b_$suffix"
+    if (spark.catalog.tableExists(li) && spark.catalog.tableExists(ord))
+      return (li, ord)
     // A fresh session has an empty in-memory catalog, but a previous
     // session's managed-table directory may survive in the warehouse
     // dir — drop both the entry and the location before rewriting.
