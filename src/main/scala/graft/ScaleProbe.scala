@@ -1,3 +1,5 @@
+package graft
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 object ScaleProbe {
