@@ -27,7 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftFunctions {
   private def info(name: String, usage: String) =
-    new ExpressionInfo("graft.functions.expressions", name)
+    new ExpressionInfo("graft.functions.expressions", null, name, usage, "")
 
   /** (name, doc, builder) for every graft SQL function. */
   val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(

@@ -97,7 +97,7 @@ object SparkEntry {
       """SELECT ts AS snap_time, user_id AS ticker_id, value AS price,
         |  cast(length(props) AS bigint) AS volume
         |FROM events WHERE event_type = 'purchase'
-        |ORDER BY snap_time, ticker_id, price""".stripMargin,
+        |ORDER BY snap_time, ticker_id, price, volume, event_id""".stripMargin,
     "latest_per_key" ->
       """SELECT user_id AS ticker_id, ts AS latest_ts, value AS latest_price
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id

@@ -96,11 +96,15 @@ object Dedup {
   }
 
   /** End-to-end near-dedup: drop every doc that near-duplicates
-    * (est_jaccard ≥ threshold) a doc with a smaller id — the standard
-    * keep-first policy. One anti-join of the corpus against the
-    * drop-set; no transitive closure pass (a→b, b→c with a<b<c drops
-    * b and c — the survivor set is exactly the pair-minimal one a
-    * greedy keep-first scan would produce). */
+    * (est_jaccard ≥ threshold) ANY doc with a smaller id. One
+    * anti-join of the corpus against the drop-set; no transitive
+    * closure pass. Note this is stricter than a sequential greedy
+    * keep-first scan: for a chain a~b, b~c (no a~c pair) greedy would
+    * re-admit c after dropping b, whereas this policy drops both b and
+    * c. The one-shot set-difference is the scalable choice — greedy
+    * re-admission is inherently sequential (each verdict depends on
+    * all prior verdicts) and cannot be expressed as a bounded number
+    * of shuffles. */
   def applyNearDedup(docs: DataFrame, threshold: Double): DataFrame = {
     val drops = minhashPairs(docs)
       .filter(col("est_jaccard") >= threshold)

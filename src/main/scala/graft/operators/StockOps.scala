@@ -26,8 +26,12 @@ object StockOps {
         col("ts").as("snap_time"),
         col("user_id").as("ticker_id"),
         col("value").as("price"),
-        length(col("props")).cast("long").as("volume"))
-      .orderBy("snap_time", "ticker_id", "price")
+        length(col("props")).cast("long").as("volume"),
+        col("event_id"))
+      // event_id makes the order total (two purchases can tie on all
+      // four payload columns); it is sorted on, then projected away.
+      .orderBy("snap_time", "ticker_id", "price", "volume", "event_id")
+      .drop("event_id")
 
   /** #6 Latest-value-per-key — the reference's `currentPrice`
     * semantics (stock_data_to_gcp.py:47): one shuffle on the key,

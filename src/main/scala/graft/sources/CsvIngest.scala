@@ -23,9 +23,16 @@ object CsvIngest {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("_corrupt", StringType)))
 
-  /** Read a CSV directory with the declared schema; returns (clean,
-    * quarantined) split on the corrupt-record column. */
-  def readEvents(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+  /** One parsed ingest batch: the clean/quarantined split plus the
+    * cache-release handle. The caller owns the lifetime — call
+    * `release()` once both sides are materialized (written out or
+    * counted), or the cached batch stays pinned in executor memory. */
+  case class IngestBatch(clean: DataFrame, quarantined: DataFrame,
+      release: () => Unit)
+
+  /** Read a CSV directory with the declared schema, split on the
+    * corrupt-record column. */
+  def readEvents(spark: SparkSession, path: String): IngestBatch = {
     // Spark requires the parsed batch to be materialized before the
     // corrupt-record column can be queried on its own (see
     // UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN); a real
@@ -44,7 +51,7 @@ object CsvIngest {
     // keep the whole row (Spark disallows plans that reference only
     // the corrupt-record column; callers also want the parse context)
     val bad = raw.filter(col("_corrupt").isNotNull)
-    (clean, bad)
+    IngestBatch(clean, bad, () => { raw.unpersist(); () })
   }
 
   /** §2 #33 `csv_ingest`: round-trip one day of events through CSV —
@@ -64,8 +71,15 @@ object CsvIngest {
         col("user_id"), col("event_type"), col("value"))
       .coalesce(1)
       .write.option("header", "true").mode("overwrite").csv(out)
-    val (clean, _) = readEvents(spark, out)
-    clean.groupBy("event_type")
+    val batch = readEvents(spark, out)
+    // Warehouse-load step: stage the typed clean rows to parquet (this
+    // materializes the parsed batch), then drop the parse cache — the
+    // returned aggregate reads the staged table, so nothing stays
+    // pinned in executor memory across invocations.
+    val staged = out + "_typed"
+    batch.clean.write.mode("overwrite").parquet(staged)
+    batch.release()
+    spark.read.parquet(staged).groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"),
         Num.dsum(col("value")).as("sum_value"),

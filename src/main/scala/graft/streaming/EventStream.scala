@@ -66,6 +66,13 @@ object EventStream {
       }
   }
 
+  /** State for latestPerUser: carries the winning event_id so the
+    * (ts desc, event_id desc) tiebreak stays correct across
+    * micro-batches — matching the batch twin `StockOps.latestPerKey`
+    * even when an equal-ts event arrives in a later batch. */
+  case class LatestState(latest_ts: Timestamp, latest_price: Double,
+      event_id: Long)
+
   /** Stateful latest-per-key via mapGroupsWithState: one state row per
     * key (bounded by key cardinality, partitioned across executors). */
   def latestPerUser(spark: SparkSession, events: DataFrame): Dataset[Latest] = {
@@ -73,13 +80,12 @@ object EventStream {
     events.as[Ev]
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
-        (uid: Long, rows: Iterator[Ev], state: GroupState[Latest]) =>
-          val newest = (rows ++ state.getOption.map(l =>
-            Ev(0L, l.latest_ts, uid, "", l.latest_price, "")))
-            .maxBy(e => (e.ts.getTime, e.event_id))
-          val latest = Latest(uid, newest.ts, newest.value)
-          state.update(latest)
-          latest
+        (uid: Long, rows: Iterator[Ev], state: GroupState[LatestState]) =>
+          val newest = (rows.map(e => LatestState(e.ts, e.value, e.event_id))
+            ++ state.getOption.iterator)
+            .maxBy(s => (s.latest_ts.getTime, s.event_id))
+          state.update(newest)
+          Latest(uid, newest.latest_ts, newest.latest_price)
       }
   }
 }

@@ -48,10 +48,12 @@ class ExtensionsSpec extends SparkTestBase {
       "2,2024-01-02 03:04:05.123456,11,purchase,2.5")
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part.csv"),
       String.join("\n", lines: _*).getBytes)
-    val (clean, bad) = CsvIngest.readEvents(spark, dir)
-    assert(clean.count() === 2)
-    assert(bad.select("event_id", "_corrupt").collect().length === 1)
-    val ts = clean.orderBy("event_id").select("ts").collect()
+    val batch = CsvIngest.readEvents(spark, dir)
+    assert(batch.clean.count() === 2)
+    assert(batch.quarantined.select("event_id", "_corrupt")
+      .collect().length === 1)
+    val ts = batch.clean.orderBy("event_id").select("ts").collect()
     assert(ts(0).getTimestamp(0).toString === "2024-01-01 00:00:00.000001")
+    batch.release()
   }
 }
