@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.functions._
-import graft.functions.expressions.{MinHashSig, SimHash64}
+import graft.functions.expressions.{LongArrayAgree, MinHashSig, SimHash64}
 
 /** Text-analysis kernels (SURVEY.md §2 #27-29), re-expressing the
   * reference's "text analyzed data" goal (/root/reference/README.md:3)
@@ -26,6 +26,12 @@ object TextFunctions {
   /** 64-bit SimHash of the whitespace tokens, packed into a long. */
   def simhash64(text: Column): Column =
     GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(text)))
+
+  /** Agreeing positions of two equal-length signature arrays
+    * (MinHash estimator numerator) — codegen'd kernel. */
+  def sigAgree(a: Column, b: Column): Column =
+    GraftSqlBridge.column(LongArrayAgree(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
   /** Whitespace token count. */
   def wsTokenCount(text: Column): Column = size(tokens(text))

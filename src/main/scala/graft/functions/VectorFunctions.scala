@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
-import graft.functions.expressions.{CosineSim, DotProduct, Fnv64}
+import graft.functions.expressions.{CosineSim, DotProduct, Fnv64, SignBandKeys}
 
 /** Column-level vector API over the custom Catalyst kernels plus the
   * random-hyperplane LSH used by the similarity operators
@@ -51,6 +51,18 @@ object VectorFunctions {
         shiftright(sig, b * bitsPerBand).bitwiseAND(lit(mask)).as("key"))
     }: _*)
   }
+
+  /** All sign-LSH band keys in one codegen'd kernel call —
+    * array<long>, element b = band b's `bits`-bit key. The plane
+    * matrix is derived from the seed inside the kernel (per-JVM
+    * cache), NOT embedded as bands×bits literal expressions, which
+    * would bloat every generated stage with the banding projection
+    * and cost seconds of Janino compile time per query. Produces the
+    * same keys as `bandKeysFromPlanes(hyperplanes(bands*bits, dim,
+    * seed), …)`. Use with `posexplode` → (band, key). */
+  def signBandKeys(vec: Column, bands: Int, bits: Int, seed: Long = 42L,
+      dim: Int = 64): Column =
+    c(SignBandKeys(e(vec), seed, dim, bands, bits))
 
   /** Per-band LSH keys straight from the hyperplanes (no packed-int
     * cap on plane count): band b's key is the `bitsPerBand`-bit sign

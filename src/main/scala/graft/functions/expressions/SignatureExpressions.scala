@@ -19,9 +19,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * loop per row, invoked from generated code via a static call — the
   * per-row cost at 100 TB is a single virtual-free method call.
   *
-  * Hash family: XXH64 with seed j (j = 0..K-1) over the shingle's
-  * UTF-8 bytes — matches `functions.xxhash64`'s underlying hash, and
-  * K seeded instances are pairwise independent in practice.
+  * Hash family: ONE XXH64 over the shingle's UTF-8 bytes, then K
+  * multiply-add permutations g_j(h) = A_j·h + B_j (mod 2^64, A_j odd
+  * → bijective) with A/B drawn from SplitMix64. Hashing once and
+  * permuting K times costs ~K× less than K seeded XXH64 passes and
+  * is the standard minwise-family construction (cf. Spark MLlib's
+  * MinHashLSH, which uses the same a·x+b form over a prime field).
+  * Wrap-around arithmetic is fine here: these are plain JVM longs
+  * inside the kernel, not ANSI SQL expressions.
   */
 
 /** MinHash signature: array<long> of length k; element j is the min
@@ -41,12 +46,30 @@ case class MinHashSig(child: Expression, k: Int, w: Int)
 }
 
 object MinHashSig {
+  /** Max permutation count the static A/B tables cover. */
+  val MaxK = 256
+
+  // SplitMix64 — the standard seed-expansion mixer (public domain,
+  // Steele et al., "Fast Splittable Pseudorandom Number Generators").
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  private val MixA: Array[Long] =
+    Array.tabulate(MaxK)(j => splitmix64(2L * j) | 1L) // odd → bijective
+  private val MixB: Array[Long] =
+    Array.tabulate(MaxK)(j => splitmix64(2L * j + 1))
+
   /** Single-pass kernel, called from both interpreted and generated
     * paths. Deterministic for a given (text, k, w). */
   def compute(text: UTF8String, k: Int, w: Int): ArrayData = {
+    require(k <= MaxK, s"k=$k exceeds MaxK=$MaxK")
     val toks = tokenize(text)
     if (toks.length < w) return new GenericArrayData(Array.empty[Long])
-    // Distinct w-shingles, hashed as UTF-8 bytes of "t1 t2 ... tw".
+    // Distinct w-shingles, hashed as UTF-8 bytes of "t1 t2 ... tw",
+    // then permuted K ways per shingle (one XXH64 per shingle total).
     val seen = new java.util.HashSet[String]()
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
@@ -57,11 +80,12 @@ object MinHashSig {
       val sh = sb.toString
       if (seen.add(sh)) {
         val bytes = sh.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val h = XXH64.hashUnsafeBytes(bytes,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 0)
         var s = 0
         while (s < k) {
-          val h = XXH64.hashUnsafeBytes(bytes,
-            org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, s)
-          if (h < mins(s)) mins(s) = h
+          val v = MixA(s) * h + MixB(s)
+          if (v < mins(s)) mins(s) = v
           s += 1
         }
       }
@@ -119,6 +143,37 @@ object CharNgrams {
     val it = seen.iterator(); var j = 0
     while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
     new GenericArrayData(out)
+  }
+}
+
+/** Positions where two equal-length long-array signatures agree —
+  * the MinHash Jaccard estimator's numerator (est = agree / k).
+  * Codegen'd so in-bucket estimation on candidate pairs stays inside
+  * whole-stage codegen (the zip_with+aggregate HOF form is
+  * interpreted and re-evaluates captured subtrees per element). */
+case class LongArrayAgree(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    LongArrayAgree.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.expressions.LongArrayAgree.compute($a, $b);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object LongArrayAgree {
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var agree = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) agree += 1
+      i += 1
+    }
+    agree
   }
 }
 

@@ -69,16 +69,21 @@ object Analytics {
 
   /** #15 Top-k by aggregate: planned as TakeOrderedAndProject —
     * per-partition partial top-k, no global sort of the full set.
-    * Deterministic tiebreak on the key. */
+    * Deterministic tiebreak on the key. The fact joins a two-column
+    * projection of orders directly (broadcast at small SF, sort-merge
+    * at scale — and the bucketed warehouse variant, #36, runs it
+    * exchange-free); a pre-aggregation on l_orderkey would shuffle
+    * the same lineitem bytes it saves, so it buys nothing here. */
   def topkRevenue(spark: SparkSession, dir: String): DataFrame = {
     val ord = Tables.load(spark, dir, "orders")
-    val liAgg = Tables.load(spark, dir, "lineitem")
-      .groupBy("l_orderkey")
-      .agg(sum((col("l_extendedprice") * (lit(1d) - col("l_discount")))
-        .cast(Num.Dec)).as("rev_part"))
-    liAgg.join(ord, liAgg("l_orderkey") === ord("o_orderkey"))
+      .select("o_orderkey", "o_custkey")
+    Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1d) - col("l_discount")))
+          .cast(Num.Dec).as("rev"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey").as("cust_id"))
-      .agg(sum(col("rev_part")).cast("double").as("revenue"))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("cust_id").asc)
       .limit(10)
   }

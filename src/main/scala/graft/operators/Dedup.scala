@@ -39,23 +39,48 @@ object Dedup {
     * (band, key); emit a<b pairs inside buckets of size [2, cap]
     * (frequent-bucket pruning); distinct because a pair can collide
     * in several bands. Shuffled bytes = O(rows × bands × 24B). */
-  private def bucketPairs(banded: DataFrame): DataFrame =
+  private[operators] def bucketPairs(banded: DataFrame): DataFrame =
     banded.groupBy("band", "key")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")).between(2, BucketCap))
       .select(explode(col("ids")).as("a"), col("ids"))
       .select(col("a"), explode(col("ids")).as("b"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
 
+  /** bucketPairs variant that carries a per-doc payload column (the
+    * signature) through the bucket, so downstream pair scoring needs
+    * no join-back — and, crucially, no second or third evaluation of
+    * the signature kernel (each branch of a self-join DAG would
+    * recompute it from the raw text). Input: (doc_id, band, key,
+    * <payload>). Output: (a, b, <payload>_a, <payload>_b), one row
+    * per colliding (pair, band) — callers dedup with a groupBy on
+    * (a, b) after scoring. Worth it when payload is small (a K-long
+    * signature); for fat payloads (embedding vectors) use the
+    * ids-only bucketPairs + join-back instead. */
+  private[operators] def bucketPairsWith(banded: DataFrame,
+      payload: String): DataFrame =
+    banded.groupBy("band", "key")
+      // no sort_array: list order is irrelevant — the a<b filter and
+      // the callers' groupBy(a, b) make the pair set deterministic
+      .agg(collect_list(struct(col("doc_id"), col(payload))).as("xs"))
+      .filter(size(col("xs")).between(2, BucketCap))
+      .select(explode(col("xs")).as("x"), col("xs"))
+      .select(col("x"), explode(col("xs")).as("y"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col(s"x.$payload").as(s"${payload}_a"),
+        col(s"y.$payload").as(s"${payload}_b"))
+
   /** Band keys for a minhash signature row: band j's key is the hash
     * of the j-th r-slice. `sig` must be a concrete (already projected)
-    * column so the kernel runs once per doc, not once per band. */
+    * column so the kernel runs once per doc, not once per band. The
+    * signature rides along so pair scoring happens in-bucket. */
   private def bandedMinhash(withSig: DataFrame): DataFrame =
     withSig
       .select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(MinhashBands - 1))).as("band"))
-      .select(col("doc_id"), col("band"),
+      .select(col("doc_id"), col("sig"), col("band"),
         hash(slice(col("sig"), col("band") * MinhashR + 1, lit(MinhashR)))
           .as("key"))
 
@@ -78,21 +103,27 @@ object Dedup {
       .limit(TopPairs)
 
   /** All LSH candidate pairs with estimated Jaccard — unbounded,
-    * for apply-dedup and threshold policies. */
+    * for apply-dedup and threshold policies. One scan of the corpus:
+    * the signature is computed once per doc and carried through the
+    * bucket shuffle (K=32 longs ≈ 256 B/doc/band), and the agreement
+    * count runs in-bucket via the codegen'd LongArrayAgree kernel —
+    * no join-backs, which would re-run the MinHashSig kernel on every
+    * branch of the self-join DAG. (At 100 TB the alternative is
+    * persisting the signature table once and joining back; this shape
+    * keeps the whole operator a single pipeline instead.) */
   def minhashPairs(docs: DataFrame): DataFrame = {
     val withSig = docs
       .select(col("doc_id"),
         TextFunctions.minhashSig(col("text"), MinhashK, 2).as("sig"))
       .filter(size(col("sig")) === MinhashK)
-    val pairs = bucketPairs(bandedMinhash(withSig))
-    val sa = withSig.select(col("doc_id").as("a"), col("sig").as("sig_a"))
-    val sb = withSig.select(col("doc_id").as("b"), col("sig").as("sig_b"))
-    pairs.join(sa, "a").join(sb, "b")
-      .withColumn("est_jaccard",
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / MinhashK)
-      .select("a", "b", "est_jaccard")
+    bucketPairsWith(bandedMinhash(withSig), "sig")
+      .select(col("a"), col("b"),
+        TextFunctions.sigAgree(col("sig_a"), col("sig_b")).as("agree"))
+      // a pair can collide in several bands; agree is deterministic
+      // per pair, so max == the single value
+      .groupBy("a", "b").agg(max(col("agree")).as("agree"))
+      .select(col("a"), col("b"),
+        (col("agree").cast("double") / MinhashK).as("est_jaccard"))
   }
 
   /** End-to-end near-dedup: drop every doc that near-duplicates
@@ -118,8 +149,9 @@ object Dedup {
 
   /** #21 SimHash near-dup: 64-bit SimHash64 kernel, band on 16-bit
     * chunks, rank candidate pairs by Hamming distance (asc) via
-    * bit_count(xor). The 8-byte signature is cheap enough to carry
-    * everywhere; Hamming re-rank joins back one long per doc. */
+    * bit_count(xor). The 8-byte signature rides through the bucket
+    * shuffle and Hamming is computed in-bucket — one corpus scan, one
+    * SimHash64 evaluation per doc, no join-backs. */
   def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
     val chunkBits = SimhashBits / SimhashBands
     val mask = (1L << chunkBits) - 1
@@ -128,15 +160,13 @@ object Dedup {
     val banded = withSig
       .select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(SimhashBands - 1))).as("band"))
-      .select(col("doc_id"), col("band"),
+      .select(col("doc_id"), col("sig"), col("band"),
         expr(s"shiftrightunsigned(sig, band * $chunkBits) & ${mask}L").as("key"))
-    val pairs = bucketPairs(banded)
-    val sa = withSig.select(col("doc_id").as("a"), col("sig").as("sig_a"))
-    val sb = withSig.select(col("doc_id").as("b"), col("sig").as("sig_b"))
-    pairs.join(sa, "a").join(sb, "b")
-      .withColumn("hamming",
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int"))
-      .select("a", "b", "hamming")
+    bucketPairsWith(banded, "sig")
+      .select(col("a"), col("b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int")
+          .as("hamming"))
+      .groupBy("a", "b").agg(min(col("hamming")).as("hamming"))
       .orderBy(col("hamming").asc, col("a"), col("b"))
       .limit(500)
   }

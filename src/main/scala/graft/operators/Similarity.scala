@@ -63,28 +63,48 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
-  private lazy val planes = hyperplanes(LshPlanes, Dim)
+  // Near-dup banding is TIGHTER than ANN banding: a near-duplicate
+  // (cos ≥ 0.9, sign-agreement p ≈ 0.91) survives a 12-bit band with
+  // p^12 ≈ 0.32, so 8 bands give ~95% recall — while the number of
+  // chance bucket collisions (the candidate-pair cost) drops by
+  // 2^7 vs the 5-bit ANN keys. ANN keys stay loose because they must
+  // recall moderate-cosine neighbors, not just twins.
+  val NearDupBitsPerBand = 12
 
-  private def withBands(df: DataFrame, vecCol: String = "vec"): DataFrame =
+  /** Append (band, key) per band via the single-call SignBandKeys
+    * kernel (one codegen'd static call per row — the per-plane
+    * literal-expression form costs seconds of Janino compile time in
+    * every stage that embeds it). */
+  private def withBands(df: DataFrame, vecCol: String = "vec",
+      bits: Int = LshBitsPerBand): DataFrame =
     df.select(col("*"),
-        explode(bandKeysFromPlanes(col(vecCol), planes,
-          LshBands, LshBitsPerBand)).as("bk"))
-      .select(df.columns.map(col).toIndexedSeq :+
-        col("bk.band").as("band") :+ col("bk.key").as("key"): _*)
+        posexplode(signBandKeys(col(vecCol), LshBands, bits)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "key")
 
   /** #26 LSH ANN: queries probe only the buckets sharing one of their
-    * band keys; exact re-rank inside the candidate set. Approximate →
-    * rows-only in the driver gate; recall vs annBrute is asserted in
+    * band keys; exact re-rank inside the candidate set. The bucket
+    * probe and the distinct both move only (q_id, cand_id) id pairs —
+    * the 64-dim vectors are joined back afterwards (queries broadcast;
+    * the corpus side is an id-keyed join the planner broadcasts at
+    * small SF and hash-shuffles at scale). Approximate → rows-only in
+    * the driver gate; recall vs annBrute is asserted in
     * SimilaritySpec. */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val cands = withBands(e.select(col("vec_id"), col("vec")))
-    val queries = withBands(e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("q_id"), col("vec").as("qvec")), "qvec")
-    val matched = queries.join(cands, Seq("band", "key"))
+      .select(col("vec_id"), col("band"), col("key"))
+    val qside = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("vec").as("qvec"))
+    val queries = withBands(qside, "qvec")
+      .select(col("q_id"), col("band"), col("key"))
+    val idPairs = broadcast(queries).join(cands, Seq("band", "key"))
       .filter(col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("qvec"), col("vec_id").as("cand_id"), col("vec"))
+      .select(col("q_id"), col("vec_id").as("cand_id"))
       .distinct()
+    val matched = idPairs
+      .join(broadcast(qside.select(col("q_id"), col("qvec"))), "q_id")
+      .join(e.select(col("vec_id").as("cand_id"), col("vec")), "cand_id")
       .select(col("q_id"), col("cand_id"),
         cosine(col("qvec"), col("vec")).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
@@ -148,22 +168,28 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
-  /** #24 Embedding-cosine near-dup: all vectors banded, pairs only
-    * inside buckets (capped), ranked by exact cosine. Rows-only. */
+  /** #24 Embedding-cosine near-dup: all vectors banded, candidate
+    * pairs generated inside capped buckets as (a, b) ids ONLY — a
+    * 512-byte vector does not ride the bucket shuffle or the pair
+    * explode (that materializes |pairs|×2 vector copies). The two
+    * vector join-backs are id-keyed joins the planner broadcasts at
+    * small SF and hash-shuffles at scale. Rows-only. */
   def dedupEmbed(spark: SparkSession, dir: String): DataFrame = {
-    val banded = withBands(emb(spark, dir).select(col("vec_id"), col("vec")))
-    val buckets = banded.groupBy("band", "key")
-      .agg(sort_array(collect_list(struct(col("vec_id"), col("vec")))).as("xs"))
-      .filter(size(col("xs")).between(2, EmbBucketCap))
-    val pairs = buckets
-      .select(explode(col("xs")).as("x"), col("xs"))
-      .select(col("x"), explode(col("xs")).as("y"))
-      .filter(col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-        cosine(col("x.vec"), col("y.vec")).as("cos"))
-      .groupBy("a", "b").agg(first(col("cos")).as("cos"))
-    pairs
-      .select(col("a"), col("b"), round(col("cos"), 6).as("cos_sim"))
+    val e = emb(spark, dir).select(col("vec_id"), col("vec"))
+    val banded = withBands(e, "vec", NearDupBitsPerBand)
+      .select(col("vec_id").as("doc_id"), col("band"), col("key"))
+    val idPairs = banded.groupBy("band", "key")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, EmbBucketCap))
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    idPairs
+      .join(e.select(col("vec_id").as("a"), col("vec").as("va")), "a")
+      .join(e.select(col("vec_id").as("b"), col("vec").as("vb")), "b")
+      .select(col("a"), col("b"),
+        round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("a"), col("b"))
       .limit(100)
   }
