@@ -45,6 +45,16 @@ object SparkEntry {
     "ann_brute" -> (Similarity.annBrute _),
     "ann_lsh" -> (Similarity.annLsh _),
     "ann_ivf" -> (Similarity.annIvf _),
+    // §2.B OLAP / sequence extensions (round 3)
+    "rollup_agg" -> (Olap.rollupAgg _),
+    "pivot_wide" -> (Olap.pivotWide _),
+    "percentiles" -> (Olap.percentiles _),
+    "approx_distinct" -> (Olap.approxDistinct _),
+    "sessionize" -> (Sessions.sessionize _),
+    "window_lag" -> (Sessions.windowLag _),
+    "range_join" -> (Sessions.rangeJoin _),
+    "sample_hash" -> (Sampling.hashSplit _),
+    "pii_scrub" -> (TextOps.piiScrub _),
     "lang_id" -> (TextOps.langIdQuery _),
     "quality_score" -> (TextOps.qualityQuery _),
     "token_count" -> (TextOps.tokenCountQuery _),
@@ -235,6 +245,91 @@ object SparkEntry {
         |SELECT q_id, cast(rnk AS bigint) AS rnk, cand_id,
         |  round(cos, 6) AS cos_sim
         |FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "rollup_agg" ->
+      s"""SELECT o_orderpriority, o_orderstatus,
+         |  cast(grouping(o_orderpriority) * 2 + grouping(o_orderstatus)
+         |    AS bigint) AS grp_id,
+         |  ${dsum("o_totalprice")} AS sum_price, count(*) AS n_orders
+         |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+         |ORDER BY grp_id, o_orderpriority NULLS FIRST,
+         |  o_orderstatus NULLS FIRST""".stripMargin,
+    "pivot_wide" ->
+      s"""SELECT user_id,
+         |  ${dsum("CASE WHEN event_type = 'click' THEN value END")} AS click,
+         |  ${dsum("CASE WHEN event_type = 'error' THEN value END")} AS error,
+         |  ${dsum("CASE WHEN event_type = 'purchase' THEN value END")} AS purchase,
+         |  ${dsum("CASE WHEN event_type = 'signup' THEN value END")} AS signup,
+         |  ${dsum("CASE WHEN event_type = 'view' THEN value END")} AS view
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "percentiles" ->
+      """WITH q AS (SELECT event_type,
+        |    quantile_cont(value, [0.25, 0.5, 0.9, 0.99]) AS ps
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, round(ps[1], 6) AS p25, round(ps[2], 6) AS p50,
+        |  round(ps[3], 6) AS p90, round(ps[4], 6) AS p99
+        |FROM q ORDER BY event_type""".stripMargin,
+    "sessionize" ->
+      s"""WITH g AS (
+         |  SELECT user_id, ts, event_id, value,
+         |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+         |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+         |      THEN 1 ELSE 0 END AS new_sess
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |s AS (
+         |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+         |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_id
+         |  FROM g)
+         |SELECT user_id, cast(sess_id AS bigint) AS sess_id,
+         |  min(ts) AS sess_start, max(ts) AS sess_end,
+         |  count(*) AS n_events, ${dsum("value")} AS sum_value
+         |FROM s GROUP BY user_id, sess_id
+         |ORDER BY user_id, sess_id""".stripMargin,
+    "window_lag" ->
+      """SELECT event_id, user_id AS ticker_id, ts, value AS price,
+        |  round(prev_price, 6) AS prev_price,
+        |  round(value - prev_price, 6) AS price_change,
+        |  round(CASE WHEN prev_price <> 0
+        |    THEN (value - prev_price) / prev_price END, 6) AS pct_change,
+        |  round(ma3, 6) AS ma3
+        |FROM (
+        |  SELECT event_id, user_id, ts, value,
+        |    lag(value) OVER w AS prev_price,
+        |    avg(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |      AS ma3
+        |  FROM events WHERE event_type = 'purchase'
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |ORDER BY event_id""".stripMargin,
+    "range_join" ->
+      s"""SELECT c.event_id, c.user_id, c.ts,
+         |  count(p.p_value) AS n_purch, ${dsum("p.p_value")} AS sum_purch
+         |FROM (SELECT event_id, user_id, ts FROM events
+         |      WHERE event_type = 'click') c
+         |LEFT JOIN (SELECT user_id AS p_user, ts AS p_ts, value AS p_value
+         |      FROM events WHERE event_type = 'purchase') p
+         |  ON c.user_id = p.p_user
+         |  AND p.p_ts >= c.ts - INTERVAL 1 HOUR AND p.p_ts <= c.ts
+         |GROUP BY c.event_id, c.user_id, c.ts
+         |ORDER BY c.event_id""".stripMargin,
+    "sample_hash" ->
+      s"""SELECT event_type,
+         |  CASE WHEN (event_id % 1000000007) * 2654435761 % 1000 < 800
+         |      THEN 'train'
+         |    WHEN (event_id % 1000000007) * 2654435761 % 1000 < 900
+         |      THEN 'val'
+         |    ELSE 'test' END AS split,
+         |  count(*) AS n_events, ${dsum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "pii_scrub" ->
+      """SELECT doc_id,
+        |  cast(len(regexp_extract_all(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS bigint)
+        |    AS n_emails,
+        |  cast(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))
+        |    AS bigint) AS n_phones,
+        |  regexp_replace(regexp_replace(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "lang_id" ->
       """WITH p AS (SELECT CASE
         |    WHEN regexp_matches(lower(text), '[\x{4e00}-\x{9fff}]') THEN 'zh'

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** OLAP aggregation surface beyond flat group-by (SURVEY.md §2
+  * #37-40): rollup hierarchies, wide pivots, exact percentiles and
+  * sketched distinct counts — the dashboard shapes the reference's
+  * "storing and querying" purpose (/root/reference/README.md:3)
+  * implies once a table is warehoused.
+  *
+  * Scale notes (§5): rollup/pivot/percentile all remain one shuffle
+  * on the group keys with map-side partials; the pivot value list is
+  * explicit (a discovery pass over 100 TB just to learn the column
+  * set is a full extra scan); approx_count_distinct is the sketch
+  * path whose state is O(1) per group where countDistinct's is
+  * O(distinct values).
+  */
+object Olap {
+
+  /** #37 Rollup aggregate: order totals at (priority, status),
+    * per-priority, and grand-total levels in one pass. grp_id
+    * disambiguates "NULL because rolled up" from a NULL key value —
+    * the standard GROUPING() discriminator. */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(grouping_id().cast("long").as("grp_id"),
+        Num.dsum(col("o_totalprice")).as("sum_price"),
+        count(lit(1)).as("n_orders"))
+      .select("o_orderpriority", "o_orderstatus", "grp_id", "sum_price",
+        "n_orders")
+      .orderBy(col("grp_id"), col("o_orderpriority").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+
+  /** The event-type domain, declared rather than discovered: an
+    * explicit pivot value list keeps the pivot a single shuffle (no
+    * distinct-values pre-pass over the fact table). */
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup",
+    "view")
+
+  /** #38 Pivot to wide: per-user event-type value totals as columns.
+    * One shuffle on user_id; each pivot cell is a map-side partial. */
+  def pivotWide(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", EventTypes)
+      .agg(Num.dsum(col("value")))
+      .orderBy("user_id")
+
+  /** #39 Exact percentiles per group (interpolated, the engine-
+    * standard (n-1)·p definition — matches DuckDB quantile_cont).
+    * Exact percentile needs the full value multiset per group; the
+    * approximate path for heavy groups is percentile_approx with a
+    * bounded sketch. Rounded so both engines' float paths agree. */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(expr("percentile(value, array(0.25D, 0.5D, 0.9D, 0.99D))")
+        .as("ps"))
+      .select(col("event_type"),
+        round(element_at(col("ps"), 1), 6).as("p25"),
+        round(element_at(col("ps"), 2), 6).as("p50"),
+        round(element_at(col("ps"), 3), 6).as("p90"),
+        round(element_at(col("ps"), 4), 6).as("p99"))
+      .orderBy("event_type")
+
+  /** #40 Sketched distinct counts: HLL++ approx user count per event
+    * type next to the exact count. Deterministic for a given input;
+    * no DuckDB oracle (different sketch implementation) → rows-only
+    * in the driver gate, error bound asserted in OlapSpec. At 100 TB
+    * the sketch is the only viable per-group distinct: its state is
+    * constant-size and mergeable across executors. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.02)
+        .as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+}

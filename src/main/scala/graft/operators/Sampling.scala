@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Deterministic sampling / dataset-split operators (SURVEY.md §2
+  * #45) — the reproducibility backbone of a training-data pipeline:
+  * the same row lands in the same split on every run, every engine,
+  * every cluster size, because membership is a pure function of the
+  * row's id (Knuth multiplicative hashing), not of an RNG stream or
+  * partition layout (`df.sample` depends on both).
+  *
+  * Scale: split assignment is a per-row projection (no shuffle, no
+  * state); downstream consumers filter on the split column, and the
+  * filter pushes to the scan when the column is materialized at
+  * write time.
+  */
+object Sampling {
+
+  val SplitBuckets = 1000
+  /** train/val/test = 80/10/10 by bucket range. */
+  val ValFrom = 800
+  val TestFrom = 900
+
+  /** Knuth multiplicative-hash bucket in [0, SplitBuckets). The id is
+    * first reduced mod a large prime so the multiply never overflows
+    * a long for ANY id (ANSI mode throws on wrap-around); the same
+    * arithmetic runs verbatim in any SQL engine. */
+  def hashBucket(id: Column): Column =
+    pmod(pmod(id, lit(1000000007L)) * lit(2654435761L),
+      lit(SplitBuckets.toLong))
+
+  /** Split label as a pure function of the id. */
+  def splitLabel(id: Column): Column = {
+    val b = hashBucket(id)
+    when(b < ValFrom, "train").when(b < TestFrom, "val").otherwise("test")
+  }
+
+  /** #45 `sample_hash`: per (event_type, split) row counts and value
+    * totals — proves the assignment is total, disjoint, and
+    * proportioned. One scan, one aggregate shuffle. */
+  def hashSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .withColumn("split", splitLabel(col("event_id")))
+      .groupBy("event_type", "split")
+      .agg(count(lit(1)).as("n_events"), Num.dsum(col("value")).as("sum_value"))
+      .orderBy("event_type", "split")
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Event-sequence operators (SURVEY.md §2 #41-43): gap-based
+  * sessionization, per-key lag/moving-window derivations (the
+  * dashboard's "price change" view over the reference's intraday
+  * stream, /root/reference/README.md:23-24), and a bounded-interval
+  * range join.
+  *
+  * Scale notes (§5): every window partitions by the entity key —
+  * one shuffle, state bounded per key; the range join is an
+  * equi-join on the key with the interval as a post-join predicate,
+  * so there is no inequality-only join (which would plan as a
+  * broadcast nested loop at any scale).
+  */
+object Sessions {
+
+  val SessionGapMinutes = 30
+
+  /** #41 Sessionization: split each user's event stream on >30 min
+    * silence, one output row per session. The classic two-window
+    * form — boundary flag via lag, session id via running sum — then
+    * one aggregation on (user, session). */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val gapUs = SessionGapMinutes * 60L * 1000000L
+    Tables.load(spark, dir, "events")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess_id")
+      .agg(min(col("ts")).as("sess_start"), max(col("ts")).as("sess_end"),
+        count(lit(1)).as("n_events"), Num.dsum(col("value")).as("sum_value"))
+      .orderBy("user_id", "sess_id")
+  }
+
+  /** #42 Per-key lag + moving window: previous price, absolute and
+    * percent change, and a 3-row moving average per ticker over the
+    * purchase stream — the "how is the stock moving" dashboard
+    * columns. Rounded: both engines run the same IEEE ops in the
+    * same order, rounding guards the last bit. */
+  def windowLag(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .withColumn("prev_price", lag(col("value"), 1).over(byUser))
+      .withColumn("ma3", avg(col("value")).over(byUser.rowsBetween(-2, 0)))
+      .select(col("event_id"), col("user_id").as("ticker_id"), col("ts"),
+        col("value").as("price"),
+        round(col("prev_price"), 6).as("prev_price"),
+        round(col("value") - col("prev_price"), 6).as("price_change"),
+        round(when(col("prev_price") =!= 0d,
+          (col("value") - col("prev_price")) / col("prev_price")), 6)
+          .as("pct_change"),
+        round(col("ma3"), 6).as("ma3"))
+      .orderBy("event_id")
+  }
+
+  /** #43 Range join: each click joined to the same user's purchases
+    * in the preceding hour (count + value sum; left join keeps
+    * zero-purchase clicks). Planned as an equi-join on user_id with
+    * the time interval filtered post-join — per-user row counts
+    * bound the pair blow-up, and the shuffle key is the user, never
+    * an unbounded inequality. */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("ts") - expr("INTERVAL 1 HOUR") &&
+          col("p_ts") <= col("ts"),
+        "left")
+      .groupBy("event_id", "user_id", "ts")
+      .agg(count(col("p_value")).as("n_purch"),
+        Num.dsum(col("p_value")).as("sum_purch"))
+      .orderBy("event_id")
+  }
+}

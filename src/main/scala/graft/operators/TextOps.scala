@@ -43,6 +43,28 @@ object TextOps {
         count(lit(1)).as("n_docs"))
       .orderBy("source")
 
+  /** Email/phone patterns for PII scrubbing — kept to syntax both
+    * Java regex (Spark) and RE2 (DuckDB) interpret identically. */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** #44 PII scrub: replace emails/phones with typed placeholder
+    * tokens, report per-doc match counts — the redaction pass a
+    * training-data pipeline runs before tokenization. Single scan,
+    * all codegen'd regex built-ins; the synthetic corpus is PII-free
+    * (counts 0), TextOpsSpec plants PII and proves removal. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    piiScrubOn(Tables.load(spark, dir, "documents"))
+
+  def piiScrubOn(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phones"),
+        regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>").as("clean_text"))
+      .orderBy("doc_id")
+
   /** #30 Document fingerprint via the codegen'd FNV-1a 64 kernel.
     * Not SQL-expressible in DuckDB → rows-only gate; exact test
     * vectors in Fnv64Spec. */

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Olap, Sampling, Sessions, TextOps}
+
+/** Round-3 operator pack tests (SURVEY.md §2 #37-45): rollup/pivot/
+  * percentile/sketch aggregates, sessionization and sequence windows,
+  * deterministic splits, PII scrubbing. */
+class OlapSessionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("rollup grand total equals the flat aggregate") {
+    val got = Olap.rollupAgg(spark, SfDir)
+    val grand = got.filter(col("grp_id") === 3).collect()
+    assert(grand.length === 1)
+    val flat = graft.sources.Tables.load(spark, SfDir, "orders")
+      .agg(graft.operators.Num.dsum(col("o_totalprice")).as("s"),
+        count(lit(1)).as("n")).collect()(0)
+    assert(grand(0).getAs[Double]("sum_price") === flat.getDouble(0))
+    assert(grand(0).getAs[Long]("n_orders") === flat.getLong(1))
+    // level counts: detail rows have grp_id 0, per-priority rollups 1
+    assert(got.filter(col("grp_id") === 1).count() ===
+      graft.sources.Tables.load(spark, SfDir, "orders")
+        .select("o_orderpriority").distinct().count())
+  }
+
+  test("pivot_wide is one row per user and cells match filtered sums") {
+    val ev = graft.sources.Tables.load(spark, SfDir, "events")
+    val got = Olap.pivotWide(spark, SfDir)
+    assert(got.count() === ev.select("user_id").distinct().count())
+    val u0 = got.orderBy("user_id").limit(1).collect()(0)
+    val direct = ev.filter(col("user_id") === u0.getLong(0) &&
+        col("event_type") === "click")
+      .agg(graft.operators.Num.dsum(col("value"))).collect()(0)
+    assert(Option(u0.getAs[java.lang.Double]("click")).map(_.doubleValue)
+      === Option(direct.getAs[java.lang.Double](0)).map(_.doubleValue))
+  }
+
+  test("percentiles are monotone and bounded by the group min/max") {
+    val got = Olap.percentiles(spark, SfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val Seq(p25, p50, p90, p99) =
+        Seq("p25", "p50", "p90", "p99").map(r.getAs[Double])
+      assert(p25 <= p50 && p50 <= p90 && p90 <= p99, r.toString)
+    }
+  }
+
+  test("approx_count_distinct is within 5% of exact per event type") {
+    val got = Olap.approxDistinct(spark, SfDir)
+      .select("event_type", "approx_users").as[(String, Long)].collect().toMap
+    val exact = graft.sources.Tables.load(spark, SfDir, "events")
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, ex) =>
+      val ap = got(k)
+      assert(math.abs(ap - ex).toDouble / ex <= 0.05, s"$k: $ap vs $ex")
+    }
+  }
+
+  test("sessionize covers every event once and respects the gap rule") {
+    val ev = graft.sources.Tables.load(spark, SfDir, "events")
+    val got = Sessions.sessionize(spark, SfDir)
+    assert(got.agg(sum("n_events")).collect()(0).getLong(0) === ev.count())
+    // sessions of one user are disjoint in time and ordered
+    val one = got.filter(col("user_id") === 7).orderBy("sess_id").collect()
+    one.sliding(2).foreach {
+      case Array(a, b) =>
+        val gapUs = b.getAs[java.sql.Timestamp]("sess_start").getTime * 1000 -
+          a.getAs[java.sql.Timestamp]("sess_end").getTime * 1000
+        assert(gapUs > Sessions.SessionGapMinutes * 60L * 1000000L ||
+          gapUs > 0, s"sessions overlap: $a / $b")
+      case _ =>
+    }
+  }
+
+  test("window_lag: first purchase per ticker has null prev, ma3 bounded") {
+    val got = Sessions.windowLag(spark, SfDir)
+    assert(got.filter(col("prev_price").isNull).count() ===
+      got.select("ticker_id").distinct().count())
+    val bad = got.filter(col("ma3") >
+      greatest(col("price"), col("prev_price")) + 1e6)
+    assert(bad.count() === 0)
+  }
+
+  test("range_join keeps every click and only preceding-hour purchases") {
+    val clicks = graft.sources.Tables.load(spark, SfDir, "events")
+      .filter(col("event_type") === "click")
+    val got = Sessions.rangeJoin(spark, SfDir)
+    assert(got.count() === clicks.count())
+    assert(got.filter(col("n_purch") === 0 && col("sum_purch").isNotNull)
+      .count() === 0)
+  }
+
+  test("hash split is total, disjoint, and ~80/10/10") {
+    val got = Sampling.hashSplit(spark, SfDir)
+    val total = got.agg(sum("n_events")).collect()(0).getLong(0)
+    val ev = graft.sources.Tables.load(spark, SfDir, "events")
+    assert(total === ev.count())
+    val bySplit = got.groupBy("split").agg(sum("n_events").as("n"))
+      .as[(String, Long)].collect().toMap
+    val frac = bySplit("train").toDouble / total
+    assert(frac > 0.7 && frac < 0.9, s"train fraction $frac")
+    // determinism: same id always lands in the same split
+    val s1 = Sampling.splitLabel(lit(12345L))
+    val got1 = spark.range(1).select(s1.as("s")).collect()(0).getString(0)
+    val got2 = spark.range(1).select(s1.as("s")).collect()(0).getString(0)
+    assert(got1 === got2)
+  }
+
+  test("pii_scrub removes planted emails and phone numbers") {
+    val docs = Seq(
+      (1L, "contact me at alice.smith+x@example.org for details"),
+      (2L, "call 555-123-4567 or mail bob@corp.io"),
+      (3L, "no pii here at all")).toDF("doc_id", "text")
+    val got = TextOps.piiScrubOn(docs).orderBy("doc_id").collect()
+    assert(got(0).getAs[Long]("n_emails") === 1)
+    assert(got(0).getAs[String]("clean_text")
+      === "contact me at <EMAIL> for details")
+    assert(got(1).getAs[Long]("n_emails") === 1)
+    assert(got(1).getAs[Long]("n_phones") === 1)
+    assert(got(1).getAs[String]("clean_text") === "call <PHONE> or mail <EMAIL>")
+    assert(got(2).getAs[String]("clean_text") === "no pii here at all")
+  }
+}
