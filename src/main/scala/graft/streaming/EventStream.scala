@@ -38,6 +38,19 @@ object EventStream {
       .select(col("window.start").as("bucket_hour"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exact dedup on event_id, state bounded by the
+    * watermark: a replayed event (an at-least-once source re-
+    * delivering, the reference's overlapping 2-minute fetches) is
+    * dropped if its duplicate arrived within the watermark horizon;
+    * state for ids older than the watermark is evicted, so this runs
+    * forever at 100 TB/day where an unbounded dropDuplicates would
+    * accumulate every id ever seen. Batch twin: the id-dedupe inside
+    * `StockOps.incrementalBatch`. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   case class Alert(user_id: Long, ts: Timestamp, prev: Double,
       value: Double, change: Double)
 

@@ -60,6 +60,29 @@ class EventStreamSpec extends SparkTestBase {
     assert(math.abs(got(0).getAs[Double]("change") - 1.6) < 1e-9)
   }
 
+  test("dedup within watermark drops replayed events across micro-batches") {
+    val dir = Files.createTempDirectory("graft_dedup_stream").toString
+    import java.sql.Timestamp
+    // two files -> two micro-batches; event 2 is re-delivered in the
+    // second batch (same id, same payload), event 5 is new
+    Seq(
+      EventStream.Ev(1, Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "t", 1.0, ""),
+      EventStream.Ev(2, Timestamp.valueOf("2024-01-01 00:01:00"), 7L, "t", 2.0, ""))
+      .toDF().coalesce(1).write.mode("append").parquet(dir)
+    Seq(
+      EventStream.Ev(2, Timestamp.valueOf("2024-01-01 00:01:00"), 7L, "t", 2.0, ""),
+      EventStream.Ev(5, Timestamp.valueOf("2024-01-01 00:02:00"), 8L, "t", 5.0, ""))
+      .toDF().coalesce(1).write.mode("append").parquet(dir)
+    val deduped = EventStream.dedupWithinWatermark(
+      EventStream.readEvents(spark, dir))
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val ids = spark.table("dedup_stream").select("event_id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids === Seq(1L, 2L, 5L), s"got $ids")
+  }
+
   test("stateful latest-per-user matches batch latest_per_key") {
     val dir = stageEventsAsFiles()
     val latest = EventStream.latestPerUser(spark,
