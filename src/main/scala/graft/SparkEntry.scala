@@ -27,6 +27,9 @@ object SparkEntry {
     "fin_statement" -> (StockOps.finStatement _),
     "news_dateparse" -> (StockOps.newsDateParse _),
     "incremental_batch" -> (StockOps.incrementalBatch _),
+    "json_extract" -> (StockOps.jsonExtract _),
+    "merge_upsert" -> (StockOps.mergeUpsert _),
+    "multimodal_chunks" -> (Multimodal.multimodalChunks _),
     // §2.B analytics surface
     "q1_agg" -> (Analytics.q1Agg _),
     "filter_scan" -> (Analytics.filterScan _),
@@ -245,6 +248,43 @@ object SparkEntry {
         |SELECT q_id, cast(rnk AS bigint) AS rnk, cand_id,
         |  round(cos, 6) AS cos_sim
         |FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "json_extract" ->
+      """SELECT event_type,
+        |  count(cast(props->>'k' AS bigint)) AS n_with_k,
+        |  sum(cast(props->>'k' AS bigint)) AS sum_k,
+        |  min(cast(props->>'k' AS bigint)) AS min_k,
+        |  max(cast(props->>'k' AS bigint)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "merge_upsert" ->
+      """WITH base AS (
+        |  SELECT user_id, ts, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts < TIMESTAMP '2024-01-04 00:00:00')
+        |  WHERE rn = 1),
+        |upd AS (
+        |  SELECT user_id, ts, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts >= TIMESTAMP '2024-01-04 00:00:00'
+        |      AND ts < TIMESTAMP '2024-01-05 00:00:00')
+        |  WHERE rn = 1)
+        |SELECT coalesce(b.user_id, u.user_id) AS user_id,
+        |  coalesce(u.ts, b.ts) AS latest_ts,
+        |  coalesce(u.value, b.value) AS latest_price,
+        |  CASE WHEN b.user_id IS NULL THEN 'inserted'
+        |    WHEN u.user_id IS NULL THEN 'unchanged'
+        |    ELSE 'updated' END AS merge_status
+        |FROM base b FULL OUTER JOIN upd u ON b.user_id = u.user_id
+        |ORDER BY user_id""".stripMargin,
+    "multimodal_chunks" ->
+      """WITH d AS (SELECT doc_id, cast(strlen(text) AS bigint) AS n,
+        |    (strlen(text) + 4095) // 4096 AS nc
+        |  FROM documents WHERE strlen(text) > 0),
+        |e AS (SELECT doc_id, n, unnest(range(nc)) AS chunk_id FROM d)
+        |SELECT doc_id, cast(chunk_id AS bigint) AS chunk_id,
+        |  least(4096, n - chunk_id * 4096) AS chunk_len
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
     "rollup_agg" ->
       s"""SELECT o_orderpriority, o_orderstatus,
          |  cast(grouping(o_orderpriority) * 2 + grouping(o_orderstatus)

@@ -34,6 +34,27 @@ object Multimodal {
       channels = 1 + n % 3)
   }
 
+  /** #48 Chunk/frame-sample plumbing: split each payload into fixed
+    * 4 KiB chunks, one row per chunk — the fan-out shape of frame
+    * sampling or tiled image decode, where a downstream decoder
+    * consumes bounded pieces. The explode is bounded by payload size
+    * and runs inside the scan stage (no shuffle). */
+  def multimodalChunks(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        length(col("text").cast("binary")).cast("long").as("n_bytes"))
+      // empty payloads have no chunks (and sequence(0,-1) would
+      // count down); both engines drop them identically
+      .filter(col("n_bytes") > 0L)
+      .withColumn("n_chunks", ((col("n_bytes") + ChunkBytes - 1L) /
+        lit(ChunkBytes)).cast("long"))
+      .select(col("doc_id"), col("n_bytes"),
+        explode(sequence(lit(0L), col("n_chunks") - 1L)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        least(lit(ChunkBytes), col("n_bytes") - col("chunk_id") * ChunkBytes)
+          .as("chunk_len"))
+      .orderBy("doc_id", "chunk_id")
+
   /** #31 Scan → binary cast → per-partition decode → typed features.
     * (mapPartitions is deliberate here — SURVEY.md §4 preference (d)
     * is allowed for genuinely imperative per-batch native decode.) */

@@ -124,6 +124,55 @@ object StockOps {
       .agg(count(lit(1)).as("n_events"), Num.dsum(col("value")).as("sum_value"))
       .orderBy("batch_hour")
 
+  /** #46 Schema'd JSON payload extraction: the event `props` column
+    * is a JSON document; `from_json` with an explicit schema (never
+    * schema inference — a 100 TB discovery pass) projects it to typed
+    * columns at the scan, then a normal aggregate runs over the
+    * extracted field. The reference's news DAG does exactly this
+    * shape in pandas (nested payload → typed columns,
+    * news_data_to_gcp.py:45-69). */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(col("event_type"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))).getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  /** #47 MERGE-style upsert, expressed Spark-first as latest-per-key
+    * states full-outer-joined with coalesce — the classic warehouse
+    * MERGE INTO (update-if-match, insert-if-new) without a table
+    * format's transaction layer. Both sides collapse to one row per
+    * key BEFORE the join (map-side-friendly window), so the join
+    * moves one row per key, not per event. */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    def latest(df: DataFrame) = df
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("ts"), col("value"))
+    val ev = Tables.load(spark, dir, "events")
+    val base = latest(ev.filter(col("ts") < lit("2024-01-04 00:00:00")))
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+        col("value").as("b_value"))
+    val upd = latest(ev.filter(col("ts") >= lit("2024-01-04 00:00:00") &&
+        col("ts") < lit("2024-01-05 00:00:00")))
+      .select(col("user_id").as("u_user"), col("ts").as("u_ts"),
+        col("value").as("u_value"))
+    base.join(upd, col("b_user") === col("u_user"), "full_outer")
+      .select(
+        coalesce(col("b_user"), col("u_user")).as("user_id"),
+        coalesce(col("u_ts"), col("b_ts")).as("latest_ts"),
+        coalesce(col("u_value"), col("b_value")).as("latest_price"),
+        when(col("b_user").isNull, "inserted")
+          .when(col("u_user").isNull, "unchanged")
+          .otherwise("updated").as("merge_status"))
+      .orderBy("user_id")
+  }
+
   /** #1 Schema'd typed ingest: explicit file schema + warehouse-style
     * cast coercion (Volume declared FLOAT in the reference's
     * schema_fields, stock_data_to_gcp.py:128-133). */

@@ -108,6 +108,40 @@ class OlapSessionsSpec extends SparkTestBase {
     assert(got1 === got2)
   }
 
+  test("json_extract parses every props payload (schema'd, no inference)") {
+    val got = graft.operators.StockOps.jsonExtract(spark, SfDir)
+    val total = got.agg(sum("n_with_k")).collect()(0).getLong(0)
+    // every event's props is a {"k": int} document → no parse losses
+    assert(total === graft.sources.Tables.load(spark, SfDir, "events").count())
+  }
+
+  test("merge_upsert statuses partition the key space correctly") {
+    val got = graft.operators.StockOps.mergeUpsert(spark, SfDir)
+    val byStatus = got.groupBy("merge_status").count()
+      .as[(String, Long)].collect().toMap
+    // one output row per distinct user across both sides
+    val ev = graft.sources.Tables.load(spark, SfDir, "events")
+      .filter(col("ts") < lit("2024-01-05 00:00:00"))
+    assert(byStatus.values.sum === ev.select("user_id").distinct().count())
+    // an 'updated' user's latest_ts must come from the update window
+    val bad = got.filter(col("merge_status") === "updated" &&
+      col("latest_ts") < lit("2024-01-04 00:00:00"))
+    assert(bad.count() === 0)
+  }
+
+  test("multimodal_chunks reassembles to the original byte counts") {
+    val got = graft.operators.Multimodal.multimodalChunks(spark, SfDir)
+    val sums = got.groupBy("doc_id").agg(sum("chunk_len").as("n"))
+    val docs = graft.sources.Tables.load(spark, SfDir, "documents")
+      .select(col("doc_id"), length(col("text").cast("binary")).cast("long")
+        .as("expect"))
+    val mismatch = sums.join(docs, "doc_id")
+      .filter(col("n") =!= col("expect"))
+    assert(mismatch.count() === 0)
+    assert(got.filter(col("chunk_len") <= 0 ||
+      col("chunk_len") > graft.operators.Multimodal.ChunkBytes).count() === 0)
+  }
+
   test("pii_scrub removes planted emails and phone numbers") {
     val docs = Seq(
       (1L, "contact me at alice.smith+x@example.org for details"),
