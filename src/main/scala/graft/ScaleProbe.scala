@@ -17,12 +17,28 @@ object ScaleProbe {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(graft.operators.Num.dsum(col("l_quantity")).as("sq"),
         count(lit(1)).as("n"))
+    // fact⋈dim join + group + top-k (the topk_revenue shape)
+    def topk(paths: Seq[String]) = {
+      val ord = graft.sources.Tables.load(spark, "/root/testdata/sf0.1",
+        "orders").select("o_orderkey", "o_custkey")
+      spark.read.schema(graft.sources.Tables.lineitem).parquet(paths: _*)
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1d) - col("l_discount")))
+            .cast(graft.operators.Num.Dec).as("rev"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("cust_id"))
+        .agg(sum(col("rev")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("cust_id").asc).limit(10)
+    }
     for (mult <- Seq(1, 10, 50)) {
       val paths = Seq.fill(mult)(p)
       q1(paths).collect() // warmup
       val t0 = System.nanoTime(); q1(paths).collect()
       val t = (System.nanoTime() - t0) / 1e9
-      println(f"SCALE $mult%3dx (${mult * 600}%5dk rows): $t%7.3f s")
+      topk(paths).collect() // warmup
+      val t1 = System.nanoTime(); topk(paths).collect()
+      val tj = (System.nanoTime() - t1) / 1e9
+      println(f"SCALE $mult%3dx (${mult * 600}%5dk rows): agg $t%7.3f s  join-topk $tj%7.3f s")
     }
     spark.stop()
   }
