@@ -49,7 +49,17 @@ object GraftFunctions {
       (es: Seq[Expression]) => SimHash64(es(0))),
     ("char_ngrams",
       info("char_ngrams", "char_ngrams(s, n) - distinct lowercase character n-grams"),
-      (es: Seq[Expression]) => CharNgrams(es(0), es(1).eval().asInstanceOf[Int]))
+      (es: Seq[Expression]) => CharNgrams(es(0), es(1).eval().asInstanceOf[Int])),
+    ("sig_agree",
+      info("sig_agree", "sig_agree(a, b) - agreeing positions of two long-array signatures"),
+      (es: Seq[Expression]) => LongArrayAgree(es(0), es(1))),
+    ("sign_band_keys",
+      info("sign_band_keys",
+        "sign_band_keys(vec, seed, dim, bands, bits) - sign-LSH band keys of a double vector"),
+      (es: Seq[Expression]) => SignBandKeys(es(0),
+        es(1).eval().asInstanceOf[Number].longValue(),
+        es(2).eval().asInstanceOf[Int], es(3).eval().asInstanceOf[Int],
+        es(4).eval().asInstanceOf[Int]))
   )
 
   /** Register every graft function on a live session. */

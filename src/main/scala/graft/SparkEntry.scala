@@ -57,6 +57,9 @@ object SparkEntry {
     "window_lag" -> (Sessions.windowLag _),
     "range_join" -> (Sessions.rangeJoin _),
     "sample_hash" -> (Sampling.hashSplit _),
+    "stratified_sample" -> (Sampling.stratifiedSample _),
+    "topk_per_group" -> (Olap.topkPerGroup _),
+    "histogram" -> (Olap.histogram _),
     "pii_scrub" -> (TextOps.piiScrub _),
     "lang_id" -> (TextOps.langIdQuery _),
     "quality_score" -> (TextOps.qualityQuery _),
@@ -359,6 +362,25 @@ object SparkEntry {
          |    ELSE 'test' END AS split,
          |  count(*) AS n_events, ${dsum("value")} AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "topk_per_group" ->
+      """SELECT o_custkey AS cust_id, cast(rnk AS bigint) AS rnk,
+        |  o_orderkey AS order_id, o_totalprice AS price
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 3 ORDER BY cust_id, rnk""".stripMargin,
+    "histogram" ->
+      s"""SELECT event_type, cast(floor(value / 10) AS bigint) AS bin,
+         |  count(*) AS n, ${dsum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stratified_sample" ->
+      s"""SELECT event_type, count(*) AS n_kept,
+         |  ${dsum("value")} AS sum_value
+         |FROM events
+         |WHERE (event_id % 1000000007) * 2654435761 % 1000 <
+         |  CASE event_type WHEN 'view' THEN 50 WHEN 'click' THEN 100
+         |    ELSE 1000 END
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "pii_scrub" ->
       """SELECT doc_id,
         |  cast(len(regexp_extract_all(text,

@@ -66,6 +66,33 @@ object Olap {
         round(element_at(col("ps"), 4), 6).as("p99"))
       .orderBy("event_type")
 
+  /** #51 Top-k per group (not global): each customer's 3 most
+    * valuable orders — rank window + filter, one shuffle on the
+    * group key; per-group state is a k-row heap, never the group's
+    * full row set. */
+  def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.load(spark, dir, "orders")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey").as("cust_id"), col("rnk"),
+        col("o_orderkey").as("order_id"), col("o_totalprice").as("price"))
+      .orderBy("cust_id", "rnk")
+  }
+
+  /** #52 Histogram binning: fixed-width value buckets per event type
+    * — the dashboard distribution view. Bin id is exact integer
+    * arithmetic (floor of value/width), so both engines bucket
+    * identically. */
+  def histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"),
+        floor(col("value") / lit(10d)).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("sum_value"))
+      .orderBy("event_type", "bin")
+
   /** #40 Sketched distinct counts: HLL++ approx user count per event
     * type next to the exact count. Deterministic for a given input;
     * no DuckDB oracle (different sketch implementation) → rows-only

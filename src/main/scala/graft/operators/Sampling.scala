@@ -37,6 +37,28 @@ object Sampling {
     when(b < ValFrom, "train").when(b < TestFrom, "val").otherwise("test")
   }
 
+  /** Per-stratum sampling rates (per mille) — e.g. keep all rare
+    * signups/errors, downsample the view firehose. */
+  val StratumPerMille: Map[String, Int] = Map(
+    "view" -> 50, "click" -> 100, "purchase" -> 1000, "signup" -> 1000,
+    "error" -> 1000)
+
+  /** #53 Stratified deterministic sampling: per-class keep rates
+    * applied via the same id-hash bucket — reproducible class
+    * rebalancing (the train-set curation move), no RNG, no
+    * partition-layout dependence. One scan; the survivor set is a
+    * pure function of (id, class). */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val rate = StratumPerMille.foldLeft(lit(0)) { case (acc, (k, v)) =>
+      when(col("event_type") === k, lit(v)).otherwise(acc)
+    }
+    Tables.load(spark, dir, "events")
+      .filter(hashBucket(col("event_id")) < rate)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_kept"), Num.dsum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   /** #45 `sample_hash`: per (event_type, split) row counts and value
     * totals — proves the assignment is total, disjoint, and
     * proportioned. One scan, one aggregate shuffle. */

@@ -79,6 +79,28 @@ object EventStream {
       }
   }
 
+  /** Stream-stream interval join (#54): each click joined to the same
+    * user's purchases in the preceding hour, both sides watermarked so
+    * the join state is evicted once the interval can no longer match —
+    * the condition every unbounded stream-stream join needs to run
+    * forever. Batch twin: `Sessions.rangeJoin` (same predicate). */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+      .withWatermark("p_ts", "2 hours")
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+        col("p_ts") <= col("click_ts"))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("p_ts"), col("p_value"))
+  }
+
   /** State for latestPerUser: carries the winning event_id so the
     * (ts desc, event_id desc) tiebreak stays correct across
     * micro-batches — matching the batch twin `StockOps.latestPerKey`

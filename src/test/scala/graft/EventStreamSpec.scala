@@ -83,6 +83,37 @@ class EventStreamSpec extends SparkTestBase {
     assert(ids === Seq(1L, 2L, 5L), s"got $ids")
   }
 
+  test("stream-stream interval join matches the batch range join pairs") {
+    val dir = stageEventsAsFiles()
+    val joined = EventStream.clickPurchaseJoin(
+      EventStream.readEvents(spark, dir))
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("ssjoin")
+    // batch twin: same predicate as Sessions.rangeJoin's inner pairs
+    val ev = Tables.load(spark, SfDir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+    val batch = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+        col("p_ts") <= col("click_ts"))
+    // the stream may withhold pairs still inside the final watermark,
+    // but everything emitted must be a true pair, and most must emit
+    assert(got.count() > 0)
+    assert(got.join(batch, Seq("click_id"), "left_anti").count() === 0,
+      "stream emitted a pair the batch join does not contain")
+    val gotPairs = got.select("click_id", "p_ts").distinct().count()
+    val batchPairs = batch.select("click_id", "p_ts").distinct().count()
+    assert(gotPairs.toDouble / batchPairs > 0.5,
+      s"stream emitted only $gotPairs of $batchPairs pairs")
+  }
+
   test("stateful latest-per-user matches batch latest_per_key") {
     val dir = stageEventsAsFiles()
     val latest = EventStream.latestPerUser(spark,

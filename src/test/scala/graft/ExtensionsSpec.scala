@@ -29,6 +29,44 @@ class ExtensionsSpec extends SparkTestBase {
     assert(r.getInt(5) === 9) // "hello world" has 9 distinct trigrams
   }
 
+  test("round-3 SQL kernels: sig_agree and sign_band_keys") {
+    GraftFunctions.register(spark)
+    Seq((Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 7L),
+        Seq.fill(64)(0.5)))
+      .toDF("sa", "sb", "v").createOrReplaceTempView("ext_t3")
+    val r = spark.sql(
+      """SELECT sig_agree(sa, sb) AS ag,
+        |  sign_band_keys(v, 42L, 64, 8, 5) AS keys
+        |FROM ext_t3""".stripMargin).collect()(0)
+    assert(r.getInt(0) === 2)
+    val keys = r.getSeq[Long](1)
+    assert(keys.length === 8)
+    // same keys as the Column API
+    val viaCol = Seq(Tuple1(Seq.fill(64)(0.5))).toDF("v")
+      .select(graft.functions.VectorFunctions
+        .signBandKeys(col("v"), 8, 5).as("k"))
+      .collect()(0).getSeq[Long](0)
+    assert(keys === viaCol)
+  }
+
+  test("partitioned append write prunes partitions at read time") {
+    import graft.sinks.AppendSink
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_prune").toString
+    val batch = Tables.load(spark, SfDir, "events")
+      .withColumn("batch_date", to_date(col("ts")))
+    AppendSink.idempotentAppend(batch, out, Seq("batch_date"))
+    val pruned = AppendSink.readBack(spark, out)
+      .filter(col("batch_date") === lit("2024-01-02"))
+    val plan = planOf(pruned)
+    // the date predicate must land in PartitionFilters (directory
+    // pruning), not in the post-scan Filter — at 100 TB this is the
+    // difference between reading one day and reading the table
+    assert(plan.contains("PartitionFilters: ["), plan.take(800))
+    assert(plan.contains("batch_date"), plan.take(800))
+    assert(pruned.count() > 0)
+  }
+
   test("salted aggregate is bit-identical to the direct aggregate") {
     val ev = Tables.load(spark, SfDir, "events")
     val direct = ev.groupBy("event_type")

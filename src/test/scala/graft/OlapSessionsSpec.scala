@@ -142,6 +142,36 @@ class OlapSessionsSpec extends SparkTestBase {
       col("chunk_len") > graft.operators.Multimodal.ChunkBytes).count() === 0)
   }
 
+  test("topk_per_group keeps at most 3 ranked orders per customer") {
+    val got = graft.operators.Olap.topkPerGroup(spark, SfDir)
+    val over = got.groupBy("cust_id").count().filter(col("count") > 3)
+    assert(over.count() === 0)
+    // rank 1 is each customer's max order price
+    val r1 = got.filter(col("rnk") === 1)
+      .select(col("cust_id"), col("price"))
+    val mx = graft.sources.Tables.load(spark, SfDir, "orders")
+      .groupBy(col("o_custkey").as("cust_id"))
+      .agg(max("o_totalprice").as("mx"))
+    assert(r1.join(mx, "cust_id").filter(col("price") =!= col("mx"))
+      .count() === 0)
+  }
+
+  test("histogram bins partition all events") {
+    val got = graft.operators.Olap.histogram(spark, SfDir)
+    assert(got.agg(sum("n")).collect()(0).getLong(0) ===
+      graft.sources.Tables.load(spark, SfDir, "events").count())
+  }
+
+  test("stratified sample keeps whole strata at rate 1000 and downsamples views") {
+    val got = graft.operators.Sampling.stratifiedSample(spark, SfDir)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    val totals = graft.sources.Tables.load(spark, SfDir, "events")
+      .groupBy("event_type").count().as[(String, Long)].collect().toMap
+    assert(got("purchase") === totals("purchase"), "rate-1000 stratum lost rows")
+    val viewFrac = got("view").toDouble / totals("view")
+    assert(viewFrac > 0.02 && viewFrac < 0.09, s"view fraction $viewFrac")
+  }
+
   test("pii_scrub removes planted emails and phone numbers") {
     val docs = Seq(
       (1L, "contact me at alice.smith+x@example.org for details"),
