@@ -17,6 +17,7 @@ object SparkEntry {
     // §2.A reference pipeline surface
     "ingest_typed" -> (StockOps.ingestTyped _),
     "csv_ingest" -> (graft.sources.CsvIngest.csvIngestQuery _),
+    "json_ingest" -> (graft.sources.JsonIngest.jsonIngestQuery _),
     "skew_agg" -> (Skew.skewAgg _),
     "shard_union" -> (StockOps.shardUnion _),
     "append_roundtrip" -> (StockOps.appendRoundtrip _),
@@ -88,6 +89,15 @@ object SparkEntry {
          |FROM events
          |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
          |  AND ts < TIMESTAMP '2024-01-02 00:00:00'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "json_ingest" ->
+      s"""SELECT event_type, count(*) AS n_events,
+         |  count(DISTINCT user_id) AS n_users,
+         |  ${dsum("value")} AS sum_value,
+         |  max(ts) AS max_ts
+         |FROM events
+         |WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+         |  AND ts < TIMESTAMP '2024-01-03 00:00:00'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "skew_agg" ->
       s"""SELECT event_type, count(*) AS n_events,

@@ -37,4 +37,36 @@ object AppendSink {
 
   def readBack(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** #56 Small-file compaction: rewrite one partition's many
+    * micro-batch files into ceil(bytes/target) right-sized files via
+    * dynamic partition overwrite of just that partition. High-cadence
+    * appends (the reference's 2-minute DAG) accrete thousands of tiny
+    * files per day; at 100 TB the resulting open()/footer overhead
+    * dominates scans, so compaction is part of the sink contract, not
+    * an afterthought. Safe to re-run (idempotent overwrite). */
+  def compactPartition(spark: SparkSession, path: String,
+      partitionCol: String, partitionValue: String,
+      targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val part = new java.io.File(s"$path/$partitionCol=$partitionValue")
+    val bytes = Option(part.listFiles()).map(_.filter(_.isFile)
+      .map(_.length()).sum).getOrElse(0L)
+    if (bytes > 0) {
+      val nFiles = math.max(1, ((bytes + targetBytes - 1) / targetBytes).toInt)
+      // stage the compacted slice OUTSIDE the table root (Spark
+      // refuses to overwrite a path it is reading, correctly), then
+      // swap it in via dynamic partition overwrite
+      val tmp = path + s".compact_tmp"
+      spark.read.parquet(path)
+        .filter(org.apache.spark.sql.functions.col(partitionCol) ===
+          partitionValue)
+        .coalesce(nFiles)
+        .write.mode("overwrite").parquet(tmp)
+      // tmp carries partitionCol as a data column (typed as the
+      // original partition), so the overwrite lands in the same
+      // directory it came from
+      idempotentAppend(spark.read.parquet(tmp), path, Seq(partitionCol))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
 }

@@ -49,6 +49,45 @@ class ExtensionsSpec extends SparkTestBase {
     assert(keys === viaCol)
   }
 
+  test("json ingest quarantines corrupt lines instead of dropping silently") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_json_bad").toString
+    val lines = Seq(
+      """{"event_id": 1, "ts": "2024-01-01 00:00:00.000001", "user_id": 10, "event_type": "click", "value": 1.5}""",
+      """this is not json at all""",
+      """{"event_id": 2, "ts": "2024-01-02 03:04:05.123456", "user_id": 11, "event_type": "purchase", "value": 2.5}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part.json"),
+      String.join("\n", lines: _*).getBytes)
+    val batch = graft.sources.JsonIngest.readEvents(spark, dir)
+    assert(batch.clean.count() === 2)
+    assert(batch.quarantined.select("_corrupt").collect().length === 1)
+    val ts = batch.clean.orderBy("event_id").select("ts").collect()
+    assert(ts(0).getTimestamp(0).toString === "2024-01-01 00:00:00.000001")
+    batch.release()
+  }
+
+  test("compaction collapses micro-batch files and preserves the rows") {
+    import graft.sinks.AppendSink
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_compact").toString + "/t"
+    val day = Tables.load(spark, SfDir, "events")
+      .filter(col("ts") >= lit("2024-01-01 00:00:00") &&
+        col("ts") < lit("2024-01-02 00:00:00"))
+      .withColumn("batch_date", to_date(col("ts")))
+    // simulate 6 micro-batch appends of the same day
+    (1 to 6).foreach { _ =>
+      AppendSink.append(day.limit(10), out, Seq("batch_date"))
+    }
+    val before = new java.io.File(out + "/batch_date=2024-01-01")
+      .listFiles().count(f => f.getName.endsWith(".parquet"))
+    assert(before >= 6, s"expected >=6 files, got $before")
+    val rowsBefore = AppendSink.readBack(spark, out).count()
+    AppendSink.compactPartition(spark, out, "batch_date", "2024-01-01")
+    val after = new java.io.File(out + "/batch_date=2024-01-01")
+      .listFiles().count(f => f.getName.endsWith(".parquet"))
+    assert(after === 1, s"expected 1 compacted file, got $after")
+    assert(AppendSink.readBack(spark, out).count() === rowsBefore)
+  }
+
   test("partitioned append write prunes partitions at read time") {
     import graft.sinks.AppendSink
     val out = java.nio.file.Files
