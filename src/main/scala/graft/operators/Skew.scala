@@ -32,6 +32,23 @@ object Skew {
         sum(col("_s")).cast("double").as("sum_value"))
   }
 
+  /** #58 Salted skew JOIN: when the probe side's join key is heavily
+    * skewed (one hot ticker = billions of fact rows), a plain shuffle
+    * join lands the hot key on one reducer. Salt the fact side into
+    * `salt` deterministic sub-keys and replicate each build row
+    * `salt` times (explode — build side is the small one), so the hot
+    * key's probe rows spread over `salt` reducers. Row-identical to
+    * the plain join (verified in SkewSpec); AQE's skew-join split is
+    * the runtime alternative, this is the explicit form for when the
+    * skew is known ahead of time. */
+  def saltedJoin(fact: DataFrame, build: DataFrame, key: String,
+      idCol: String, salt: Int): DataFrame = {
+    val factS = fact.withColumn("_salt", pmod(hash(col(idCol)), lit(salt)))
+    val buildS = build
+      .withColumn("_salt", explode(sequence(lit(0), lit(salt - 1))))
+    factS.join(buildS, Seq(key, "_salt")).drop("_salt")
+  }
+
   /** §2 #32 `skew_agg`: per-event-type totals over the events stream —
     * event_type has ~5 distinct values, the canonical hot-key shape.
     * Oracle is the plain GROUP BY: salting must be invisible in the

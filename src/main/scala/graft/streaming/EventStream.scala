@@ -79,6 +79,25 @@ object EventStream {
       }
   }
 
+  /** Streaming sessionization (#59): event-time session windows with
+    * a 30-minute gap, watermark-closed — the continuous twin of
+    * `Sessions.sessionize` (same gap rule; session_window's `end` is
+    * last-event + gap by definition, where the batch operator reports
+    * last-event itself). State per (user, open session) only; closed
+    * sessions emit exactly once. Also callable on a batch DataFrame
+    * (same code path), which SessionWindowSpec uses for equivalence. */
+  def sessionCounts(events: DataFrame, withWatermarkMark: Boolean = true)
+      : DataFrame = {
+    val src = if (withWatermarkMark) events.withWatermark("ts", "2 hours")
+      else events
+    src
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), Num.dsum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"), col("user_id"),
+        col("n_events"), col("sum_value"))
+  }
+
   /** Stream-stream interval join (#54): each click joined to the same
     * user's purchases in the preceding hour, both sides watermarked so
     * the join state is evicted once the interval can no longer match —

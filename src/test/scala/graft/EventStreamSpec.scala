@@ -83,6 +83,32 @@ class EventStreamSpec extends SparkTestBase {
     assert(ids === Seq(1L, 2L, 5L), s"got $ids")
   }
 
+  test("session windows: batch twin agrees with sessionize, stream emits a subset") {
+    // batch mode: session_window grouping must produce exactly the
+    // session set of the lag/running-sum sessionize operator
+    val batchSessions = EventStream.sessionCounts(
+      Tables.load(spark, SfDir, "events"), withWatermarkMark = false)
+    val opSessions = graft.operators.Sessions.sessionize(spark, SfDir)
+    assert(batchSessions.count() === opSessions.count())
+    val j = batchSessions.join(opSessions,
+      batchSessions("user_id") === opSessions("user_id") &&
+        batchSessions("sess_start") === opSessions("sess_start"))
+      .filter(batchSessions("n_events") =!= opSessions("n_events") ||
+        batchSessions("sum_value") =!= opSessions("sum_value"))
+    assert(j.count() === 0, "session_window disagrees with sessionize")
+    // streaming mode: every emitted (closed) session is a true session
+    val dir = stageEventsAsFiles()
+    val q = EventStream.sessionCounts(EventStream.readEvents(spark, dir))
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("sessions")
+    assert(got.count() > 0)
+    assert(got.join(batchSessions,
+      Seq("user_id", "sess_start", "n_events"), "left_anti").count() === 0,
+      "stream emitted a session the batch twin does not contain")
+  }
+
   test("stream-stream interval join matches the batch range join pairs") {
     val dir = stageEventsAsFiles()
     val joined = EventStream.clickPurchaseJoin(

@@ -106,6 +106,21 @@ class ExtensionsSpec extends SparkTestBase {
     assert(pruned.count() > 0)
   }
 
+  test("salted join is row-identical to the plain join") {
+    val ev = Tables.load(spark, SfDir, "events")
+      .select("event_id", "user_id", "value")
+    // hot-key build side: one row per user (latest price style)
+    val dim = Tables.load(spark, SfDir, "events")
+      .groupBy("user_id").agg(max("value").as("max_value"))
+    val plain = ev.join(dim, Seq("user_id"))
+      .select("event_id", "user_id", "value", "max_value")
+    val salted = Skew.saltedJoin(ev, dim, "user_id", "event_id", salt = 8)
+      .select("event_id", "user_id", "value", "max_value")
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+  }
+
   test("salted aggregate is bit-identical to the direct aggregate") {
     val ev = Tables.load(spark, SfDir, "events")
     val direct = ev.groupBy("event_type")
