@@ -45,25 +45,30 @@ object Analytics {
     * shuffles). Revenue per region × order priority. */
   def joinBroadcast(spark: SparkSession, dir: String): DataFrame = {
     val ord = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderpriority")
     val cust = Tables.load(spark, dir, "customer")
+      .select("c_custkey", "c_nationkey")
     val nat = Tables.load(spark, dir, "nation")
     val reg = Tables.load(spark, dir, "region")
-    // Partial-aggregate pushdown: collapse lineitem to one row per
-    // order BEFORE the join chain — decimal sums are additive, so the
-    // final rollup over (region, priority) is exact. At 100 TB this
-    // shrinks the join probe side ~4× and the shuffle with it.
-    val liAgg = Tables.load(spark, dir, "lineitem")
-      .groupBy("l_orderkey")
-      .agg(sum((col("l_extendedprice") * (lit(1d) - col("l_discount")))
-        .cast(Num.Dec)).as("rev_part"),
-        count(lit(1)).as("n_part"))
-    liAgg.join(ord, liAgg("l_orderkey") === ord("o_orderkey"))
-      .join(cust, ord("o_custkey") === cust("c_custkey"))
-      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
-      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+    // One pass over the fact: narrow projections joined up the dim
+    // chain (AQE broadcasts orders/customer at small SF and falls
+    // back to sort-merge at 100 TB; nation/region are always-tiny
+    // explicit broadcasts), then a single aggregation whose map-side
+    // partials collapse to |regions|×|priorities| rows per task. A
+    // pre-aggregation on l_orderkey would shuffle the same lineitem
+    // bytes the join shuffle costs, plus an extra stage — measured
+    // slower at every SF.
+    Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1d) - col("l_discount")))
+          .cast(Num.Dec).as("rev"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("o_orderpriority"))
-      .agg(sum(col("rev_part")).cast("double").as("revenue"),
-        sum(col("n_part")).as("n_lines"))
+      .agg(sum(col("rev")).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
       .orderBy("r_name", "o_orderpriority")
   }
 
