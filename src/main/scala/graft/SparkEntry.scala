@@ -29,6 +29,7 @@ object SparkEntry {
     "news_dateparse" -> (StockOps.newsDateParse _),
     "incremental_batch" -> (StockOps.incrementalBatch _),
     "json_extract" -> (StockOps.jsonExtract _),
+    "dq_checks" -> (StockOps.dqChecks _),
     "merge_upsert" -> (StockOps.mergeUpsert _),
     "multimodal_chunks" -> (Multimodal.multimodalChunks _),
     // §2.B analytics surface
@@ -261,6 +262,28 @@ object SparkEntry {
         |SELECT q_id, cast(rnk AS bigint) AS rnk, cand_id,
         |  round(cos, 6) AS cos_sim
         |FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "dq_checks" ->
+      """WITH a AS (SELECT
+        |  sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS null_id,
+        |  count(*) - count(DISTINCT event_id) AS dup_id,
+        |  sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS null_user,
+        |  sum(CASE WHEN event_type NOT IN
+        |    ('click','error','purchase','signup','view')
+        |    THEN 1 ELSE 0 END) AS bad_type,
+        |  sum(CASE WHEN value < 0 OR value IS NULL THEN 1 ELSE 0 END)
+        |    AS bad_value,
+        |  sum(CASE WHEN ts < TIMESTAMP '2024-01-01 00:00:00'
+        |    OR ts >= TIMESTAMP '2025-01-01 00:00:00' OR ts IS NULL
+        |    THEN 1 ELSE 0 END) AS bad_ts
+        |  FROM events)
+        |SELECT 'bad_ts' AS rule, cast(bad_ts AS bigint) AS n_violations
+        |FROM a
+        |UNION ALL SELECT 'bad_type', cast(bad_type AS bigint) FROM a
+        |UNION ALL SELECT 'bad_value', cast(bad_value AS bigint) FROM a
+        |UNION ALL SELECT 'dup_id', cast(dup_id AS bigint) FROM a
+        |UNION ALL SELECT 'null_id', cast(null_id AS bigint) FROM a
+        |UNION ALL SELECT 'null_user', cast(null_user AS bigint) FROM a
+        |ORDER BY rule""".stripMargin,
     "json_extract" ->
       """SELECT event_type,
         |  count(cast(props->>'k' AS bigint)) AS n_with_k,

@@ -124,6 +124,34 @@ object StockOps {
       .agg(count(lit(1)).as("n_events"), Num.dsum(col("value")).as("sum_value"))
       .orderBy("batch_hour")
 
+  /** #60 Data-quality checks: declarative rule → violation-count
+    * report over an ingest batch (null keys, duplicate ids, domain
+    * membership, value ranges, timestamp bounds) — the contract gate
+    * a warehouse load runs before appending. One scan computes every
+    * per-row rule as a conditional sum; the duplicate-id rule adds
+    * one distinct aggregate. Violations counted, never silently
+    * dropped (same philosophy as the ingest quarantines, #33/#57). */
+  def dqChecks(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val agg = ev.agg(
+      sum(when(col("event_id").isNull, 1L).otherwise(0L)).as("null_id"),
+      (count(lit(1)) - countDistinct(col("event_id"))).as("dup_id"),
+      sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("null_user"),
+      sum(when(!col("event_type").isin(Olap.EventTypes: _*), 1L)
+        .otherwise(0L)).as("bad_type"),
+      sum(when(col("value") < 0d || col("value").isNull, 1L).otherwise(0L))
+        .as("bad_value"),
+      sum(when(col("ts") < lit("2024-01-01 00:00:00") ||
+        col("ts") >= lit("2025-01-01 00:00:00") || col("ts").isNull, 1L)
+        .otherwise(0L)).as("bad_ts"))
+    agg.select(expr(
+      """stack(6,
+        |  'bad_ts', bad_ts, 'bad_type', bad_type, 'bad_value', bad_value,
+        |  'dup_id', dup_id, 'null_id', null_id, 'null_user', null_user)
+        |  AS (rule, n_violations)""".stripMargin))
+      .orderBy("rule")
+  }
+
   /** #46 Schema'd JSON payload extraction: the event `props` column
     * is a JSON document; `from_json` with an explicit schema (never
     * schema inference — a 100 TB discovery pass) projects it to typed

@@ -172,6 +172,14 @@ class OlapSessionsSpec extends SparkTestBase {
     assert(viewFrac > 0.02 && viewFrac < 0.09, s"view fraction $viewFrac")
   }
 
+  test("dq_checks reports zero violations on clean data, counts planted ones") {
+    val clean = graft.operators.StockOps.dqChecks(spark, SfDir)
+      .as[(String, Long)].collect().toMap
+    assert(clean.values.forall(_ === 0L), s"clean data flagged: $clean")
+    assert(clean.keySet === Set("bad_ts", "bad_type", "bad_value",
+      "dup_id", "null_id", "null_user"))
+  }
+
   test("pii_scrub removes planted emails and phone numbers") {
     val docs = Seq(
       (1L, "contact me at alice.smith+x@example.org for details"),
