@@ -40,6 +40,23 @@ object ScaleProbe {
       val tj = (System.nanoTime() - t1) / 1e9
       println(f"SCALE $mult%3dx (${mult * 600}%5dk rows): agg $t%7.3f s  join-topk $tj%7.3f s")
     }
+    // minhash-LSH near-dup at N× corpus size, worst-case duplication
+    // structure: every doc gains N-1 exact copies (distinct ids), so
+    // candidate volume grows ~N² per bucket — the stress regime the
+    // BucketCap + banded design must survive
+    val docs = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.1", "documents")
+      .select(col("doc_id"), col("text"))
+    for (mult <- Seq(1, 5, 20)) {
+      val big = (0 until mult).map(i =>
+        docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+          col("text"))).reduce(_ unionByName _)
+      val t0 = System.nanoTime()
+      val n = graft.operators.Dedup.minhashPairs(big)
+        .filter(col("est_jaccard") >= 0.9).count()
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"SCALE-DEDUP $mult%3dx (${mult * 5}%3dk docs): $t%7.3f s, $n%9d near-dup pairs")
+    }
     spark.stop()
   }
 }
