@@ -30,6 +30,8 @@ object SparkEntry {
     "incremental_batch" -> (StockOps.incrementalBatch _),
     "json_extract" -> (StockOps.jsonExtract _),
     "dq_checks" -> (StockOps.dqChecks _),
+    "vwap" -> (StockOps.vwap _),
+    "ohlc_bars" -> (StockOps.ohlcBars _),
     "merge_upsert" -> (StockOps.mergeUpsert _),
     "multimodal_chunks" -> (Multimodal.multimodalChunks _),
     // §2.B analytics surface
@@ -262,6 +264,25 @@ object SparkEntry {
         |SELECT q_id, cast(rnk AS bigint) AS rnk, cand_id,
         |  round(cos, 6) AS cos_sim
         |FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "vwap" ->
+      s"""SELECT user_id AS ticker_id, cast(ts AS date) AS day,
+         |  ${dsum("value * length(props)")} /
+         |    ${dsum("cast(length(props) AS double)")} AS vwap,
+         |  ${dsum("value")} AS sum_price,
+         |  cast(sum(length(props)) AS bigint) AS total_volume,
+         |  count(*) AS n_trades
+         |FROM events WHERE event_type = 'purchase'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ohlc_bars" ->
+      """WITH t AS (SELECT user_id, ts, value,
+        |    lpad(cast(epoch_us(ts) AS varchar), 20, '0') ||
+        |      lpad(cast(event_id AS varchar), 12, '0') AS sk
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT user_id AS ticker_id, cast(ts AS date) AS day,
+        |  arg_min(value, sk) AS open, max(value) AS high,
+        |  min(value) AS low, arg_max(value, sk) AS close,
+        |  count(*) AS n_trades
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "dq_checks" ->
       """WITH a AS (SELECT
         |  sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS null_id,

@@ -102,23 +102,23 @@ object Analytics {
       .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("sum_value"))
       .orderBy("bucket_hour", "event_type")
 
-  /** #17 Semi/anti join: customers with vs without an urgent order —
-    * left_semi/left_anti never materialize the probe side's payload. */
+  /** #17 Semi/anti join: customers with vs without an urgent order.
+    * Both buckets come from ONE pass — deduplicate the urgent
+    * custkeys, left-join, and bucket on match — instead of a
+    * semi-join pipeline plus an anti-join pipeline scanning customer
+    * twice and unioning. Same EXISTS/NOT-EXISTS semantics (the
+    * distinct makes the join at-most-one-match, so no row
+    * multiplication), half the stages. */
   def semiAnti(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.load(spark, dir, "customer")
     val urgent = Tables.load(spark, dir, "orders")
       .filter(col("o_orderpriority") === "1-URGENT")
-      .select(col("o_custkey"))
-    val withU = cust.join(urgent, cust("c_custkey") === urgent("o_custkey"),
-        "left_semi")
-      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_cust"))
-      .withColumn("bucket", lit("with_urgent"))
-    val withoutU = cust.join(urgent, cust("c_custkey") === urgent("o_custkey"),
-        "left_anti")
-      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_cust"))
-      .withColumn("bucket", lit("without_urgent"))
-    withU.unionByName(withoutU)
-      .select("bucket", "c_mktsegment", "n_cust")
+      .select(col("o_custkey")).distinct()
+    cust.join(urgent, cust("c_custkey") === urgent("o_custkey"), "left")
+      .withColumn("bucket",
+        when(col("o_custkey").isNotNull, "with_urgent")
+          .otherwise("without_urgent"))
+      .groupBy("bucket", "c_mktsegment").agg(count(lit(1)).as("n_cust"))
       .orderBy("bucket", "c_mktsegment")
   }
 }

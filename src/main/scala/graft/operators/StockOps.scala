@@ -124,6 +124,45 @@ object StockOps {
       .agg(count(lit(1)).as("n_events"), Num.dsum(col("value")).as("sum_value"))
       .orderBy("batch_hour")
 
+  /** #61 VWAP — volume-weighted average price per ticker per day
+    * (volume ≙ props payload size, per the §3 mapping): the standard
+    * intraday summary the reference's dashboard charts. Decimal-exact
+    * numerator/denominator sums, divided in double → deterministic at
+    * any partitioning. */
+  def vwap(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("ticker_id"),
+        to_date(col("ts")).as("day"))
+      .agg(
+        (Num.dsum(col("value") * length(col("props"))) /
+          Num.dsum(length(col("props")).cast("double"))).as("vwap"),
+        Num.dsum(col("value")).as("sum_price"),
+        sum(length(col("props")).cast("long")).as("total_volume"),
+        count(lit(1)).as("n_trades"))
+      .orderBy("ticker_id", "day")
+
+  /** #62 OHLC candlestick bars per ticker per day — open/close via
+    * min_by/max_by on a zero-padded (ts, event_id) sort key (total
+    * order even under timestamp ties), high/low/volume as plain
+    * aggregates. One shuffle on the bar key. */
+  def ohlcBars(spark: SparkSession, dir: String): DataFrame = {
+    val sortKey = concat(
+      lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+      lpad(col("event_id").cast("string"), 12, "0"))
+    Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .withColumn("sk", sortKey)
+      .groupBy(col("user_id").as("ticker_id"), to_date(col("ts")).as("day"))
+      .agg(
+        min_by(col("value"), col("sk")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("sk")).as("close"),
+        count(lit(1)).as("n_trades"))
+      .orderBy("ticker_id", "day")
+  }
+
   /** #60 Data-quality checks: declarative rule → violation-count
     * report over an ingest batch (null keys, duplicate ids, domain
     * membership, value ranges, timestamp bounds) — the contract gate

@@ -172,6 +172,20 @@ class OlapSessionsSpec extends SparkTestBase {
     assert(viewFrac > 0.02 && viewFrac < 0.09, s"view fraction $viewFrac")
   }
 
+  test("ohlc bars: low <= open/close <= high, vwap within [low, high]") {
+    val ohlc = graft.operators.StockOps.ohlcBars(spark, SfDir)
+    val bad = ohlc.filter(col("low") > col("high") ||
+      col("open") < col("low") || col("open") > col("high") ||
+      col("close") < col("low") || col("close") > col("high"))
+    assert(bad.count() === 0)
+    val v = graft.operators.StockOps.vwap(spark, SfDir)
+    val j = v.join(ohlc, Seq("ticker_id", "day"))
+      .filter(col("vwap") < col("low") - 1e-9 ||
+        col("vwap") > col("high") + 1e-9)
+    assert(j.count() === 0, "vwap outside the bar's [low, high]")
+    assert(v.count() === ohlc.count())
+  }
+
   test("dq_checks reports zero violations on clean data, counts planted ones") {
     val clean = graft.operators.StockOps.dqChecks(spark, SfDir)
       .as[(String, Long)].collect().toMap
