@@ -66,21 +66,22 @@ object Olap {
         round(element_at(col("ps"), 4), 6).as("p99"))
       .orderBy("event_type")
 
-  /** #51 Top-k per group (not global): each customer's 3 most
-    * valuable orders — rank window + filter, one shuffle on the
-    * group key; per-group state is a k-row heap, never the group's
-    * full row set. */
-  def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("o_custkey")
-      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+  /** #51+#63 Top-k per group: each customer's 3 most valuable orders
+    * via the custom bounded-heap TopKAgg aggregate — per-group state
+    * is k pairs combined map-side, so the shuffle carries
+    * O(groups × k) where the window row_number form shuffles and
+    * sorts every row of every group (a hot group sorts billions of
+    * rows for a 3-row answer). Exploded back to the ranked-row shape
+    * the DuckDB window oracle produces. */
+  def topkPerGroup(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "orders")
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 3)
-      .select(col("o_custkey").as("cust_id"), col("rnk"),
-        col("o_orderkey").as("order_id"), col("o_totalprice").as("price"))
+      .groupBy(col("o_custkey").as("cust_id"))
+      .agg(graft.functions.AggFunctions.topK(
+        col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+      .select(col("cust_id"), posexplode(col("top")))
+      .select(col("cust_id"), (col("pos") + 1L).as("rnk"),
+        col("col.id").as("order_id"), col("col.value").as("price"))
       .orderBy("cust_id", "rnk")
-  }
 
   /** #52 Histogram binning: fixed-width value buckets per event type
     * — the dashboard distribution view. Bin id is exact integer

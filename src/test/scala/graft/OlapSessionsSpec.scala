@@ -142,6 +142,29 @@ class OlapSessionsSpec extends SparkTestBase {
       col("chunk_len") > graft.operators.Multimodal.ChunkBytes).count() === 0)
   }
 
+  test("TopKAgg equals the window row_number form at any partitioning") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val windowForm = graft.sources.Tables.load(spark, SfDir, "orders")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey").as("cust_id"), col("rnk"),
+        col("o_orderkey").as("order_id"), col("o_totalprice").as("price"))
+    for (parts <- Seq(1, 7)) {
+      val aggForm = graft.sources.Tables.load(spark, SfDir, "orders")
+        .repartition(parts)
+        .groupBy(col("o_custkey").as("cust_id"))
+        .agg(graft.functions.AggFunctions.topK(
+          col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+        .select(col("cust_id"), posexplode(col("top")))
+        .select(col("cust_id"), (col("pos") + 1L).as("rnk"),
+          col("col.id").as("order_id"), col("col.value").as("price"))
+      assert(aggForm.exceptAll(windowForm).count() === 0)
+      assert(windowForm.exceptAll(aggForm).count() === 0)
+    }
+  }
+
   test("topk_per_group keeps at most 3 ranked orders per customer") {
     val got = graft.operators.Olap.topkPerGroup(spark, SfDir)
     val over = got.groupBy("cust_id").count().filter(col("count") > 3)
