@@ -38,6 +38,35 @@ object AppendSink {
   def readBack(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** #56b Compaction for the streaming warehouse layout
+    * ((batch_date, _batch_id) partitions, see
+    * `EventStream.writeToWarehouse`): rewrite a whole day's
+    * micro-batch partitions into a single `_batch_id=-1` compacted
+    * partition — Hive-style directory swap, since dynamic partition
+    * overwrite can only replace partitions present in the incoming
+    * data and therefore cannot collapse sub-partitions. Re-running
+    * re-compacts (idempotent); a production deployment would wrap
+    * the swap in a table format's commit protocol. */
+  def compactDay(spark: SparkSession, path: String, day: String,
+      targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dayDir = new java.io.File(s"$path/batch_date=$day")
+    if (dayDir.isDirectory) {
+      val bytes = org.apache.commons.io.FileUtils.sizeOfDirectory(dayDir)
+      val nFiles = math.max(1, ((bytes + targetBytes - 1) / targetBytes).toInt)
+      val tmp = path + ".compact_tmp"
+      spark.read.parquet(path)
+        .filter(col("batch_date") === day)
+        .withColumn("_batch_id", lit(-1L))
+        .coalesce(nFiles)
+        .write.mode("overwrite").parquet(tmp)
+      org.apache.commons.io.FileUtils.deleteDirectory(dayDir)
+      idempotentAppend(spark.read.parquet(tmp), path,
+        Seq("batch_date", "_batch_id"))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
   /** #56 Small-file compaction: rewrite one partition's many
     * micro-batch files into ceil(bytes/target) right-sized files via
     * dynamic partition overwrite of just that partition. High-cadence

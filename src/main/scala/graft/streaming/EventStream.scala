@@ -79,6 +79,32 @@ object EventStream {
       }
   }
 
+  /** Replay-safe micro-batch warehouse write (#64): every micro-batch
+    * lands in its own (batch_date, _batch_id) partition via dynamic
+    * partition overwrite, so a redelivered batch (foreachBatch is
+    * at-least-once) overwrites exactly itself — duplicates are
+    * structurally impossible rather than filtered. Downstream,
+    * `AppendSink.compactPartition` collapses the per-batch files on
+    * the reference's daily cadence. This is the continuous version
+    * of the batch WRITE_APPEND + idempotent-replay contract (#4). */
+  def writeToWarehouse(events: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events
+      .withColumn("batch_date", to_date(col("ts")))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        writeMicroBatch(batch.toDF(), id, path)
+      }
+      .start()
+
+  /** The per-batch write — factored out so a redelivery (same batch,
+    * same id) can be exercised directly in tests. */
+  def writeMicroBatch(batch: DataFrame, batchId: Long, path: String): Unit =
+    graft.sinks.AppendSink.idempotentAppend(
+      batch.withColumn("_batch_id", lit(batchId)),
+      path, Seq("batch_date", "_batch_id"))
+
   /** Streaming sessionization (#59): event-time session windows with
     * a 30-minute gap, watermark-closed — the continuous twin of
     * `Sessions.sessionize` (same gap rule; session_window's `end` is
