@@ -62,6 +62,7 @@ object SparkEntry {
     "range_join" -> (Sessions.rangeJoin _),
     "sample_hash" -> (Sampling.hashSplit _),
     "stratified_sample" -> (Sampling.stratifiedSample _),
+    "group_cap" -> (Sampling.groupCap _),
     "topk_per_group" -> (Olap.topkPerGroup _),
     "histogram" -> (Olap.histogram _),
     "pii_scrub" -> (TextOps.piiScrub _),
@@ -416,6 +417,14 @@ object SparkEntry {
          |    ELSE 'test' END AS split,
          |  count(*) AS n_events, ${dsum("value")} AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "group_cap" ->
+      """SELECT source, cast(rnk AS bigint) AS rnk, doc_id
+        |FROM (SELECT source, doc_id, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY (doc_id % 1000000007) * 2654435761 % 1000 ASC,
+        |      doc_id ASC) AS rnk
+        |  FROM documents)
+        |WHERE rnk <= 20 ORDER BY source, rnk""".stripMargin,
     "topk_per_group" ->
       """SELECT o_custkey AS cust_id, cast(rnk AS bigint) AS rnk,
         |  o_orderkey AS order_id, o_totalprice AS price

@@ -59,6 +59,28 @@ object Sampling {
       .orderBy("event_type")
   }
 
+  val GroupCapN = 20
+
+  /** #65 Per-group capping: keep at most N documents per source —
+    * the domain-balancing move of a training-data pipeline ("no
+    * domain may dominate the mix"). Selection order is
+    * (hash-bucket, id): uniform-random in aggregate yet a pure
+    * function of the id, so every run, engine, and cluster size
+    * keeps the same documents. Runs on the bounded-heap TopKAgg
+    * (O(cap) state per group, map-side merge) rather than a window
+    * sort — a 100 TB web domain with 10^9 pages must not be sorted
+    * end-to-end to keep 20 of them. */
+  def groupCap(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(graft.functions.AggFunctions.topK(
+        -hashBucket(col("doc_id")).cast("double"), col("doc_id"), GroupCapN)
+        .as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"), (col("pos") + 1L).as("rnk"),
+        col("col.id").as("doc_id"))
+      .orderBy("source", "rnk")
+
   /** #45 `sample_hash`: per (event_type, split) row counts and value
     * totals — proves the assignment is total, disjoint, and
     * proportioned. One scan, one aggregate shuffle. */

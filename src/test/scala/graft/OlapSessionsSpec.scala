@@ -165,6 +165,19 @@ class OlapSessionsSpec extends SparkTestBase {
     }
   }
 
+  test("group_cap keeps at most N per source, deterministically") {
+    val got = graft.operators.Sampling.groupCap(spark, SfDir)
+    val over = got.groupBy("source").count()
+      .filter(col("count") > graft.operators.Sampling.GroupCapN)
+    assert(over.count() === 0)
+    val again = graft.operators.Sampling.groupCap(spark, SfDir)
+    assert(got.exceptAll(again).count() === 0)
+    // kept ids are a subset of the source's docs
+    val docs = graft.sources.Tables.load(spark, SfDir, "documents")
+      .select("source", "doc_id")
+    assert(got.select("source", "doc_id").exceptAll(docs).count() === 0)
+  }
+
   test("topk_per_group keeps at most 3 ranked orders per customer") {
     val got = graft.operators.Olap.topkPerGroup(spark, SfDir)
     val over = got.groupBy("cust_id").count().filter(col("count") > 3)
