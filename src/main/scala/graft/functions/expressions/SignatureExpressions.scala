@@ -49,6 +49,52 @@ object MinHashSig {
   /** Max permutation count the static A/B tables cover. */
   val MaxK = 256
 
+  /** One XXH64 per lowercased whitespace token, computed directly on
+    * the UTF-8 bytes — no String, StringBuilder, or regex allocation
+    * in the per-row path (this scan IS the per-document cost of the
+    * dedup operators at 100 TB). ASCII A-Z lowercased in place;
+    * multi-byte UTF-8 sequences pass through untouched. Whitespace =
+    * the Java regex \s class (space, \t, \n, \x0B, \f, \r), so token
+    * boundaries match the previous split("\\s+") form. */
+  private[expressions] def tokenHashes(text: UTF8String): Array[Long] = {
+    val n = text.numBytes
+    if (n == 0) return Array.emptyLongArray
+    val buf = new Array[Byte](n)
+    text.writeToMemory(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET)
+    var i = 0
+    while (i < n) {
+      val b = buf(i)
+      if (b >= 'A' && b <= 'Z') buf(i) = (b + 32).toByte
+      i += 1
+    }
+    @inline def ws(b: Byte): Boolean =
+      b == ' ' || (b >= 9 && b <= 13) // \t \n \x0B \f \r
+    var out = new Array[Long](math.min(16, n))
+    var m = 0
+    i = 0
+    while (i < n) {
+      while (i < n && ws(buf(i))) i += 1
+      val s = i
+      while (i < n && !ws(buf(i))) i += 1
+      if (i > s) {
+        if (m == out.length) out = java.util.Arrays.copyOf(out, out.length * 2)
+        out(m) = XXH64.hashUnsafeBytes(buf,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + s, i - s, 0)
+        m += 1
+      }
+    }
+    if (m == out.length) out else java.util.Arrays.copyOf(out, m)
+  }
+
+  // SplitMix64 finalizer — avalanches the combined shingle hash so
+  // the downstream multiply-add permutations see uniform input.
+  @inline private[expressions] def fmix(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
   // SplitMix64 — the standard seed-expansion mixer (public domain,
   // Steele et al., "Fast Splittable Pseudorandom Number Generators").
   private def splitmix64(seed: Long): Long = {
@@ -63,25 +109,24 @@ object MinHashSig {
     Array.tabulate(MaxK)(j => splitmix64(2L * j + 1))
 
   /** Single-pass kernel, called from both interpreted and generated
-    * paths. Deterministic for a given (text, k, w). */
+    * paths. Deterministic for a given (text, k, w). A shingle's hash
+    * is the avalanched combination of its tokens' hashes (one XXH64
+    * per TOKEN, not per shingle×K) — distinct token sequences
+    * collide only with hash probability, and each distinct shingle
+    * hash feeds the K multiply-add permutations. */
   def compute(text: UTF8String, k: Int, w: Int): ArrayData = {
     require(k <= MaxK, s"k=$k exceeds MaxK=$MaxK")
-    val toks = tokenize(text)
-    if (toks.length < w) return new GenericArrayData(Array.empty[Long])
-    // Distinct w-shingles, hashed as UTF-8 bytes of "t1 t2 ... tw",
-    // then permuted K ways per shingle (one XXH64 per shingle total).
-    val seen = new java.util.HashSet[String]()
+    val th = tokenHashes(text)
+    if (th.length < w) return new GenericArrayData(Array.empty[Long])
+    val seen = new java.util.HashSet[java.lang.Long]()
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
-    while (i + w <= toks.length) {
-      val sb = new java.lang.StringBuilder(toks(i))
-      var j = i + 1
-      while (j < i + w) { sb.append(' ').append(toks(j)); j += 1 }
-      val sh = sb.toString
-      if (seen.add(sh)) {
-        val bytes = sh.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        val h = XXH64.hashUnsafeBytes(bytes,
-          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 0)
+    while (i + w <= th.length) {
+      var h = 0x27d4eb2f165667c5L // arbitrary odd seed
+      var j = i
+      while (j < i + w) { h = (h ^ th(j)) * 0x100000001b3L; j += 1 }
+      h = fmix(h)
+      if (seen.add(h)) {
         var s = 0
         while (s < k) {
           val v = MixA(s) * h + MixB(s)
@@ -92,11 +137,6 @@ object MinHashSig {
       i += 1
     }
     new GenericArrayData(mins)
-  }
-
-  private[expressions] def tokenize(text: UTF8String): Array[String] = {
-    val t = text.toString.toLowerCase(Locale.ROOT).trim
-    if (t.isEmpty) Array.empty[String] else t.split("\\s+")
   }
 }
 
@@ -179,13 +219,15 @@ object LongArrayAgree {
 
 object SimHash64 {
   def compute(text: UTF8String): Long = {
-    val toks = MinHashSig.tokenize(text)
+    // token hashes come from the shared byte-level scan (same XXH64
+    // over the same lowercased token bytes as before — SimHash values
+    // are unchanged for ASCII text); duplicates kept: frequency
+    // weights the bit votes.
+    val th = MinHashSig.tokenHashes(text)
     val counts = new Array[Int](64)
     var i = 0
-    while (i < toks.length) {
-      val bytes = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val h = XXH64.hashUnsafeBytes(bytes,
-        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 0)
+    while (i < th.length) {
+      val h = th(i)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
