@@ -222,6 +222,16 @@ class OlapSessionsSpec extends SparkTestBase {
     assert(v.count() === ohlc.count())
   }
 
+  test("purchase-filtered queries push the event_type predicate to the scan") {
+    for (df <- Seq(graft.operators.StockOps.vwap(spark, SfDir),
+        graft.operators.StockOps.ohlcBars(spark, SfDir),
+        graft.operators.Sessions.windowLag(spark, SfDir))) {
+      val plan = planOf(df)
+      assert(plan.contains("EqualTo(event_type,purchase)"),
+        "filter not pushed: " + plan.take(600))
+    }
+  }
+
   test("dq_checks reports zero violations on clean data, counts planted ones") {
     val clean = graft.operators.StockOps.dqChecks(spark, SfDir)
       .as[(String, Long)].collect().toMap
