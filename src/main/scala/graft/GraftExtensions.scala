@@ -59,7 +59,12 @@ object GraftFunctions {
       (es: Seq[Expression]) => SignBandKeys(es(0),
         es(1).eval().asInstanceOf[Number].longValue(),
         es(2).eval().asInstanceOf[Int], es(3).eval().asInstanceOf[Int],
-        es(4).eval().asInstanceOf[Int]))
+        es(4).eval().asInstanceOf[Int])),
+    ("top_k",
+      info("top_k",
+        "top_k(value, id, k) - aggregate: k largest (value, id) pairs, bounded-heap state"),
+      (es: Seq[Expression]) => TopKAgg(es(0), es(1),
+        es(2).eval().asInstanceOf[Int]).toAggregateExpression())
   )
 
   /** Register every graft function on a live session. */

@@ -49,6 +49,20 @@ class ExtensionsSpec extends SparkTestBase {
     assert(keys === viaCol)
   }
 
+  test("top_k SQL aggregate matches the Column API form") {
+    GraftFunctions.register(spark)
+    Tables.load(spark, SfDir, "orders").createOrReplaceTempView("ext_orders")
+    val viaSql = spark.sql(
+      """SELECT o_custkey, top_k(o_totalprice, o_orderkey, 3) AS top
+        |FROM ext_orders GROUP BY o_custkey""".stripMargin)
+    val viaCol = Tables.load(spark, SfDir, "orders")
+      .groupBy("o_custkey")
+      .agg(graft.functions.AggFunctions.topK(
+        col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+    assert(viaSql.exceptAll(viaCol).count() === 0)
+    assert(viaCol.exceptAll(viaSql).count() === 0)
+  }
+
   test("json ingest quarantines corrupt lines instead of dropping silently") {
     val dir = java.nio.file.Files.createTempDirectory("graft_json_bad").toString
     val lines = Seq(
