@@ -309,7 +309,7 @@ object SparkEntry {
     "json_extract" ->
       """SELECT event_type,
         |  count(cast(props->>'k' AS bigint)) AS n_with_k,
-        |  sum(cast(props->>'k' AS bigint)) AS sum_k,
+        |  cast(sum(cast(props->>'k' AS bigint)) AS bigint) AS sum_k,
         |  min(cast(props->>'k' AS bigint)) AS min_k,
         |  max(cast(props->>'k' AS bigint)) AS max_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
