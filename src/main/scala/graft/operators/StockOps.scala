@@ -114,11 +114,13 @@ object StockOps {
   /** #10 Scheduled incremental batch: the 2-minute-cadence DAG
     * (stock_data_to_gcp.py:85-91) as one idempotent batch — a fixed
     * event-time window, id-deduped, rolled up hourly. The window
-    * predicate prunes at the scan; dedupe is one shuffle on the id. */
+    * predicate is applied to the raw nanos long via
+    * [[Tables.loadEventsRange]] so it reaches the parquet scan
+    * (row-group pruning — the difference between reading one day and
+    * the whole table at 100 TB); dedupe is one shuffle on the id. */
   def incrementalBatch(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "events")
-      .filter(col("ts") >= lit("2024-01-01 00:00:00") &&
-        col("ts") < lit("2024-01-02 00:00:00"))
+    Tables.loadEventsRange(spark, dir,
+        "2024-01-01 00:00:00", "2024-01-02 00:00:00")
       .dropDuplicates("event_id")
       .groupBy(date_trunc("hour", col("ts")).as("batch_hour"))
       .agg(count(lit(1)).as("n_events"), Num.dsum(col("value")).as("sum_value"))
@@ -221,12 +223,15 @@ object StockOps {
     def latest(df: DataFrame) = df
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("user_id"), col("ts"), col("value"))
-    val ev = Tables.load(spark, dir, "events")
-    val base = latest(ev.filter(col("ts") < lit("2024-01-04 00:00:00")))
+    // Both sides load through the raw-nanos range reader so the time
+    // window prunes at the parquet scan (not above the micros
+    // projection) — the base is a bounded history, the update one day.
+    val base = latest(Tables.loadEventsRange(spark, dir,
+        until = "2024-01-04 00:00:00"))
       .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
         col("value").as("b_value"))
-    val upd = latest(ev.filter(col("ts") >= lit("2024-01-04 00:00:00") &&
-        col("ts") < lit("2024-01-05 00:00:00")))
+    val upd = latest(Tables.loadEventsRange(spark, dir,
+        "2024-01-04 00:00:00", "2024-01-05 00:00:00"))
       .select(col("user_id").as("u_user"), col("ts").as("u_ts"),
         col("value").as("u_value"))
     base.join(upd, col("b_user") === col("u_user"), "full_outer")
@@ -271,9 +276,8 @@ object StockOps {
     val out = new java.io.File(
       sys.props("java.io.tmpdir"), s"graft_append_${dir.hashCode}").getPath
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
-    val batch = Tables.load(spark, dir, "events")
-      .filter(col("ts") >= lit("2024-01-01 00:00:00") &&
-        col("ts") < lit("2024-01-02 00:00:00"))
+    val batch = Tables.loadEventsRange(spark, dir,
+        "2024-01-01 00:00:00", "2024-01-02 00:00:00")
       .withColumn("batch_date", to_date(col("ts")))
     AppendSink.idempotentAppend(batch, out, Seq("batch_date"))
     AppendSink.idempotentAppend(batch, out, Seq("batch_date")) // replay

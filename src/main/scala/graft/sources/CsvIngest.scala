@@ -63,9 +63,9 @@ object CsvIngest {
     val out = new java.io.File(
       sys.props("java.io.tmpdir"), s"graft_csv_${dir.hashCode}").getPath
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
-    Tables.load(spark, dir, "events")
-      .filter(col("ts") >= lit("2024-01-01 00:00:00") &&
-        col("ts") < lit("2024-01-02 00:00:00"))
+    // raw-nanos range load → the one-day window prunes at the scan
+    Tables.loadEventsRange(spark, dir,
+        "2024-01-01 00:00:00", "2024-01-02 00:00:00")
       .select(col("event_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
         col("user_id"), col("event_type"), col("value"))

@@ -96,6 +96,38 @@ object Tables {
       spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
     }
 
+  /** Load `events` with a time-range predicate applied to the RAW
+    * nanosecond long BEFORE the micros conversion, so Catalyst pushes
+    * it into the parquet scan (`PushedFilters: [GreaterThanOrEqual(
+    * ts,…), LessThan(ts,…)]` → footer min/max row-group pruning). A
+    * filter placed on the derived micros `ts` instead sits above a
+    * projection Catalyst cannot invert — at 100 TB the scheduled
+    * incremental batch (the reference's 2-minute loop,
+    * stock_data_to_gcp.py:85-91) would full-scan the table for one
+    * day's slice.
+    *
+    * Bounds are UTC `yyyy-MM-dd HH:mm:ss[.SSSSSS]` strings; null =
+    * unbounded; half-open `[from, until)`. Exact w.r.t. [[load]]'s
+    * floor truncation: for integer-micros bounds,
+    * `floor(ns/1000) >= F_us ⟺ ns >= F_us*1000` and
+    * `floor(ns/1000) < U_us ⟺ ns < U_us*1000`.
+    */
+  def loadEventsRange(spark: SparkSession, dir: String,
+      from: String = null, until: String = null): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, timestamp_micros, expr}
+    def nanos(s: String): Long = {
+      val i = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC)
+      Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000000L),
+        i.getNano.toLong)
+    }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    var df = spark.read.schema(eventsRaw).parquet(s"$dir/events.parquet")
+    if (from != null) df = df.filter(col("ts") >= lit(nanos(from)))
+    if (until != null) df = df.filter(col("ts") < lit(nanos(until)))
+    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** Generic typed ingest: read with a declared schema and enforce
     * target column types via casts — the `schema_fields` +
     * FLOAT-coercion behavior of the reference's warehouse load. */

@@ -86,6 +86,30 @@ class OperatorsSpec extends SparkTestBase {
     assert(once.collect().toSeq === dup.collect().toSeq)
   }
 
+  test("events time-range predicates reach the parquet scan as raw-nanos bounds") {
+    // 2024-01-01/-02 UTC in epoch nanos — the pushed form row-group-
+    // prunes via footer min/max; a filter on the derived micros ts
+    // would sit above the projection and full-scan at 100 TB.
+    val lo = "GreaterThanOrEqual(ts,1704067200000000000)"
+    val hi = "LessThan(ts,1704153600000000000)"
+    val inc = planOf(StockOps.incrementalBatch(spark, SfDir))
+    assert(inc.contains(lo) && inc.contains(hi), inc.take(3000))
+    val merge = planOf(StockOps.mergeUpsert(spark, SfDir))
+    assert(merge.contains("LessThan(ts,1704326400000000000)") &&
+      merge.contains("GreaterThanOrEqual(ts,1704326400000000000)"),
+      merge.take(4000))
+    // range bounds are exact w.r.t. the floor-to-micros conversion:
+    // same rows as filtering the derived ts
+    val viaRaw = graft.sources.Tables
+      .loadEventsRange(spark, SfDir, "2024-01-01 00:00:00", "2024-01-02 00:00:00")
+    val viaDerived = graft.sources.Tables.load(spark, SfDir, "events")
+      .filter(col("ts") >= lit("2024-01-01 00:00:00") &&
+        col("ts") < lit("2024-01-02 00:00:00"))
+    assert(viaRaw.count() === viaDerived.count())
+    assert(viaRaw.unionByName(viaDerived).dropDuplicates("event_id").count()
+      === viaRaw.count())
+  }
+
   test("top-k plans as TakeOrderedAndProject (no global sort)") {
     val plan = planOf(Analytics.topkRevenue(spark, SfDir))
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
