@@ -70,6 +70,8 @@ object SparkEntry {
     "quality_score" -> (TextOps.qualityQuery _),
     "token_count" -> (TextOps.tokenCountQuery _),
     "fingerprint" -> (TextOps.fingerprintQuery _),
+    "sentiment_docs" -> (TextOps.sentimentDocs _),
+    "sentiment_daily" -> (TextOps.sentimentDaily _),
     "multimodal_meta" -> (Multimodal.multimodalMeta _)
   )
 
@@ -491,6 +493,39 @@ object SparkEntry {
         |    '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS bigint) AS bpe_tokens,
         |  count(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sentiment_docs" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |    cast(len(list_filter(toks, x -> x IN ('good','great','gain','up',
+        |      'fast','big','purchase','signup'))) AS bigint) AS n_pos,
+        |    cast(len(list_filter(toks, x -> x IN ('bad','poor','loss','down',
+        |      'slow','small','error'))) AS bigint) AS n_neg,
+        |    cast(len(toks) AS bigint) AS n_tokens
+        |  FROM t)
+        |SELECT doc_id, n_pos, n_neg, n_tokens,
+        |  cast(n_pos - n_neg AS double) /
+        |    cast(greatest(n_tokens, 1) AS double) AS sent_score,
+        |  CASE WHEN n_pos > n_neg THEN 'pos'
+        |    WHEN n_neg > n_pos THEN 'neg'
+        |    ELSE 'neutral' END AS sent_label
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "sentiment_daily" ->
+      """WITH s AS (SELECT user_id, cast(ts AS date) AS day,
+        |    cast(len(list_filter(string_split_regex(lower(trim(event_type)),
+        |      '\s+'), x -> x IN ('good','great','gain','up','fast','big',
+        |      'purchase','signup'))) AS bigint) AS n_pos,
+        |    cast(len(list_filter(string_split_regex(lower(trim(event_type)),
+        |      '\s+'), x -> x IN ('bad','poor','loss','down','slow','small',
+        |      'error'))) AS bigint) AS n_neg
+        |  FROM events)
+        |SELECT user_id AS ticker_id, day, count(*) AS n_titles,
+        |  cast(sum(n_pos) AS bigint) AS sum_pos,
+        |  cast(sum(n_neg) AS bigint) AS sum_neg,
+        |  cast(cast(sum(n_pos) AS bigint) - cast(sum(n_neg) AS bigint)
+        |    AS double) / cast(count(*) AS double) AS day_score
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id, cast(strlen(text) AS bigint) AS n_bytes,
         |  (strlen(text) + 4095) // 4096 AS n_chunks,

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.functions._
-import graft.functions.expressions.{LongArrayAgree, MinHashSig, SimHash64}
+import graft.functions.expressions.{LongArrayAgree, MinHashSig, SentimentCounts, SimHash64}
 
 /** Text-analysis kernels (SURVEY.md §2 #27-29), re-expressing the
   * reference's "text analyzed data" goal (/root/reference/README.md:3)
@@ -86,6 +86,12 @@ object TextFunctions {
       (stopwordCount(text).cast("double") / nTok.cast("double")).as("stopword_ratio")
     )
   }
+
+  /** Lexicon sentiment counts: struct<n_pos, n_neg, n_tok> over the
+    * whitespace tokens — single-pass codegen'd kernel (see
+    * SentimentCounts for the lexicons and SQL-twin contract). */
+  def sentimentCounts(text: Column): Column =
+    GraftSqlBridge.column(SentimentCounts(GraftSqlBridge.expression(text)))
 
   /** Character n-gram set (distinct) — near-dup verification kernel
     * (SURVEY.md §2 #22). Empty array for strings shorter than n.

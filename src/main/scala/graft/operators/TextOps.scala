@@ -65,6 +65,46 @@ object TextOps {
           PhoneRe, "<PHONE>").as("clean_text"))
       .orderBy("doc_id")
 
+  /** #66 Per-document sentiment score — lexicon hit counts (codegen'd
+    * single-pass kernel), normalized score in [-1, 1] as an exact
+    * int/int double division, and a three-way label. The reference's
+    * dashboard surfaces "intraday data and text analyzed data"
+    * (/root/reference/README.md:3); this is the text-analysis score a
+    * user would chart next to prices. Single scan, no shuffle. */
+  def sentimentDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .withColumn("s", sentimentCounts(col("text")))
+      .select(col("doc_id"),
+        col("s.n_pos").cast("long").as("n_pos"),
+        col("s.n_neg").cast("long").as("n_neg"),
+        col("s.n_tok").cast("long").as("n_tokens"),
+        ((col("s.n_pos") - col("s.n_neg")).cast("double") /
+          greatest(col("s.n_tok"), lit(1)).cast("double")).as("sent_score"),
+        when(col("s.n_pos") > col("s.n_neg"), "pos")
+          .when(col("s.n_neg") > col("s.n_pos"), "neg")
+          .otherwise("neutral").as("sent_label"))
+      .orderBy("doc_id")
+
+  /** #67 Per-ticker daily sentiment aggregate over the news mapping
+    * (events ≙ news items, title ≙ event_type, ticker ≙ user_id — the
+    * same mapping as newsDateParse, StockOps.scala): lexicon counts
+    * per title, rolled up per (ticker, day) with an exact aggregate
+    * score (sum_pos−sum_neg)/n_titles — integer sums, one double
+    * division at the end, so the result is partitioning-independent.
+    * One scan + one shuffle on the (ticker, day) key. */
+  def sentimentDaily(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .withColumn("s", sentimentCounts(col("event_type")))
+      .groupBy(col("user_id").as("ticker_id"), to_date(col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n_titles"),
+        sum(col("s.n_pos").cast("long")).as("sum_pos"),
+        sum(col("s.n_neg").cast("long")).as("sum_neg"))
+      .withColumn("day_score",
+        (col("sum_pos") - col("sum_neg")).cast("double") /
+          col("n_titles").cast("double"))
+      .orderBy("ticker_id", "day")
+
   /** #30 Document fingerprint via the codegen'd FNV-1a 64 kernel.
     * Not SQL-expressible in DuckDB → rows-only gate; exact test
     * vectors in Fnv64Spec. */
