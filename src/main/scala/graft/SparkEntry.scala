@@ -493,9 +493,15 @@ object SparkEntry {
         |    '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS bigint) AS bpe_tokens,
         |  count(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Sentiment twins filter empty tokens: the codegen'd kernel counts
+    // non-empty whitespace tokens (0 for blank text), while a raw
+    // string_split_regex yields '' entries for blank/edge-whitespace
+    // text — list_filter makes the twin exact for ALL inputs, not just
+    // the current clean corpus.
     "sentiment_docs" ->
       """WITH t AS (SELECT doc_id,
-        |    string_split_regex(lower(trim(text)), '\s+') AS toks
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS toks
         |  FROM documents),
         |s AS (SELECT doc_id,
         |    cast(len(list_filter(toks, x -> x IN ('good','great','gain','up',
@@ -512,14 +518,16 @@ object SparkEntry {
         |    ELSE 'neutral' END AS sent_label
         |FROM s ORDER BY doc_id""".stripMargin,
     "sentiment_daily" ->
-      """WITH s AS (SELECT user_id, cast(ts AS date) AS day,
-        |    cast(len(list_filter(string_split_regex(lower(trim(event_type)),
-        |      '\s+'), x -> x IN ('good','great','gain','up','fast','big',
-        |      'purchase','signup'))) AS bigint) AS n_pos,
-        |    cast(len(list_filter(string_split_regex(lower(trim(event_type)),
-        |      '\s+'), x -> x IN ('bad','poor','loss','down','slow','small',
-        |      'error'))) AS bigint) AS n_neg
-        |  FROM events)
+      """WITH t AS (SELECT user_id, ts,
+        |    list_filter(string_split_regex(lower(trim(event_type)), '\s+'),
+        |      x -> x <> '') AS toks
+        |  FROM events),
+        |s AS (SELECT user_id, cast(ts AS date) AS day,
+        |    cast(len(list_filter(toks, x -> x IN ('good','great','gain','up',
+        |      'fast','big','purchase','signup'))) AS bigint) AS n_pos,
+        |    cast(len(list_filter(toks, x -> x IN ('bad','poor','loss','down',
+        |      'slow','small','error'))) AS bigint) AS n_neg
+        |  FROM t)
         |SELECT user_id AS ticker_id, day, count(*) AS n_titles,
         |  cast(sum(n_pos) AS bigint) AS sum_pos,
         |  cast(sum(n_neg) AS bigint) AS sum_neg,

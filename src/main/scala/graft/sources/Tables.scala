@@ -87,11 +87,10 @@ object Tables {
     * DuckDB in the oracle) sees identical values. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.schema(eventsRaw).parquet(s"$dir/events.parquet")
-        .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
+      // Single source of the nanos→micros conversion: the unbounded
+      // case of loadEventsRange, so the truncation logic cannot drift
+      // between the two entry points.
+      loadEventsRange(spark, dir)
     } else {
       spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
     }
@@ -107,7 +106,10 @@ object Tables {
     * day's slice.
     *
     * Bounds are UTC `yyyy-MM-dd HH:mm:ss[.SSSSSS]` strings; null =
-    * unbounded; half-open `[from, until)`. Exact w.r.t. [[load]]'s
+    * unbounded; half-open `[from, until)`. Callers comparing against
+    * session-timezone timestamp literals must run with
+    * `spark.sql.session.timeZone=UTC` (the repo-wide convention, set
+    * by every entry point and SparkTestBase). Exact w.r.t. [[load]]'s
     * floor truncation: for integer-micros bounds,
     * `floor(ns/1000) >= F_us ⟺ ns >= F_us*1000` and
     * `floor(ns/1000) < U_us ⟺ ns < U_us*1000`.

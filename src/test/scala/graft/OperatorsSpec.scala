@@ -99,7 +99,10 @@ class OperatorsSpec extends SparkTestBase {
       merge.contains("GreaterThanOrEqual(ts,1704326400000000000)"),
       merge.take(4000))
     // range bounds are exact w.r.t. the floor-to-micros conversion:
-    // same rows as filtering the derived ts
+    // same rows as filtering the derived ts. This equivalence holds
+    // under the repo-wide UTC convention (loadEventsRange parses its
+    // bounds as UTC; the string-literal casts below use the session
+    // timezone, pinned to UTC in SparkTestBase).
     val viaRaw = graft.sources.Tables
       .loadEventsRange(spark, SfDir, "2024-01-01 00:00:00", "2024-01-02 00:00:00")
     val viaDerived = graft.sources.Tables.load(spark, SfDir, "events")
