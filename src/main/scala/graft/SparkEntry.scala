@@ -80,7 +80,7 @@ object SparkEntry {
 
   /** DuckDB oracle SQL per query (same parquet tables, same column
     * names — SURVEY.md §6). Approximate/non-SQL operators
-    * (dedup_minhash, dedup_simhash, dedup_embed, ann_lsh, fingerprint)
+    * (dedup_minhash, dedup_simhash, dedup_embed, ann_lsh)
     * are intentionally omitted → rows-only gate. */
   def oracleSql: Map[String, String] = Map(
     "ingest_typed" ->
@@ -446,6 +446,30 @@ object SparkEntry {
          |  CASE event_type WHEN 'view' THEN 50 WHEN 'click' THEN 100
          |    ELSE 1000 END
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // FNV-1a 64 with wrap-around arithmetic, expressed in DuckDB via
+    // HUGEINT mod-2^64: fold each UTF-8 byte (hex-pair extraction)
+    // with h = (h XOR b) * prime mod 2^64, then re-sign into bigint.
+    // Exact twin of the Fnv64 kernel incl. empty text (= offset basis)
+    // and multi-byte UTF-8.
+    "fingerprint" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    [cast(cast(concat('0x', substr(hex(encode(text)), 2*i+1, 2))
+        |       AS int) AS hugeint)
+        |     for i in range(octet_length(encode(text)))] AS bytes
+        |  FROM documents)
+        |SELECT doc_id,
+        |  cast(CASE WHEN h >= 9223372036854775808::hugeint
+        |            THEN h - 18446744073709551616::hugeint
+        |            ELSE h END AS bigint) AS fingerprint
+        |FROM (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(14695981039346656037::hugeint, bytes),
+        |      (h, b) -> mod(xor(h, b) * 1099511628211::hugeint,
+        |                    18446744073709551616::hugeint)) AS h
+        |  FROM b)
+        |ORDER BY doc_id""".stripMargin,
     "pii_scrub" ->
       """SELECT doc_id,
         |  cast(len(regexp_extract_all(text,
