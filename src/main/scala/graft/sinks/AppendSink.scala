@@ -35,35 +35,143 @@ object AppendSink {
     }
   }
 
-  def readBack(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+  /** Manifest-aware table read — the reader side of the
+    * [[compactDay]] commit protocol. Day dirs with `_batch_id=*`
+    * sub-partitions read through the live rule (so an uncommitted
+    * compaction generation is invisible even before any manifest
+    * exists); day dirs without them, and tables not day-partitioned
+    * at all, read as-is. */
+  def readBack(spark: SparkSession, path: String): DataFrame = {
+    val days = listDayDirs(path)
+    if (days.isEmpty || days.forall(d => batchDirs(d).isEmpty))
+      spark.read.parquet(path)
+    else {
+      val live = days.flatMap { d =>
+        if (batchDirs(d).isEmpty) Seq(d) else liveBatchDirs(d)
+      }.map(_.getAbsolutePath)
+      spark.read.option("basePath", path).parquet(live: _*)
+    }
+  }
 
-  /** #56b Compaction for the streaming warehouse layout
-    * ((batch_date, _batch_id) partitions, see
-    * `EventStream.writeToWarehouse`): rewrite a whole day's
-    * micro-batch partitions into a single `_batch_id=-1` compacted
-    * partition — Hive-style directory swap, since dynamic partition
-    * overwrite can only replace partitions present in the incoming
-    * data and therefore cannot collapse sub-partitions. Re-running
-    * re-compacts (idempotent); a production deployment would wrap
-    * the swap in a table format's commit protocol. */
+  // --- day-compaction commit protocol (#56b) -------------------------
+  //
+  // Layout: path/batch_date=D/_batch_id=B/part-*.parquet (see
+  // EventStream.writeToWarehouse). Compaction generation G rewrites a
+  // day's live set into a single partition `_batch_id=-G`, committed by
+  // atomically swapping a per-day manifest `_graft_manifest.json`
+  // ({"gen":G,"covers":[B,...]}). Reader rule (liveBatchDirs): with a
+  // manifest, live = {-gen} ∪ {B ≥ 0 : B ∉ covers}; without one, all
+  // B ≥ 0 (negative dirs require a manifest — that closes the
+  // crash window between the data rename and the manifest swap).
+  // Every mutation is an atomic POSIX rename, so a concurrent reader
+  // sees exactly the old or exactly the new live set, never a half
+  // state; on an object store the manifest swap maps to a conditional
+  // PUT. Covered batch ids stay excluded even if a replay re-creates
+  // their directory (idempotent-replay contract preserved after
+  // compaction); GC of covered dirs after the swap is safe to crash.
+
+  private val ManifestName = "_graft_manifest.json"
+
+  private def manifestFile(dayDir: java.io.File) =
+    new java.io.File(dayDir, ManifestName)
+
+  private def listDayDirs(path: String): Seq[java.io.File] =
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_date="))
+      .toSeq.sortBy(_.getName)
+
+  private val BatchDirRe = "_batch_id=(-?\\d+)".r
+
+  private def batchDirs(dayDir: java.io.File): Seq[(Long, java.io.File)] =
+    Option(dayDir.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
+      f.getName match {
+        case BatchDirRe(id) if f.isDirectory => Some((id.toLong, f))
+        case _ => None
+      }
+    }
+
+  /** (gen, covered ids) from the day's manifest, (0, ∅) if absent. */
+  private[graft] def readManifest(dayDir: java.io.File): (Long, Set[Long]) = {
+    val f = manifestFile(dayDir)
+    if (!f.isFile) (0L, Set.empty)
+    else {
+      val s = new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val gen = "\"gen\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
+        .map(_.group(1).toLong).getOrElse(0L)
+      val covers = "\"covers\"\\s*:\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(s)
+        .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty)
+          .map(_.toLong).toSet).getOrElse(Set.empty[Long])
+      (gen, covers)
+    }
+  }
+
+  private def writeManifestAtomic(dayDir: java.io.File, gen: Long,
+      covers: Set[Long]): Unit = {
+    val body = s"""{"gen":$gen,"covers":[${covers.toSeq.sorted.mkString(",")}]}"""
+    val tmp = new java.io.File(dayDir, s".$ManifestName.tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp.toPath, manifestFile(dayDir).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The day's live batch directories under the manifest rule. */
+  private[graft] def liveBatchDirs(dayDir: java.io.File): Seq[java.io.File] = {
+    val (gen, covers) = readManifest(dayDir)
+    batchDirs(dayDir).collect {
+      case (id, f) if id >= 0 && !covers(id) => f
+      case (id, f) if gen > 0 && id == -gen => f
+    }
+  }
+
+  /** #56b Atomic day compaction: rewrite the day's live micro-batch
+    * partitions into one right-sized `_batch_id=-G` partition,
+    * committed via the manifest protocol above. Idempotent: a re-run
+    * (or a run resumed after a crash at any step) compacts the current
+    * live set into the next generation. Readers ([[readBack]]) never
+    * observe a half-compacted day. */
   def compactDay(spark: SparkSession, path: String, day: String,
       targetBytes: Long = 128L * 1024 * 1024): Unit = {
-    import org.apache.spark.sql.functions.{col, lit}
     val dayDir = new java.io.File(s"$path/batch_date=$day")
-    if (dayDir.isDirectory) {
-      val bytes = org.apache.commons.io.FileUtils.sizeOfDirectory(dayDir)
-      val nFiles = math.max(1, ((bytes + targetBytes - 1) / targetBytes).toInt)
-      val tmp = path + ".compact_tmp"
-      spark.read.parquet(path)
-        .filter(col("batch_date") === day)
-        .withColumn("_batch_id", lit(-1L))
-        .coalesce(nFiles)
-        .write.mode("overwrite").parquet(tmp)
-      org.apache.commons.io.FileUtils.deleteDirectory(dayDir)
-      idempotentAppend(spark.read.parquet(tmp), path,
-        Seq("batch_date", "_batch_id"))
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    if (!dayDir.isDirectory) return
+    val live = liveBatchDirs(dayDir)
+    if (live.isEmpty) return
+    val (prevGen, prevCovers) = readManifest(dayDir)
+    val liveIds = live.flatMap(f => f.getName match {
+      case BatchDirRe(id) => Some(id.toLong)
+      case _ => None
+    }).toSet
+    // next generation: above both the committed gen and any stale
+    // data dir left by a run that crashed before its manifest swap
+    val gen = ((batchDirs(dayDir).map(-_._1).filter(_ > 0) :+ prevGen).max) + 1
+    val bytes = live.map(org.apache.commons.io.FileUtils.sizeOfDirectory).sum
+    val nFiles = math.max(1, ((bytes + targetBytes - 1) / targetBytes).toInt)
+    // 1. stage the compacted data in a hidden dir (invisible to reads)
+    val staging = new java.io.File(dayDir, s".compact_staging_$gen")
+    org.apache.commons.io.FileUtils.deleteQuietly(staging)
+    spark.read.option("basePath", path)
+      .parquet(live.map(_.getAbsolutePath): _*)
+      .drop("batch_date", "_batch_id")
+      .coalesce(nFiles)
+      .write.mode("overwrite").parquet(staging.getAbsolutePath)
+    // 2. atomically publish the data dir (not yet live: negative ids
+    //    are only live once the manifest names this generation)
+    val target = new java.io.File(dayDir, s"_batch_id=-$gen")
+    org.apache.commons.io.FileUtils.deleteQuietly(target)
+    java.nio.file.Files.move(staging.toPath, target.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // 3. commit: swap the manifest (the linearization point); covers
+    //    records non-negative ids only — superseded generations are
+    //    already unreadable because their id != -gen
+    val covers = prevCovers ++ liveIds.filter(_ >= 0)
+    writeManifestAtomic(dayDir, gen, covers)
+    // 4. GC superseded dirs (crash-safe: covered/stale dirs are
+    //    already unreadable under the manifest rule)
+    batchDirs(dayDir).foreach { case (id, f) =>
+      if (id != -gen && (id < 0 || covers(id)))
+        org.apache.commons.io.FileUtils.deleteQuietly(f)
     }
   }
 

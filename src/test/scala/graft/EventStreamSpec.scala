@@ -189,4 +189,63 @@ class EventStreamSpec extends SparkTestBase {
     assert(diff.count() === 0, "stream state disagrees with batch latest")
     assert(finalState.count() === batch.count())
   }
+
+  test("compaction commit is atomic: readers never see a half-compacted day") {
+    import graft.sinks.AppendSink
+    val root = Files.createTempDirectory("graft_wh_atomic").toString
+    val out = root + "/table"
+    val day = "2024-01-01"
+    def mkBatch(ids: Range): org.apache.spark.sql.DataFrame =
+      ids.map(i => (i.toLong, java.sql.Timestamp.valueOf(s"$day 0$i:00:00"),
+          i.toLong % 3, "click", i * 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .withColumn("batch_date", to_date(col("ts")))
+    EventStream.writeMicroBatch(mkBatch(0 to 2), 0L, out)
+    EventStream.writeMicroBatch(mkBatch(3 to 4), 1L, out)
+    def readIds(): Seq[Long] = AppendSink.readBack(spark, out)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    val before = readIds()
+    assert(before === Seq(0L, 1L, 2L, 3L, 4L))
+
+    // crash window: compacted data dir fully written and renamed into
+    // place, but the run died BEFORE the manifest swap — a negative
+    // dir with no manifest naming it must be invisible to readers
+    val dayDir = new java.io.File(s"$out/batch_date=$day")
+    val staged = new java.io.File(dayDir, ".compact_staging_1")
+    spark.read.parquet(out).filter(col("batch_date") === day)
+      .drop("batch_date", "_batch_id")
+      .coalesce(1).write.mode("overwrite").parquet(staged.getAbsolutePath)
+    java.nio.file.Files.move(staged.toPath,
+      new java.io.File(dayDir, "_batch_id=-1").toPath)
+    assert(readIds() === before,
+      "reader saw the uncommitted compaction generation (duplicates)")
+
+    // recovery run: commits the NEXT generation from the live set,
+    // then GCs both the covered batches and the stale crashed dir
+    AppendSink.compactDay(spark, out, day)
+    assert(readIds() === before)
+    val (gen, covers) = AppendSink.readManifest(dayDir)
+    assert(gen === 2L && covers === Set(0L, 1L))
+    assert(AppendSink.liveBatchDirs(dayDir).map(_.getName) ===
+      Seq("_batch_id=-2"))
+    assert(!new java.io.File(dayDir, "_batch_id=-1").exists(),
+      "stale crashed generation not GC'd")
+
+    // a replayed covered batch (at-least-once redelivery AFTER its
+    // data was compacted) re-creates its dir but stays excluded
+    EventStream.writeMicroBatch(mkBatch(0 to 2), 0L, out)
+    assert(readIds() === before, "replay of a compacted batch duplicated rows")
+
+    // post-compaction appends are visible alongside the compacted gen
+    EventStream.writeMicroBatch(mkBatch(5 to 6), 5L, out)
+    assert(readIds() === (0L to 6L))
+
+    // re-compaction folds compacted gen + new batches into gen 3
+    AppendSink.compactDay(spark, out, day)
+    assert(readIds() === (0L to 6L))
+    val (gen3, covers3) = AppendSink.readManifest(dayDir)
+    assert(gen3 === 3L && covers3 === Set(0L, 1L, 5L))
+    assert(AppendSink.liveBatchDirs(dayDir).map(_.getName) ===
+      Seq("_batch_id=-3"))
+  }
 }
