@@ -120,8 +120,23 @@ object Similarity {
   // sample then refined with Lloyd iterations, nprobe cells probed
   // per query.
   val IvfCells = 32
-  val IvfProbe = 4
+  val IvfProbe = 6
   val IvfKmeansIters = 2
+  // Recall levers (VERDICT r3 #6). Probing is what bounds IVF recall
+  // here — candidates are exact-scored on full vectors, so PQ residual
+  // scoring would trade accuracy for memory we don't need at this
+  // vector width; the standard recall fixes are instead:
+  //  - multi-assignment: index every vector in its IvfAssign nearest
+  //    cells (2× index entries, same query cost shape), so a vector
+  //    near a cell boundary is findable from both sides;
+  //  - adaptive probing: beyond the fixed IvfProbe nearest cells, also
+  //    probe cells whose centroid similarity is within IvfProbeMargin
+  //    of the query's best cell (hard cap IvfProbeMax keeps the scan
+  //    fraction bounded) — queries that land between cells probe
+  //    wider, central queries stay cheap.
+  val IvfAssign = 2
+  val IvfProbeMargin = 0.08
+  val IvfProbeMax = 10
 
   /** Lloyd's k-means refinement of an IVF centroid set, expressed as
     * DataFrame ops: assign (broadcast centroids → per-vector argmax),
@@ -193,20 +208,27 @@ object Similarity {
       .select(col("vec_id"), col("vec"), col("c_id"),
         cosine(col("vec"), col("cvec")).as("cs"))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .filter(col("rn") <= IvfAssign)
       .select(col("c_id").as("cell"), col("vec_id"), col("vec"))
     val qw = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cs").desc, col("c_id").asc)
+    val qb = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
     val probes = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("vec").as("qvec"))
       .crossJoin(centroids)
       .select(col("q_id"), col("qvec"), col("c_id"),
         cosine(col("qvec"), col("cvec")).as("cs"))
       .withColumn("rn", row_number().over(qw))
-      .filter(col("rn") <= IvfProbe)
+      .withColumn("best", max(col("cs")).over(qb))
+      .filter(col("rn") <= IvfProbe ||
+        (col("cs") >= col("best") - IvfProbeMargin &&
+          col("rn") <= IvfProbeMax))
       .select(col("q_id"), col("qvec"), col("c_id").as("cell"))
     val scored = probes.join(assigned, "cell")
       .filter(col("q_id") =!= col("vec_id"))
+      // multi-assignment can surface the same candidate from two
+      // probed cells — collapse before the exact score
+      .dropDuplicates("q_id", "vec_id")
       .select(col("q_id"), col("vec_id").as("cand_id"),
         cosine(col("qvec"), col("vec")).as("cos"))
     val rw = org.apache.spark.sql.expressions.Window

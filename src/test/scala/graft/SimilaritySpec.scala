@@ -24,7 +24,10 @@ class SimilaritySpec extends SparkTestBase {
     val ivf = Similarity.annIvf(spark, SfDir)
       .select("q_id", "cand_id").as[(Long, Long)].collect().toSet
     val recall = (brute intersect ivf).size.toDouble / brute.size
-    assert(recall >= 0.2, s"IVF recall $recall too low (found ${ivf.size})")
+    info(s"ann_ivf recall = $recall")
+    // multi-assignment + adaptive probing (Similarity.IvfAssign /
+    // IvfProbeMargin) lift recall well above the single-assign ~0.55
+    assert(recall >= 0.6, s"IVF recall $recall too low (found ${ivf.size})")
   }
 
   test("brute-force top-k is exactly the window-ranked cosine order") {
