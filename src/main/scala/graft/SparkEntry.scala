@@ -22,6 +22,7 @@ object SparkEntry {
     "shard_union" -> (StockOps.shardUnion _),
     "append_roundtrip" -> (StockOps.appendRoundtrip _),
     "bucketed_join" -> (graft.sinks.BucketedWarehouse.bucketedJoin _),
+    "zorder_scan" -> (graft.sinks.ZOrderLayout.zorderScan _),
     "snapshot_proj" -> (StockOps.snapshotProjection _),
     "latest_per_key" -> (StockOps.latestPerKey _),
     "fin_ratio" -> (StockOps.finRatio _),
@@ -124,6 +125,14 @@ object SparkEntry {
          |  ${dsum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
          |  count(*) AS n_lines
          |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "zorder_scan" ->
+      s"""SELECT user_id AS ticker_id, count(*) AS n_events,
+         |  ${dsum("value")} AS sum_value, max(ts) AS max_ts
+         |FROM events
+         |WHERE user_id BETWEEN 10 AND 19
+         |  AND ts >= TIMESTAMP '2024-01-02 00:00:00'
+         |  AND ts < TIMESTAMP '2024-01-04 00:00:00'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "snapshot_proj" ->
       """SELECT ts AS snap_time, user_id AS ticker_id, value AS price,
