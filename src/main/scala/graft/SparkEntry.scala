@@ -73,6 +73,9 @@ object SparkEntry {
     "fingerprint" -> (TextOps.fingerprintQuery _),
     "sentiment_docs" -> (TextOps.sentimentDocs _),
     "sentiment_daily" -> (TextOps.sentimentDaily _),
+    "chunk_docs" -> (TextOps.chunkDocs _),
+    "repetition_score" -> (TextOps.repetitionScore _),
+    "contamination" -> (TextOps.contaminationCheck _),
     "multimodal_meta" -> (Multimodal.multimodalMeta _)
   )
 
@@ -567,6 +570,52 @@ object SparkEntry {
         |  cast(cast(sum(n_pos) AS bigint) - cast(sum(n_neg) AS bigint)
         |    AS double) / cast(count(*) AS double) AS day_score
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Chunking geometry 32/8 (step 24) — sync with TextOps.ChunkTokens
+    "chunk_docs" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, toks, cast(len(toks) AS bigint) AS n_tok,
+        |    unnest(range(cast(ceil(greatest(len(toks) - 8, 1) / 24.0)
+        |      AS bigint))) AS chunk_id
+        |  FROM t WHERE len(toks) > 0)
+        |SELECT doc_id, chunk_id,
+        |  cast(least(n_tok - chunk_id * 24, 32) AS bigint) AS n_chunk_tok,
+        |  array_to_string(list_slice(toks, chunk_id * 24 + 1,
+        |    least(chunk_id * 24 + 32, n_tok)), ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "repetition_score" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    [concat(toks[i+1], ' ', toks[i+2], ' ', toks[i+3])
+        |     for i in range(len(toks) - 2)] AS tg
+        |  FROM t)
+        |SELECT doc_id, cast(len(tg) AS bigint) AS n_trigrams,
+        |  cast(len(tg) - len(list_distinct(tg)) AS bigint) AS n_dup,
+        |  CASE WHEN len(tg) > 0
+        |    THEN cast(len(tg) - len(list_distinct(tg)) AS double) /
+        |      cast(len(tg) AS double)
+        |    ELSE 0.0 END AS dup_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
+    // Shingle width 8, benchmark = doc_id < 50 — sync with
+    // TextOps.ShingleWidth / BenchDocMax
+    "contamination" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |    unnest([array_to_string(list_slice(toks, i + 1, i + 8), ' ')
+        |      for i in range(len(toks) - 7)]) AS sh
+        |  FROM t),
+        |b AS (SELECT DISTINCT sh FROM s WHERE doc_id < 50),
+        |c AS (SELECT DISTINCT doc_id, sh FROM s WHERE doc_id >= 50)
+        |SELECT c.doc_id, count(*) AS n_shared
+        |FROM c JOIN b USING (sh) GROUP BY 1 ORDER BY 1""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id, cast(strlen(text) AS bigint) AS n_bytes,
         |  (strlen(text) + 4095) // 4096 AS n_chunks,

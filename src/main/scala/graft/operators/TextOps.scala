@@ -106,10 +106,98 @@ object TextOps {
       .orderBy("ticker_id", "day")
 
   /** #30 Document fingerprint via the codegen'd FNV-1a 64 kernel.
-    * Not SQL-expressible in DuckDB → rows-only gate; exact test
-    * vectors in Fnv64Spec. */
+    * Exact test vectors in Fnv64Spec; the DuckDB oracle re-expresses
+    * the fold with HUGEINT mod-2^64 arithmetic (SparkEntry). */
   def fingerprintQuery(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"), fnv64(col("text")).as("fingerprint"))
       .orderBy("doc_id")
+
+  /** Lowercased whitespace tokens with empties filtered — the
+    * repo-wide tokenization (= `list_filter(string_split_regex(
+    * lower(trim(text)), '\s+'), x -> x <> '')` in the oracles). */
+  private def toksOf(c: org.apache.spark.sql.Column) =
+    filter(split(lower(trim(c)), "\\s+"), t => t =!= lit(""))
+
+  // Chunking geometry — keep in sync with the chunk_docs oracle SQL
+  // (32/8/24 are inlined there).
+  val ChunkTokens = 32
+  val ChunkOverlap = 8
+
+  /** #69 Token-window chunking: split each document into ≤32-token
+    * chunks overlapping by 8 (context-window prep for training /
+    * embedding pipelines). One scan; the explode fans out to
+    * ceil((n−overlap)/step) rows per doc with no shuffle — chunk
+    * boundaries are pure arithmetic on the token array, computed once
+    * per row (the array column is a real projection, not re-split per
+    * chunk). Zero-token docs produce zero chunks. */
+  def chunkDocs(spark: SparkSession, dir: String): DataFrame = {
+    val step = ChunkTokens - ChunkOverlap
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), toksOf(col("text")).as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .filter(col("n_tok") > 0)
+      .withColumn("chunk_id", explode(sequence(lit(0L),
+        ceil(greatest(col("n_tok") - ChunkOverlap, lit(1L)).cast("double") /
+          step) - 1)))
+      .select(col("doc_id"), col("chunk_id"),
+        least(col("n_tok") - col("chunk_id") * step, lit(ChunkTokens.toLong))
+          .as("n_chunk_tok"),
+        array_join(slice(col("toks"), (col("chunk_id") * step + 1).cast("int"),
+          lit(ChunkTokens)), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** #70 Repetition scoring (Gopher-style quality signal): per doc,
+    * the fraction of duplicate token trigrams. A high ratio marks
+    * boilerplate/spam for the training-mix filter. Single scan; the
+    * trigram array is built once per row from the token projection and
+    * consumed by two sizes — no shuffle, no UDF. */
+  def repetitionScore(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), toksOf(col("text")).as("toks"))
+      .withColumn("tg", when(size(col("toks")) >= 3,
+          transform(sequence(lit(0), size(col("toks")) - 3),
+            i => concat_ws(" ", element_at(col("toks"), i + 1),
+              element_at(col("toks"), i + 2), element_at(col("toks"), i + 3))))
+        .otherwise(array().cast("array<string>")))
+      .withColumn("n_trigrams", size(col("tg")).cast("long"))
+      .withColumn("n_dup",
+        (size(col("tg")) - size(array_distinct(col("tg")))).cast("long"))
+      .select(col("doc_id"), col("n_trigrams"), col("n_dup"),
+        when(col("n_trigrams") > 0,
+          col("n_dup").cast("double") / col("n_trigrams").cast("double"))
+          .otherwise(0.0).as("dup_ratio"))
+      .orderBy("doc_id")
+
+  // Decontamination geometry — 8-token shingles; doc_id < 50 plays
+  // the benchmark/eval set. Inlined in the contamination oracle SQL.
+  val ShingleWidth = 8
+  val BenchDocMax = 50L
+
+  /** #71 Benchmark decontamination: flag corpus documents sharing any
+    * 8-token shingle with the benchmark set (docs 0-49 stand in for
+    * an eval suite). The benchmark shingle set is bounded (an eval
+    * suite, not a corpus) → broadcast; the corpus side streams
+    * through one scan + shingle explode, and the join moves only
+    * (doc_id, shingle) pairs. At 100 TB the same plan holds with the
+    * shingles hashed — strings are kept here so the check is exactly
+    * SQL-expressible for the oracle. */
+  def contaminationCheck(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), toksOf(col("text")).as("toks"))
+    val sh = docs
+      .filter(size(col("toks")) >= ShingleWidth)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("toks")) - ShingleWidth),
+          i => array_join(slice(col("toks"), i + 1, lit(ShingleWidth)), " ")))
+          .as("sh"))
+    val bench = sh.filter(col("doc_id") < BenchDocMax).select("sh").distinct()
+    val corpus = sh.filter(col("doc_id") >= BenchDocMax)
+      .select("doc_id", "sh").distinct()
+    corpus.join(broadcast(bench), "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
 }
