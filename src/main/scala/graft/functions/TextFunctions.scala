@@ -100,6 +100,12 @@ object TextFunctions {
     GraftSqlBridge.column(
       expressions.CharNgrams(GraftSqlBridge.expression(text), n))
 
+  /** Distinct word-shingle hashes (decontamination kernel, §2 #71) —
+    * one tokenize pass + rolling combine, no shingle strings. */
+  def shingleHashes(text: Column, w: Int): Column =
+    GraftSqlBridge.column(
+      expressions.ShingleHashes(GraftSqlBridge.expression(text), w))
+
   /** Jaccard similarity of two precomputed distinct n-gram arrays:
     * |A∩B| / |A∪B| as exact int/int double division. */
   def jaccard(a: Column, b: Column): Column = {

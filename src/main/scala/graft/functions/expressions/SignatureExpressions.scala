@@ -140,6 +140,47 @@ object MinHashSig {
   }
 }
 
+/** Distinct hashes of the lowercase word w-shingles (array<long>) —
+  * the decontamination kernel (SURVEY.md §2 #71). Same hash family as
+  * [[MinHashSig]] (one XXH64 per token, FNV-combine per window, fmix
+  * avalanche), so no shingle string ever materializes: the per-doc
+  * cost is one tokenize pass + one rolling combine. Distinctness is
+  * applied inside the kernel (per doc), so downstream needs no
+  * per-doc distinct. Two different shingles collide with probability
+  * ~2^-64 — at any corpus size the expected false-share count is
+  * vanishingly below one, which is why every production
+  * decontamination pipeline compares n-gram hashes, not strings. */
+case class ShingleHashes(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ShingleHashes.compute(v.asInstanceOf[UTF8String], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.ShingleHashes.compute($c, $w);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  def compute(text: UTF8String, w: Int): ArrayData = {
+    val th = MinHashSig.tokenHashes(text)
+    if (th.length < w) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i + w <= th.length) {
+      var h = 0x27d4eb2f165667c5L // same seed/combine as MinHashSig
+      var j = i
+      while (j < i + w) { h = (h ^ th(j)) * 0x100000001b3L; j += 1 }
+      seen.add(MinHashSig.fmix(h))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator(); var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+}
+
 /** 64-bit SimHash of the lowercase whitespace tokens: bit b of the
   * result is 1 iff the sum over tokens of ±1 (sign = bit b of
   * XXH64(token, seed=0)) is ≥ 0. Empty text → all ties → all bits 1

@@ -177,24 +177,22 @@ object TextOps {
 
   /** #71 Benchmark decontamination: flag corpus documents sharing any
     * 8-token shingle with the benchmark set (docs 0-49 stand in for
-    * an eval suite). The benchmark shingle set is bounded (an eval
-    * suite, not a corpus) → broadcast; the corpus side streams
-    * through one scan + shingle explode, and the join moves only
-    * (doc_id, shingle) pairs. At 100 TB the same plan holds with the
-    * shingles hashed — strings are kept here so the check is exactly
-    * SQL-expressible for the oracle. */
+    * an eval suite). Shingles are compared as 64-bit hashes from the
+    * codegen'd ShingleHashes kernel — one tokenize pass + rolling
+    * combine per doc, already distinct per doc, no shingle string
+    * ever materialized or shuffled (the production shape; see the
+    * kernel's collision note — the DuckDB oracle compares the strings
+    * and agrees because a count-changing collision has probability
+    * ~2^-64 per shingle pair). The benchmark hash set is bounded (an
+    * eval suite, not a corpus) → broadcast; the join moves only
+    * (doc_id, hash) pairs. */
   def contaminationCheck(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), toksOf(col("text")).as("toks"))
-    val sh = docs
-      .filter(size(col("toks")) >= ShingleWidth)
+    val sh = Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(col("toks")) - ShingleWidth),
-          i => array_join(slice(col("toks"), i + 1, lit(ShingleWidth)), " ")))
-          .as("sh"))
+        explode(graft.functions.TextFunctions.shingleHashes(col("text"),
+          ShingleWidth)).as("sh"))
     val bench = sh.filter(col("doc_id") < BenchDocMax).select("sh").distinct()
     val corpus = sh.filter(col("doc_id") >= BenchDocMax)
-      .select("doc_id", "sh").distinct()
     corpus.join(broadcast(bench), "sh")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared"))
