@@ -60,6 +60,15 @@ object GraftFunctions {
         es(1).eval().asInstanceOf[Number].longValue(),
         es(2).eval().asInstanceOf[Int], es(3).eval().asInstanceOf[Int],
         es(4).eval().asInstanceOf[Int])),
+    ("sentiment_counts",
+      info("sentiment_counts",
+        "sentiment_counts(s) - struct(n_pos, n_neg, n_tok) lexicon sentiment counts"),
+      (es: Seq[Expression]) => SentimentCounts(es(0))),
+    ("shingle_hashes",
+      info("shingle_hashes",
+        "shingle_hashes(s, w) - distinct 64-bit hashes of the word w-shingles"),
+      (es: Seq[Expression]) => ShingleHashes(es(0),
+        es(1).eval().asInstanceOf[Int])),
     ("top_k",
       info("top_k",
         "top_k(value, id, k) - aggregate: k largest (value, id) pairs, bounded-heap state"),

@@ -49,6 +49,28 @@ class ExtensionsSpec extends SparkTestBase {
     assert(keys === viaCol)
   }
 
+  test("round-6 SQL kernels: sentiment_counts and shingle_hashes") {
+    GraftFunctions.register(spark)
+    Seq("good day bad loss up and away we go")
+      .toDF("s").createOrReplaceTempView("ext_t6")
+    val r = spark.sql(
+      """SELECT sentiment_counts(s) AS sc,
+        |  size(shingle_hashes(s, 8)) AS nsh,
+        |  size(shingle_hashes(s, 99)) AS nsh_short
+        |FROM ext_t6""".stripMargin).collect()(0)
+    val sc = r.getStruct(0)
+    assert((sc.getInt(0), sc.getInt(1), sc.getInt(2)) === ((2, 2, 9)))
+    assert(r.getInt(1) === 2) // 9 tokens → two 8-shingles
+    assert(r.getInt(2) === 0) // shorter than the window → none
+    // same hashes as the Column API
+    val viaCol = Seq("good day bad loss up and away we go").toDF("s")
+      .select(graft.functions.TextFunctions.shingleHashes(col("s"), 8).as("h"))
+      .collect()(0).getSeq[Long](0)
+    val viaSql = spark.sql("SELECT shingle_hashes(s, 8) AS h FROM ext_t6")
+      .collect()(0).getSeq[Long](0)
+    assert(viaSql === viaCol)
+  }
+
   test("top_k SQL aggregate matches the Column API form") {
     GraftFunctions.register(spark)
     Tables.load(spark, SfDir, "orders").createOrReplaceTempView("ext_orders")
