@@ -57,6 +57,28 @@ object ScaleProbe {
       val t = (System.nanoTime() - t0) / 1e9
       println(f"SCALE-DEDUP $mult%3dx (${mult * 5}%3dk docs): $t%7.3f s, $n%9d near-dup pairs")
     }
+    // decontamination at N× corpus size: the benchmark side stays
+    // fixed (an eval suite is bounded), the corpus side multiplies —
+    // shingle-hash explode + broadcast join should scale linearly in
+    // corpus rows with a constant benchmark set
+    for (mult <- Seq(1, 5, 20)) {
+      val big = (0 until mult).map(i =>
+        docs.select((col("doc_id") + lit(i * 10000000L + 50L)).as("doc_id"),
+          col("text"))).reduce(_ unionByName _)
+      val bench = docs.filter(col("doc_id") < 50)
+        .select(graft.functions.TextFunctions
+          .shingleHashes(col("text"), 8).as("hs"))
+        .select(explode(col("hs")).as("sh")).distinct()
+      def run(): Long = big
+        .select(col("doc_id"), explode(graft.functions.TextFunctions
+          .shingleHashes(col("text"), 8)).as("sh"))
+        .join(broadcast(bench), "sh")
+        .groupBy("doc_id").count().count()
+      run() // warmup
+      val t0 = System.nanoTime(); val n = run()
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"SCALE-CONTAM $mult%3dx (${mult * 5}%3dk docs): $t%7.3f s, $n%6d contaminated docs")
+    }
     spark.stop()
   }
 }
