@@ -146,6 +146,27 @@ object EventStream {
         col("p_ts"), col("p_value"))
   }
 
+  /** Streaming per-ticker daily sentiment — the continuous twin of
+    * `TextOps.sentimentDaily` (#67), same kernel, same aggregate
+    * arithmetic: lexicon counts per title (codegen'd SentimentCounts),
+    * watermarked 1-day tumbling windows, exact integer sums with the
+    * one double division at emit. Closed windows emit exactly once;
+    * per-window state is three longs per (ticker, day). */
+  def dailySentiment(events: DataFrame): DataFrame =
+    events
+      .withColumn("s",
+        graft.functions.TextFunctions.sentimentCounts(col("event_type")))
+      .withWatermark("ts", "2 days")
+      .groupBy(window(col("ts"), "1 day"), col("user_id"))
+      .agg(count(lit(1)).as("n_titles"),
+        sum(col("s.n_pos").cast("long")).as("sum_pos"),
+        sum(col("s.n_neg").cast("long")).as("sum_neg"))
+      .select(col("window.start").cast("date").as("day"),
+        col("user_id").as("ticker_id"), col("n_titles"),
+        col("sum_pos"), col("sum_neg"),
+        ((col("sum_pos") - col("sum_neg")).cast("double") /
+          col("n_titles").cast("double")).as("day_score"))
+
   /** State for latestPerUser: carries the winning event_id so the
     * (ts desc, event_id desc) tiebreak stays correct across
     * micro-batches — matching the batch twin `StockOps.latestPerKey`

@@ -190,6 +190,26 @@ class EventStreamSpec extends SparkTestBase {
     assert(finalState.count() === batch.count())
   }
 
+  test("streaming daily sentiment converges to the batch sentiment_daily") {
+    val dir = stageEventsAsFiles()
+    val stream = EventStream.dailySentiment(EventStream.readEvents(spark, dir))
+    val q = stream.writeStream.format("memory").queryName("daily_sent")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("daily_sent")
+    val batch = graft.operators.TextOps.sentimentDaily(spark, SfDir)
+    // every watermark-closed window must equal its batch twin exactly
+    val joined = got.join(batch, Seq("ticker_id", "day"))
+      .filter(got("n_titles") =!= batch("n_titles") ||
+        got("sum_pos") =!= batch("sum_pos") ||
+        got("sum_neg") =!= batch("sum_neg") ||
+        got("day_score") =!= batch("day_score"))
+    assert(joined.count() === 0, "streamed day disagrees with batch twin")
+    assert(got.count() > 0, "no closed windows emitted")
+    // nothing emitted that the batch result does not contain
+    assert(got.join(batch, Seq("ticker_id", "day"), "left_anti").count() === 0)
+  }
+
   test("compaction commit is atomic: readers never see a half-compacted day") {
     import graft.sinks.AppendSink
     val root = Files.createTempDirectory("graft_wh_atomic").toString
