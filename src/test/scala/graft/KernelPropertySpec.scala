@@ -100,4 +100,23 @@ class KernelPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("shingle hashes = distinct string shingles (count and equality)") {
+    forAll2(text, Gen.chooseNum(2, 8)) { (t, w) =>
+      val toks = t.trim.split("\\s+").filter(_.nonEmpty).toVector
+      val strShingles =
+        if (toks.size < w) Vector.empty
+        else (0 to toks.size - w).map(i => toks.slice(i, i + w)).distinct
+      val hs = ShingleHashes.compute(UTF8String.fromString(t), w)
+      // one hash per DISTINCT shingle (kernel dedupes), and distinct
+      // string shingles never collide on these generated corpora
+      assert(hs.numElements() === strShingles.size,
+        s"w=$w text='$t'")
+      val arr = hs.toLongArray()
+      assert(arr.distinct.length === arr.length)
+      // determinism + equal shingles hash equal: recompute and compare
+      val hs2 = ShingleHashes.compute(UTF8String.fromString(t), w)
+      assert(hs2.toLongArray().toSeq === arr.toSeq)
+    }
+  }
 }
