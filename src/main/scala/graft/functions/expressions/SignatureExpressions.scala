@@ -164,7 +164,10 @@ case class ShingleHashes(child: Expression, w: Int) extends UnaryExpression {
 object ShingleHashes {
   def compute(text: UTF8String, w: Int): ArrayData = {
     val th = MinHashSig.tokenHashes(text)
-    if (th.length < w) return new GenericArrayData(Array.emptyLongArray)
+    // w <= 0 must not degenerate to "one empty-window hash per doc"
+    // (every doc would share the constant fmix(seed) shingle)
+    if (w <= 0 || th.length < w)
+      return new GenericArrayData(Array.emptyLongArray)
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     var i = 0
     while (i + w <= th.length) {

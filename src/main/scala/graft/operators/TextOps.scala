@@ -183,7 +183,13 @@ object TextOps {
     * ever materialized or shuffled (the production shape; see the
     * kernel's collision note — the DuckDB oracle compares the strings
     * and agrees because a count-changing collision has probability
-    * ~2^-64 per shingle pair). The benchmark hash set is bounded (an
+    * ~2^-64 per shingle pair). Tokenization follows the signature
+    * kernels' shared convention: ASCII-only case folding (a doc
+    * differing from a benchmark shingle ONLY in non-ASCII letter case
+    * is not matched, where the full-Unicode lower() oracle would
+    * match) — a documented semantic shared with MinHashSig/SimHash64,
+    * not a hash-collision artifact. The benchmark hash set is bounded
+    * (an
     * eval suite, not a corpus) → broadcast; the join moves only
     * (doc_id, hash) pairs. */
   def contaminationCheck(spark: SparkSession, dir: String): DataFrame = {

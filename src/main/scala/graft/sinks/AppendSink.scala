@@ -46,10 +46,19 @@ object AppendSink {
     if (days.isEmpty || days.forall(d => batchDirs(d).isEmpty))
       spark.read.parquet(path)
     else {
-      val live = days.flatMap { d =>
-        if (batchDirs(d).isEmpty) Seq(d) else liveBatchDirs(d)
-      }.map(_.getAbsolutePath)
-      spark.read.option("basePath", path).parquet(live: _*)
+      // A table can mix batch-partitioned days and plain days (e.g. a
+      // day written by a non-streaming append). Reading both leaf
+      // depths in ONE call makes partition discovery infer conflicting
+      // partition columns, so read each depth separately and union
+      // (plain days carry a null _batch_id).
+      val (plainDays, batchDays) = days.partition(d => batchDirs(d).isEmpty)
+      val live = batchDays.flatMap(liveBatchDirs).map(_.getAbsolutePath)
+      val batched = spark.read.option("basePath", path).parquet(live: _*)
+      if (plainDays.isEmpty) batched
+      else batched.unionByName(
+        spark.read.option("basePath", path)
+          .parquet(plainDays.map(_.getAbsolutePath): _*),
+        allowMissingColumns = true)
     }
   }
 
@@ -117,14 +126,17 @@ object AppendSink {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** The day's live batch directories under the manifest rule. */
-  private[graft] def liveBatchDirs(dayDir: java.io.File): Seq[java.io.File] = {
+  /** The day's live (id, dir) pairs under the manifest rule. */
+  private def liveBatchPairs(dayDir: java.io.File): Seq[(Long, java.io.File)] = {
     val (gen, covers) = readManifest(dayDir)
-    batchDirs(dayDir).collect {
-      case (id, f) if id >= 0 && !covers(id) => f
-      case (id, f) if gen > 0 && id == -gen => f
+    batchDirs(dayDir).filter { case (id, _) =>
+      (id >= 0 && !covers(id)) || (gen > 0 && id == -gen)
     }
   }
+
+  /** The day's live batch directories under the manifest rule. */
+  private[graft] def liveBatchDirs(dayDir: java.io.File): Seq[java.io.File] =
+    liveBatchPairs(dayDir).map(_._2)
 
   /** #56b Atomic day compaction: rewrite the day's live micro-batch
     * partitions into one right-sized `_batch_id=-G` partition,
@@ -136,13 +148,14 @@ object AppendSink {
       targetBytes: Long = 128L * 1024 * 1024): Unit = {
     val dayDir = new java.io.File(s"$path/batch_date=$day")
     if (!dayDir.isDirectory) return
-    val live = liveBatchDirs(dayDir)
-    if (live.isEmpty) return
+    val livePairs = liveBatchPairs(dayDir)
+    if (livePairs.isEmpty) return
     val (prevGen, prevCovers) = readManifest(dayDir)
-    val liveIds = live.flatMap(f => f.getName match {
-      case BatchDirRe(id) => Some(id.toLong)
-      case _ => None
-    }).toSet
+    // already fully compacted and nothing new arrived → re-running is
+    // a structural no-op, not a full-day rewrite into a fresh gen
+    if (prevGen > 0 && livePairs.map(_._1) == Seq(-prevGen)) return
+    val live = livePairs.map(_._2)
+    val liveIds = livePairs.map(_._1).toSet
     // next generation: above both the committed gen and any stale
     // data dir left by a run that crashed before its manifest swap
     val gen = ((batchDirs(dayDir).map(-_._1).filter(_ > 0) :+ prevGen).max) + 1

@@ -72,9 +72,14 @@ object ZOrderLayout {
     * min/max domain collect is 4 scalars from one aggregate — bounded,
     * not a data collect. */
   def build(spark: SparkSession, dir: String, nFiles: Int = 8): String = {
+    // cache key: dir hash and nFiles as separate components (string
+    // concat would make ("…sf0.1", 8) collide with ("…sf0.18", …));
+    // a layout older than its source is rebuilt, not served stale
     val out = new java.io.File(
-      s"/tmp/graft_zorder_${(dir + nFiles).hashCode & Int.MaxValue}")
-    if (!new java.io.File(out, "_SUCCESS").isFile) {
+      s"/tmp/graft_zorder_${dir.hashCode & Int.MaxValue}_$nFiles")
+    val success = new java.io.File(out, "_SUCCESS")
+    val src = new java.io.File(dir, "events.parquet")
+    if (!success.isFile || success.lastModified < src.lastModified) {
       val ev = Tables.load(spark, dir, "events")
         .withColumn("ts_min", floor(col("ts").cast("long") / 60).cast("long"))
       val r = ev.agg(min("user_id"), max("user_id"), min("ts_min"),

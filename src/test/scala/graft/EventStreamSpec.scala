@@ -267,5 +267,24 @@ class EventStreamSpec extends SparkTestBase {
     assert(gen3 === 3L && covers3 === Set(0L, 1L, 5L))
     assert(AppendSink.liveBatchDirs(dayDir).map(_.getName) ===
       Seq("_batch_id=-3"))
+
+    // compacting an already-compacted day with nothing new is a
+    // structural no-op: same generation, no rewrite
+    AppendSink.compactDay(spark, out, day)
+    assert(AppendSink.readManifest(dayDir)._1 === 3L)
+    assert(readIds() === (0L to 6L))
+
+    // a plain (non-batch-partitioned) day appended to the same table
+    // reads alongside the batch-partitioned days with a null batch id
+    Seq((100L, java.sql.Timestamp.valueOf("2024-01-02 01:00:00"),
+        1L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("batch_date", to_date(col("ts")))
+      .write.mode("append").partitionBy("batch_date").parquet(out)
+    val mixed = AppendSink.readBack(spark, out)
+    assert(mixed.select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      === ((0L to 6L) :+ 100L))
+    assert(mixed.filter(col("event_id") === 100L)
+      .select("_batch_id").collect()(0).isNullAt(0))
   }
 }

@@ -118,5 +118,10 @@ class KernelPropertySpec extends AnyFunSuite {
       val hs2 = ShingleHashes.compute(UTF8String.fromString(t), w)
       assert(hs2.toLongArray().toSeq === arr.toSeq)
     }
+    // degenerate widths yield no shingles, never a constant hash
+    Seq(0, -1).foreach { w =>
+      assert(ShingleHashes.compute(UTF8String.fromString("a b c"), w)
+        .numElements() === 0)
+    }
   }
 }
