@@ -53,6 +53,7 @@ object SparkEntry {
     "ann_brute" -> (Similarity.annBrute _),
     "ann_lsh" -> (Similarity.annLsh _),
     "ann_ivf" -> (Similarity.annIvf _),
+    "label_centroids" -> (Similarity.labelCentroids _),
     // §2.B OLAP / sequence extensions (round 3)
     "rollup_agg" -> (Olap.rollupAgg _),
     "pivot_wide" -> (Olap.pivotWide _),
@@ -265,6 +266,18 @@ object SparkEntry {
         |  round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
         |FROM e a JOIN e b ON a.vec_id + 1 = b.vec_id
         |ORDER BY vec_a""".stripMargin,
+    "label_centroids" ->
+      """WITH s AS (SELECT label, embedding,
+        |    unnest(range(len(embedding))) AS pos
+        |  FROM embeddings),
+        |d AS (SELECT label, pos,
+        |    cast(sum(cast(cast(embedding[pos + 1] AS double)
+        |      AS decimal(28,6))) AS double) / cast(count(*) AS double) AS m
+        |  FROM s GROUP BY 1, 2),
+        |n AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1)
+        |SELECT d.label, d.pos, d.m, n.n_vecs
+        |FROM d JOIN n USING (label)
+        |ORDER BY d.label, d.pos""".stripMargin,
     "ann_brute" ->
       """WITH e AS (SELECT vec_id, cast(embedding AS double[]) AS v
         |  FROM embeddings),

@@ -240,6 +240,24 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** #72 Per-label embedding centroids (prototype vectors — class
+    * means for classifier init / nearest-centroid labeling / drift
+    * monitoring). Long form (label, pos, m): one decimal-exact mean
+    * per (label, dimension), the same partition-order-independent
+    * recompute shape as [[kmeansRefine]]'s assignment step, plus the
+    * per-label support count. One explode pass + one (label, pos)
+    * shuffle of scalars — no vector ever rides a shuffle. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val n = e.groupBy("label").agg(count(lit(1)).as("n_vecs"))
+    e.select(col("label"), posexplode(col("vec")))
+      .groupBy(col("label"), col("pos").cast("long").as("pos"))
+      .agg(graft.operators.Num.davg(col("col")).as("m"))
+      .join(broadcast(n), "label")
+      .select("label", "pos", "m", "n_vecs")
+      .orderBy("label", "pos")
+  }
+
   /** #24 Embedding-cosine near-dup: all vectors banded, candidate
     * pairs generated inside capped buckets as (a, b) ids ONLY — a
     * 512-byte vector does not ride the bucket shuffle or the pair

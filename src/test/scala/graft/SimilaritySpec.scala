@@ -30,6 +30,29 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.6, s"IVF recall $recall too low (found ${ivf.size})")
   }
 
+  test("label centroids equal the plain-Scala per-label means") {
+    val raw = graft.sources.Tables.load(spark, SfDir, "embeddings")
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble).toVector))
+    val want = raw.groupBy(_._1).flatMap { case (label, vs) =>
+      val dim = vs.head._2.size
+      (0 until dim).map { p =>
+        // reference mean in BigDecimal (mirrors Num.davg's exactness)
+        val s = vs.map(v => BigDecimal(v._2(p)).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP)).sum
+        (label, p.toLong, s.toDouble / vs.size, vs.size.toLong)
+      }
+    }.toSeq.sortBy(t => (t._1, t._2))
+    val got = Similarity.labelCentroids(spark, SfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSeq
+    assert(got.size === want.size)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._1 === w._1 && g._2 === w._2 && g._4 === w._4)
+      assert(math.abs(g._3 - w._3) < 1e-12, s"centroid ${g._1}/${g._2}")
+    }
+  }
+
   test("brute-force top-k is exactly the window-ranked cosine order") {
     val got = Similarity.annBrute(spark, SfDir)
     // ranks are 1..5 per query, cosine non-increasing within a query
