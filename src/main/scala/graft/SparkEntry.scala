@@ -54,6 +54,7 @@ object SparkEntry {
     "ann_lsh" -> (Similarity.annLsh _),
     "ann_ivf" -> (Similarity.annIvf _),
     "label_centroids" -> (Similarity.labelCentroids _),
+    "centroid_assign" -> (Similarity.centroidAssign _),
     // §2.B OLAP / sequence extensions (round 3)
     "rollup_agg" -> (Olap.rollupAgg _),
     "pivot_wide" -> (Olap.pivotWide _),
@@ -278,6 +279,28 @@ object SparkEntry {
         |SELECT d.label, d.pos, d.m, n.n_vecs
         |FROM d JOIN n USING (label)
         |ORDER BY d.label, d.pos""".stripMargin,
+    "centroid_assign" ->
+      """WITH s AS (SELECT label, embedding,
+        |    unnest(range(len(embedding))) AS pos
+        |  FROM embeddings),
+        |d AS (SELECT label, pos,
+        |    cast(sum(cast(cast(embedding[pos + 1] AS double)
+        |      AS decimal(28,6))) AS double) / cast(count(*) AS double) AS m
+        |  FROM s GROUP BY 1, 2),
+        |c AS (SELECT label AS c_label, list(m ORDER BY pos) AS cvec
+        |  FROM d GROUP BY 1),
+        |e AS (SELECT vec_id, label, cast(embedding AS double[]) AS v
+        |  FROM embeddings),
+        |scored AS (SELECT e.vec_id, e.label, c.c_label,
+        |    list_cosine_similarity(e.v, c.cvec) AS cs
+        |  FROM e CROSS JOIN c),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cs DESC, c_label ASC) AS rn FROM scored)
+        |SELECT label AS true_label, c_label AS pred_label,
+        |  count(*) AS n_vecs,
+        |  cast(sum(cast(cs AS decimal(28,6))) AS double) /
+        |    cast(count(*) AS double) AS avg_cos
+        |FROM ranked WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ann_brute" ->
       """WITH e AS (SELECT vec_id, cast(embedding AS double[]) AS v
         |  FROM embeddings),

@@ -258,6 +258,33 @@ object Similarity {
       .orderBy("label", "pos")
   }
 
+  /** #73 Nearest-centroid assignment + confusion matrix: classify
+    * every vector by its cosine-nearest label centroid (from
+    * [[labelCentroids]]) and aggregate (true, predicted) counts with
+    * a decimal-exact mean cosine — the pseudo-labeling / label-drift
+    * report a training pipeline runs after computing prototypes. The
+    * centroid table is |labels| rows → broadcast; the argmax is the
+    * bounded rows×|labels| broadcast-product + per-vector window, the
+    * same shape as [[annIvf]]'s assignment step. */
+  def centroidAssign(spark: SparkSession, dir: String): DataFrame = {
+    val cvecs = labelCentroids(spark, dir)
+      .groupBy(col("label").as("c_label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), t -> t.m)")
+        .as("cvec"))
+    val e = emb(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cs").desc, col("c_label").asc)
+    e.crossJoin(broadcast(cvecs))
+      .select(col("vec_id"), col("label"), col("c_label"),
+        cosine(col("vec"), col("cvec")).as("cs"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("label").as("true_label"), col("c_label").as("pred_label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        graft.operators.Num.davg(col("cs")).as("avg_cos"))
+      .orderBy("true_label", "pred_label")
+  }
+
   /** #24 Embedding-cosine near-dup: all vectors banded, candidate
     * pairs generated inside capped buckets as (a, b) ids ONLY — a
     * 512-byte vector does not ride the bucket shuffle or the pair

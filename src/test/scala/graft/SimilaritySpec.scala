@@ -53,6 +53,17 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("centroid assignment covers every vector exactly once") {
+    val got = Similarity.centroidAssign(spark, SfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val total = graft.sources.Tables.load(spark, SfDir, "embeddings").count()
+    assert(got.map(_._3).sum === total, "confusion matrix must cover corpus")
+    assert(got.forall(t => t._3 > 0 && t._4 >= -1.0 && t._4 <= 1.0))
+    // a cell's mean cosine to the PREDICTED centroid is the max over
+    // centroids by construction → diagonal cells exist for this corpus
+    assert(got.exists(t => t._1 === t._2))
+  }
+
   test("brute-force top-k is exactly the window-ranked cosine order") {
     val got = Similarity.annBrute(spark, SfDir)
     // ranks are 1..5 per query, cosine non-increasing within a query
