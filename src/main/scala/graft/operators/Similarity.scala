@@ -266,11 +266,25 @@ object Similarity {
     * centroid table is |labels| rows → broadcast; the argmax is the
     * bounded rows×|labels| broadcast-product + per-vector window, the
     * same shape as [[annIvf]]'s assignment step. */
+  // Label-centroid model cache, keyed by corpus dir — same bounded
+  // model-artifact pattern as [[trainedCentroids]]: |labels| rows ×
+  // dim doubles, computed once per corpus, reused by every
+  // assignment query. The collect is bounded by label cardinality,
+  // never by data size.
+  private val labelCentroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Seq[Double])]]
+
   def centroidAssign(spark: SparkSession, dir: String): DataFrame = {
-    val cvecs = labelCentroids(spark, dir)
-      .groupBy(col("label").as("c_label"))
-      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), t -> t.m)")
-        .as("cvec"))
+    val cached = labelCentroidCache.computeIfAbsent(dir, _ => {
+      import spark.implicits._
+      labelCentroids(spark, dir)
+        .groupBy(col("label").as("c_label"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), t -> t.m)")
+          .as("cvec"))
+        .as[(Int, Seq[Double])].collect().toSeq
+    })
+    import spark.implicits._
+    val cvecs = cached.toDF("c_label", "cvec")
     val e = emb(spark, dir)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("cs").desc, col("c_label").asc)
