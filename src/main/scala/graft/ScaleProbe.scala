@@ -63,15 +63,15 @@ object ScaleProbe {
     // corpus rows with a constant benchmark set
     for (mult <- Seq(1, 5, 20)) {
       val big = (0 until mult).map(i =>
-        docs.select((col("doc_id") + lit(i * 10000000L + 50L)).as("doc_id"),
+        docs.select((col("doc_id") + lit(i * 10000000L) + lit(graft.operators.TextOps.BenchDocMax)).as("doc_id"),
           col("text"))).reduce(_ unionByName _)
-      val bench = docs.filter(col("doc_id") < 50)
+      val bench = docs.filter(col("doc_id") < graft.operators.TextOps.BenchDocMax)
         .select(graft.functions.TextFunctions
-          .shingleHashes(col("text"), 8).as("hs"))
+          .shingleHashes(col("text"), graft.operators.TextOps.ShingleWidth).as("hs"))
         .select(explode(col("hs")).as("sh")).distinct()
       def run(): Long = big
         .select(col("doc_id"), explode(graft.functions.TextFunctions
-          .shingleHashes(col("text"), 8)).as("sh"))
+          .shingleHashes(col("text"), graft.operators.TextOps.ShingleWidth)).as("sh"))
         .join(broadcast(bench), "sh")
         .groupBy("doc_id").count().count()
       run() // warmup

@@ -247,12 +247,19 @@ object Similarity {
     * recompute shape as [[kmeansRefine]]'s assignment step, plus the
     * per-label support count. One explode pass + one (label, pos)
     * shuffle of scalars — no vector ever rides a shuffle. */
-  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-    val n = e.groupBy("label").agg(count(lit(1)).as("n_vecs"))
-    e.select(col("label"), posexplode(col("vec")))
+  /** The (label, pos, m) dimension means — shared by the reporting
+    * query and the cached assignment model, so the model build does
+    * not pay the report's presentation sort / support-count join. */
+  private def centroidDims(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir)
+      .select(col("label"), posexplode(col("vec")))
       .groupBy(col("label"), col("pos").cast("long").as("pos"))
       .agg(graft.operators.Num.davg(col("col")).as("m"))
+
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val n = emb(spark, dir).groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"))
+    centroidDims(spark, dir)
       .join(broadcast(n), "label")
       .select("label", "pos", "m", "n_vecs")
       .orderBy("label", "pos")
@@ -277,7 +284,7 @@ object Similarity {
   def centroidAssign(spark: SparkSession, dir: String): DataFrame = {
     val cached = labelCentroidCache.computeIfAbsent(dir, _ => {
       import spark.implicits._
-      labelCentroids(spark, dir)
+      centroidDims(spark, dir)
         .groupBy(col("label").as("c_label"))
         .agg(expr("transform(array_sort(collect_list(struct(pos, m))), t -> t.m)")
           .as("cvec"))

@@ -50,14 +50,21 @@ object AppendSink {
       // day written by a non-streaming append). Reading both leaf
       // depths in ONE call makes partition discovery infer conflicting
       // partition columns, so read each depth separately and union
-      // (plain days carry a null _batch_id).
+      // (plain-depth rows carry a null _batch_id). A batched day can
+      // ALSO hold loose day-level files (a backfill append into a
+      // streaming day) — those are read by explicit file path so they
+      // are neither silently dropped nor mistaken for a batch dir.
       val (plainDays, batchDays) = days.partition(d => batchDirs(d).isEmpty)
       val live = batchDays.flatMap(liveBatchDirs).map(_.getAbsolutePath)
+      val loose = batchDays.flatMap(d =>
+        Option(d.listFiles()).getOrElse(Array.empty).filter(f =>
+          f.isFile && !f.getName.startsWith("_") &&
+            !f.getName.startsWith(".")).map(_.getAbsolutePath))
       val batched = spark.read.option("basePath", path).parquet(live: _*)
-      if (plainDays.isEmpty) batched
+      val plainPaths = plainDays.map(_.getAbsolutePath) ++ loose
+      if (plainPaths.isEmpty) batched
       else batched.unionByName(
-        spark.read.option("basePath", path)
-          .parquet(plainDays.map(_.getAbsolutePath): _*),
+        spark.read.option("basePath", path).parquet(plainPaths: _*),
         allowMissingColumns = true)
     }
   }
@@ -78,6 +85,16 @@ object AppendSink {
   // PUT. Covered batch ids stay excluded even if a replay re-creates
   // their directory (idempotent-replay contract preserved after
   // compaction); GC of covered dirs after the swap is safe to crash.
+  //
+  // INVARIANT: covered ids assume a batch id never carries NEW data —
+  // true while the writer's checkpoint lives as long as the table
+  // (foreachBatch ids are checkpoint-scoped). Resetting or replacing
+  // the checkpoint restarts ids at 0, and a covered id's new rows
+  // would be invisible and eventually GC'd. A checkpoint reset must
+  // therefore call [[resetDayManifests]] first (after which the
+  // already-compacted `_batch_id=-G` dirs read as... nothing, since
+  // negatives need a manifest — so reset re-registers each compacted
+  // generation as gen with empty covers instead of deleting).
 
   private val ManifestName = "_graft_manifest.json"
 
@@ -152,8 +169,14 @@ object AppendSink {
     if (livePairs.isEmpty) return
     val (prevGen, prevCovers) = readManifest(dayDir)
     // already fully compacted and nothing new arrived → re-running is
-    // a structural no-op, not a full-day rewrite into a fresh gen
-    if (prevGen > 0 && livePairs.map(_._1) == Seq(-prevGen)) return
+    // a structural no-op, not a full-day rewrite into a fresh gen.
+    // Still sweep orphans first: a crash between a previous run's
+    // manifest swap and its GC leaves covered/stale dirs that would
+    // otherwise be retained until new batches force a generation.
+    if (prevGen > 0 && livePairs.map(_._1) == Seq(-prevGen)) {
+      gcDay(dayDir, liveUnder(prevGen, prevCovers))
+      return
+    }
     val live = livePairs.map(_._2)
     val liveIds = livePairs.map(_._1).toSet
     // next generation: above both the committed gen and any stale
@@ -182,11 +205,36 @@ object AppendSink {
     writeManifestAtomic(dayDir, gen, covers)
     // 4. GC superseded dirs (crash-safe: covered/stale dirs are
     //    already unreadable under the manifest rule)
-    batchDirs(dayDir).foreach { case (id, f) =>
-      if (id != -gen && (id < 0 || covers(id)))
-        org.apache.commons.io.FileUtils.deleteQuietly(f)
-    }
+    gcDay(dayDir, liveUnder(gen, covers))
   }
+
+  /** The reader rule as a predicate: live = the manifest's generation
+    * plus any non-negative id not covered (which keeps a batch id
+    * arriving concurrently with the GC listing safe). */
+  private def liveUnder(gen: Long, covers: Set[Long])(id: Long): Boolean =
+    id == -gen || (id >= 0 && !covers(id))
+
+  /** Delete every batch dir of the day the `keep` predicate rejects —
+    * everything else is unreadable under the manifest rule. */
+  private def gcDay(dayDir: java.io.File, keep: Long => Boolean): Unit =
+    batchDirs(dayDir).foreach { case (id, f) =>
+      if (!keep(id)) org.apache.commons.io.FileUtils.deleteQuietly(f)
+    }
+
+  /** Prepare a warehouse for a writer whose batch ids restart at 0 (a
+    * new or reset streaming checkpoint — see the protocol INVARIANT
+    * above): per day, sweep everything not live, then clear `covers`
+    * so restarted ids are visible again while the compacted
+    * generation stays live. Must run BEFORE the new writer's first
+    * micro-batch. */
+  def resetDayManifests(path: String): Unit =
+    listDayDirs(path).foreach { dayDir =>
+      val (gen, covers) = readManifest(dayDir)
+      if (gen > 0) {
+        gcDay(dayDir, liveUnder(gen, covers))
+        writeManifestAtomic(dayDir, gen, Set.empty)
+      }
+    }
 
   /** #56 Small-file compaction: rewrite one partition's many
     * micro-batch files into ceil(bytes/target) right-sized files via

@@ -72,11 +72,13 @@ object ZOrderLayout {
     * min/max domain collect is 4 scalars from one aggregate — bounded,
     * not a data collect. */
   def build(spark: SparkSession, dir: String, nFiles: Int = 8): String = {
-    // cache key: dir hash and nFiles as separate components (string
-    // concat would make ("…sf0.1", 8) collide with ("…sf0.18", …));
-    // a layout older than its source is rebuilt, not served stale
-    val out = new java.io.File(
-      s"/tmp/graft_zorder_${dir.hashCode & Int.MaxValue}_$nFiles")
+    // cache key: MD5 of the source dir (collision-free in practice,
+    // unlike String.hashCode) + nFiles as a separate component; a
+    // layout older than its source is rebuilt, not served stale
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map("%02x".format(_)).mkString
+    val out = new java.io.File(s"/tmp/graft_zorder_${digest}_$nFiles")
     val success = new java.io.File(out, "_SUCCESS")
     val src = new java.io.File(dir, "events.parquet")
     if (!success.isFile || success.lastModified < src.lastModified) {

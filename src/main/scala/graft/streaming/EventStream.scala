@@ -84,9 +84,12 @@ object EventStream {
     * partition overwrite, so a redelivered batch (foreachBatch is
     * at-least-once) overwrites exactly itself — duplicates are
     * structurally impossible rather than filtered. Downstream,
-    * `AppendSink.compactPartition` collapses the per-batch files on
-    * the reference's daily cadence. This is the continuous version
-    * of the batch WRITE_APPEND + idempotent-replay contract (#4). */
+    * `AppendSink.compactDay` collapses the day's per-batch partitions
+    * under the manifest commit protocol on the reference's daily
+    * cadence (the checkpoint must live as long as the table — see the
+    * protocol INVARIANT and `resetDayManifests` in AppendSink). This
+    * is the continuous version of the batch WRITE_APPEND +
+    * idempotent-replay contract (#4). */
   def writeToWarehouse(events: DataFrame, path: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     events

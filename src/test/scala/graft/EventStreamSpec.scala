@@ -286,5 +286,25 @@ class EventStreamSpec extends SparkTestBase {
       === ((0L to 6L) :+ 100L))
     assert(mixed.filter(col("event_id") === 100L)
       .select("_batch_id").collect()(0).isNullAt(0))
+
+    // checkpoint reset: batch ids restart at 0 and now carry NEW
+    // data; resetDayManifests clears the covers (keeping the
+    // compacted generation live) so the reused id is visible again
+    AppendSink.resetDayManifests(out)
+    assert(AppendSink.readManifest(dayDir) === ((3L, Set.empty[Long])))
+    EventStream.writeMicroBatch(mkBatch(7 to 8), 0L, out)
+    assert(readIds() === ((0L to 8L) :+ 100L),
+      "restarted batch id invisible after manifest reset")
+
+    // a backfill appended DIRECTLY into the batched day (loose
+    // day-level files next to _batch_id dirs) must read alongside
+    // the live batch dirs, not silently drop
+    Seq((300L, java.sql.Timestamp.valueOf(s"$day 09:30:00"),
+        2L, "click", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("batch_date", to_date(col("ts")))
+      .write.mode("append").partitionBy("batch_date").parquet(out)
+    assert(readIds() === ((0L to 8L) ++ Seq(100L, 300L)),
+      "loose backfill files in a batched day were dropped")
   }
 }
