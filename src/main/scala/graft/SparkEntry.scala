@@ -78,6 +78,7 @@ object SparkEntry {
     "chunk_docs" -> (TextOps.chunkDocs _),
     "repetition_score" -> (TextOps.repetitionScore _),
     "contamination" -> (TextOps.contaminationCheck _),
+    "corpus_stats" -> (TextOps.corpusStats _),
     "multimodal_meta" -> (Multimodal.multimodalMeta _)
   )
 
@@ -652,6 +653,36 @@ object SparkEntry {
         |c AS (SELECT DISTINCT doc_id, sh FROM s WHERE doc_id >= 50)
         |SELECT c.doc_id, count(*) AS n_shared
         |FROM c JOIN b USING (sh) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "corpus_stats" ->
+      """WITH t AS (SELECT source, lang, text,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |r AS (SELECT source, lang,
+        |    cast(len(toks) AS bigint) AS n_tok,
+        |    cast(length(text) AS bigint) AS n_chars,
+        |    cast(len(list_filter(toks, x -> x IN ('good','great','gain',
+        |      'up','fast','big','purchase','signup'))) AS bigint) AS n_pos,
+        |    cast(len(list_filter(toks, x -> x IN ('bad','poor','loss',
+        |      'down','slow','small','error'))) AS bigint) AS n_neg,
+        |    [concat(toks[i+1], ' ', toks[i+2], ' ', toks[i+3])
+        |     for i in range(len(toks) - 2)] AS tg
+        |  FROM t),
+        |d AS (SELECT *, CASE WHEN len(tg) > 0
+        |    THEN cast(len(tg) - len(list_distinct(tg)) AS double) /
+        |      cast(len(tg) AS double)
+        |    ELSE 0.0 END AS dup_ratio FROM r)
+        |SELECT source, lang, count(*) AS n_docs,
+        |  cast(sum(n_tok) AS bigint) AS sum_tokens,
+        |  cast(sum(cast(cast(n_chars AS double) AS decimal(28,6)))
+        |    AS double) / cast(count(*) AS double) AS avg_chars,
+        |  cast(sum(CASE WHEN n_tok < 20 THEN 1 ELSE 0 END) AS bigint)
+        |    AS short_docs,
+        |  cast(sum(n_pos) AS bigint) AS sum_pos,
+        |  cast(sum(n_neg) AS bigint) AS sum_neg,
+        |  cast(sum(cast(dup_ratio AS decimal(28,6))) AS double) /
+        |    cast(count(*) AS double) AS avg_dup_ratio
+        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id, cast(strlen(text) AS bigint) AS n_bytes,
         |  (strlen(text) + 4095) // 4096 AS n_chunks,

@@ -175,6 +175,42 @@ object TextOps {
   val ShingleWidth = 8
   val BenchDocMax = 50L
 
+  /** #74 Corpus card: the per-(source, language) statistics table a
+    * dataset release ships — doc/token counts, length and
+    * duplicate-trigram quality signals, sentiment totals, short-doc
+    * share. ONE scan evaluates every kernel (tokens, trigrams,
+    * sentiment) per row, then a single (source, lang) shuffle of
+    * partial aggregates; at 100 TB this is the cheapest possible
+    * shape for a full-corpus report. All sums decimal-exact or
+    * integer → partitioning-independent, fully SQL-oracle-able. */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), col("lang"), col("text"),
+        toksOf(col("text")).as("toks"),
+        sentimentCounts(col("text")).as("s"))
+      .withColumn("tg", when(size(col("toks")) >= 3,
+          transform(sequence(lit(0), size(col("toks")) - 3),
+            i => concat_ws(" ", element_at(col("toks"), i + 1),
+              element_at(col("toks"), i + 2), element_at(col("toks"), i + 3))))
+        .otherwise(array().cast("array<string>")))
+      .select(col("source"), col("lang"),
+        size(col("toks")).cast("long").as("n_tok"),
+        length(col("text")).cast("long").as("n_chars"),
+        col("s.n_pos").cast("long").as("n_pos"),
+        col("s.n_neg").cast("long").as("n_neg"),
+        when(size(col("tg")) > 0,
+          (size(col("tg")) - size(array_distinct(col("tg")))).cast("double") /
+            size(col("tg")).cast("double")).otherwise(0.0).as("dup_ratio"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("sum_tokens"),
+        Num.davg(col("n_chars").cast("double")).as("avg_chars"),
+        sum(when(col("n_tok") < 20, 1L).otherwise(0L)).as("short_docs"),
+        sum(col("n_pos")).as("sum_pos"),
+        sum(col("n_neg")).as("sum_neg"),
+        Num.davg(col("dup_ratio")).as("avg_dup_ratio"))
+      .orderBy("source", "lang")
+
   /** #71 Benchmark decontamination: flag corpus documents sharing any
     * 8-token shingle with the benchmark set (docs 0-49 stand in for
     * an eval suite). Shingles are compared as 64-bit hashes from the

@@ -63,6 +63,20 @@ class TextPipelineSpec extends SparkTestBase {
     assert(got === expected)
   }
 
+  test("corpus_stats: one scan, one kernel evaluation each, sane totals") {
+    val df = TextOps.corpusStats(spark, SfDir)
+    val plan = planOf(df)
+    // each scan appears twice in formatted plans (tree + detail)
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(plan).size === 1,
+      "must be ONE scan")
+    assert("sentimentcounts\\(".r.findAllIn(plan).size === 1)
+    assert(plan.contains("partial_count"), "aggregate must be partial (map-side)")
+    val rows = df.collect()
+    assert(rows.map(_.getLong(2)).sum === docs.size, "n_docs must cover corpus")
+    val expTokens = docs.map(d => toks(d._2).size.toLong).sum
+    assert(rows.map(_.getLong(3)).sum === expTokens, "token totals disagree")
+  }
+
   test("contamination matches a plain-Scala reference") {
     def shingles(t: Vector[String]): Set[String] =
       if (t.size < TextOps.ShingleWidth) Set.empty
