@@ -328,7 +328,7 @@ object SparkEntry {
     "ohlc_bars" ->
       """WITH t AS (SELECT user_id, ts, value,
         |    lpad(cast(epoch_us(ts) AS varchar), 20, '0') ||
-        |      lpad(cast(event_id AS varchar), 12, '0') AS sk
+        |      lpad(cast(event_id AS varchar), 20, '0') AS sk
         |  FROM events WHERE event_type = 'purchase')
         |SELECT user_id AS ticker_id, cast(ts AS date) AS day,
         |  arg_min(value, sk) AS open, max(value) AS high,
@@ -338,7 +338,7 @@ object SparkEntry {
     "dq_checks" ->
       """WITH a AS (SELECT
         |  sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS null_id,
-        |  count(*) - count(DISTINCT event_id) AS dup_id,
+        |  count(event_id) - count(DISTINCT event_id) AS dup_id,
         |  sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS null_user,
         |  sum(CASE WHEN event_type NOT IN
         |    ('click','error','purchase','signup','view')
@@ -450,7 +450,7 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
     "range_join" ->
       s"""SELECT c.event_id, c.user_id, c.ts,
-         |  count(p.p_value) AS n_purch, ${dsum("p.p_value")} AS sum_purch
+         |  count(p.p_user) AS n_purch, ${dsum("p.p_value")} AS sum_purch
          |FROM (SELECT event_id, user_id, ts FROM events
          |      WHERE event_type = 'click') c
          |LEFT JOIN (SELECT user_id AS p_user, ts AS p_ts, value AS p_value
@@ -472,7 +472,7 @@ object SparkEntry {
       """SELECT source, cast(rnk AS bigint) AS rnk, doc_id
         |FROM (SELECT source, doc_id, row_number() OVER (
         |    PARTITION BY source
-        |    ORDER BY (doc_id % 1000000007) * 2654435761 % 1000 ASC,
+        |    ORDER BY (doc_id % 1000000007) * 2654435761 % 1000000007 ASC,
         |      doc_id ASC) AS rnk
         |  FROM documents)
         |WHERE rnk <= 20 ORDER BY source, rnk""".stripMargin,
@@ -491,7 +491,7 @@ object SparkEntry {
       s"""SELECT event_type, count(*) AS n_kept,
          |  ${dsum("value")} AS sum_value
          |FROM events
-         |WHERE (event_id % 1000000007) * 2654435761 % 1000 <
+         |WHERE (event_id % 1000000007) * 2246822519 % 1000 <
          |  CASE event_type WHEN 'view' THEN 50 WHEN 'click' THEN 100
          |    ELSE 1000 END
          |GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -31,6 +31,27 @@ object Sampling {
     pmod(pmod(id, lit(1000000007L)) * lit(2654435761L),
       lit(SplitBuckets.toLong))
 
+  /** Full-width (mod 1e9+7) variant of the split hash — the selection
+    * ORDER for caps. 1000 buckets are fine for split MEMBERSHIP but
+    * degenerate as an ordering key: a group with ≫1000·cap members
+    * would pick all its winners from bucket 0 by lowest id (a
+    * systematic old-document bias on crawl-ordered ids). ~2^30
+    * distinct values make ties vanishingly rare; < 2^53, so exact as
+    * a double. */
+  def hashKey(id: Column): Column =
+    pmod(pmod(id, lit(1000000007L)) * lit(2654435761L),
+      lit(1000000007L))
+
+  /** Sampling bucket DECORRELATED from the split hash (different
+    * Knuth multiplier): stratified downsampling must compose
+    * independently with train/val/test assignment — with the same
+    * hash, every kept row of a downsampled class would land in the
+    * train range and the val/test splits would lose the class
+    * entirely. */
+  def sampleBucket(id: Column): Column =
+    pmod(pmod(id, lit(1000000007L)) * lit(2246822519L),
+      lit(SplitBuckets.toLong))
+
   /** Split label as a pure function of the id. */
   def splitLabel(id: Column): Column = {
     val b = hashBucket(id)
@@ -53,7 +74,7 @@ object Sampling {
       when(col("event_type") === k, lit(v)).otherwise(acc)
     }
     Tables.load(spark, dir, "events")
-      .filter(hashBucket(col("event_id")) < rate)
+      .filter(sampleBucket(col("event_id")) < rate)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_kept"), Num.dsum(col("value")).as("sum_value"))
       .orderBy("event_type")
@@ -64,7 +85,7 @@ object Sampling {
   /** #65 Per-group capping: keep at most N documents per source —
     * the domain-balancing move of a training-data pipeline ("no
     * domain may dominate the mix"). Selection order is
-    * (hash-bucket, id): uniform-random in aggregate yet a pure
+    * (full-width hash, id): uniform-random in aggregate yet a pure
     * function of the id, so every run, engine, and cluster size
     * keeps the same documents. Runs on the bounded-heap TopKAgg
     * (O(cap) state per group, map-side merge) rather than a window
@@ -74,7 +95,7 @@ object Sampling {
     Tables.load(spark, dir, "documents")
       .groupBy(col("source"))
       .agg(graft.functions.AggFunctions.topK(
-        -hashBucket(col("doc_id")).cast("double"), col("doc_id"), GroupCapN)
+        -hashKey(col("doc_id")).cast("double"), col("doc_id"), GroupCapN)
         .as("top"))
       .select(col("source"), posexplode(col("top")))
       .select(col("source"), (col("pos") + 1L).as("rnk"),

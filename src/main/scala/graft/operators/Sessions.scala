@@ -84,7 +84,9 @@ object Sessions {
           col("p_ts") <= col("ts"),
         "left")
       .groupBy("event_id", "user_id", "ts")
-      .agg(count(col("p_value")).as("n_purch"),
+      // count matched ROWS via the join key (non-null iff matched) —
+      // counting p_value would silently exclude null-valued purchases
+      .agg(count(col("p_user")).as("n_purch"),
         Num.dsum(col("p_value")).as("sum_purch"))
       .orderBy("event_id")
   }

@@ -121,9 +121,15 @@ object StockOps {
   def incrementalBatch(spark: SparkSession, dir: String): DataFrame =
     Tables.loadEventsRange(spark, dir,
         "2024-01-01 00:00:00", "2024-01-02 00:00:00")
-      .dropDuplicates("event_id")
-      .groupBy(date_trunc("hour", col("ts")).as("batch_hour"))
-      .agg(count(lit(1)).as("n_events"), Num.dsum(col("value")).as("sum_value"))
+      // deterministic dedupe: keep the MINIMUM (ts, value) row per id
+      // — dropDuplicates keeps an arbitrary one, so if a replayed id
+      // ever carried a diverging payload the aggregate would become
+      // partition-order-dependent (and disagree with the oracle)
+      .groupBy("event_id")
+      .agg(min(struct(col("ts"), col("value"))).as("r"))
+      .groupBy(date_trunc("hour", col("r.ts")).as("batch_hour"))
+      .agg(count(lit(1)).as("n_events"),
+        Num.dsum(col("r.value")).as("sum_value"))
       .orderBy("batch_hour")
 
   /** #61 VWAP — volume-weighted average price per ticker per day
@@ -149,9 +155,13 @@ object StockOps {
     * order even under timestamp ties), high/low/volume as plain
     * aggregates. One shuffle on the bar key. */
   def ohlcBars(spark: SparkSession, dir: String): DataFrame = {
+    // both fields padded to 20 so NO positive long can be truncated
+    // (lpad CUTS inputs longer than len — a 13-digit event_id under a
+    // 12-pad would sort before a 12-digit one); domain: non-negative
+    // ids and post-1970 timestamps, as everywhere in this warehouse
     val sortKey = concat(
       lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
-      lpad(col("event_id").cast("string"), 12, "0"))
+      lpad(col("event_id").cast("string"), 20, "0"))
     Tables.load(spark, dir, "events")
       .filter(col("event_type") === "purchase")
       .withColumn("sk", sortKey)
@@ -176,7 +186,9 @@ object StockOps {
     val ev = Tables.load(spark, dir, "events")
     val agg = ev.agg(
       sum(when(col("event_id").isNull, 1L).otherwise(0L)).as("null_id"),
-      (count(lit(1)) - countDistinct(col("event_id"))).as("dup_id"),
+      // count(col), not count(*): both sides must exclude nulls or
+      // every null id is double-reported as a phantom duplicate
+      (count(col("event_id")) - countDistinct(col("event_id"))).as("dup_id"),
       sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("null_user"),
       sum(when(!col("event_type").isin(Olap.EventTypes: _*), 1L)
         .otherwise(0L)).as("bad_type"),
@@ -274,7 +286,7 @@ object StockOps {
     * re-run day swaps one partition, never the table. */
   def appendRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val out = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_append_${dir.hashCode}").getPath
+      sys.props("java.io.tmpdir"), s"graft_append_${graft.sources.StagePath.key(dir)}").getPath
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
     val batch = Tables.loadEventsRange(spark, dir,
         "2024-01-01 00:00:00", "2024-01-02 00:00:00")

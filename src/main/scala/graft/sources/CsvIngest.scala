@@ -45,12 +45,20 @@ object CsvIngest {
       .option("columnNameOfCorruptRecord", "_corrupt")
       .csv(path)
       .cache()
-    val clean = raw.filter(col("_corrupt").isNull)
+    // The timestamp arrives as text (so a bad ts does NOT set
+    // _corrupt); parse with try_to_timestamp and quarantine parse
+    // failures too — a plain to_timestamp would THROW under ANSI mode
+    // and fail the whole batch instead of quarantining the row.
+    val tsParsed =
+      try_to_timestamp(col("ts"), lit("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    val badRow = col("_corrupt").isNotNull ||
+      (col("ts").isNotNull && tsParsed.isNull)
+    val clean = raw.filter(!badRow)
       .drop("_corrupt")
-      .withColumn("ts", to_timestamp(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      .withColumn("ts", tsParsed)
     // keep the whole row (Spark disallows plans that reference only
     // the corrupt-record column; callers also want the parse context)
-    val bad = raw.filter(col("_corrupt").isNotNull)
+    val bad = raw.filter(badRow)
     IngestBatch(clean, bad, () => { raw.unpersist(); () })
   }
 
@@ -61,7 +69,7 @@ object CsvIngest {
     * print as shortest-exact, timestamps carry micros). */
   def csvIngestQuery(spark: SparkSession, dir: String): DataFrame = {
     val out = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_csv_${dir.hashCode}").getPath
+      sys.props("java.io.tmpdir"), s"graft_csv_${StagePath.key(dir)}").getPath
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
     // raw-nanos range load → the one-day window prunes at the scan
     Tables.loadEventsRange(spark, dir,

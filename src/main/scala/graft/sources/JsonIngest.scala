@@ -29,10 +29,17 @@ object JsonIngest {
       .option("columnNameOfCorruptRecord", "_corrupt")
       .json(path)
       .cache()
-    val clean = raw.filter(col("_corrupt").isNull)
+    // Same ANSI-safe timestamp quarantine as CsvIngest.readEvents: a
+    // malformed ts string parses fine against the text schema, so it
+    // must be caught by try_to_timestamp, not thrown at by ANSI.
+    val tsParsed =
+      try_to_timestamp(col("ts"), lit("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    val badRow = col("_corrupt").isNotNull ||
+      (col("ts").isNotNull && tsParsed.isNull)
+    val clean = raw.filter(!badRow)
       .drop("_corrupt")
-      .withColumn("ts", to_timestamp(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
-    val bad = raw.filter(col("_corrupt").isNotNull)
+      .withColumn("ts", tsParsed)
+    val bad = raw.filter(badRow)
     CsvIngest.IngestBatch(clean, bad, () => { raw.unpersist(); () })
   }
 
@@ -42,7 +49,7 @@ object JsonIngest {
     * slice directly: the round-trip must be lossless. */
   def jsonIngestQuery(spark: SparkSession, dir: String): DataFrame = {
     val out = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_json_${dir.hashCode}").getPath
+      sys.props("java.io.tmpdir"), s"graft_json_${StagePath.key(dir)}").getPath
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
     // raw-nanos range load → the one-day window prunes at the scan
     Tables.loadEventsRange(spark, dir,

@@ -22,6 +22,12 @@ object ShardedReader {
     * stats), not a data collect. */
   def rangeBounds(df: DataFrame, key: String, n: Int): Seq[(Long, Long)] = {
     val row = df.agg(min(col(key)).cast("long"), max(col(key)).cast("long")).head()
+    // empty input (or an all-null key): min/max are null — one
+    // trivial shard instead of an NPE; the shard filters then simply
+    // select nothing. Rows with a null key never match any range
+    // predicate, so the key contract is non-null (as with every
+    // warehouse id here).
+    if (row.isNullAt(0) || row.isNullAt(1)) return Seq((0L, 1L))
     val (lo, hi) = (row.getLong(0), row.getLong(1))
     val width = math.max(1L, (hi - lo) / n + 1)
     (0 until n).map(i => (lo + i * width, lo + (i + 1) * width))

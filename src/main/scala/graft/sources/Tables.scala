@@ -127,7 +127,12 @@ object Tables {
     var df = spark.read.schema(eventsRaw).parquet(s"$dir/events.parquet")
     if (from != null) df = df.filter(col("ts") >= lit(nanos(from)))
     if (until != null) df = df.filter(col("ts") < lit(nanos(until)))
-    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // true FLOOR division (pmod keeps the remainder non-negative):
+    // `ts div 1000` truncates toward zero, which would round
+    // pre-1970 (negative-nanos) timestamps one microsecond UP and
+    // break the documented floor contract and its range-bound proof
+    df.withColumn("ts",
+      timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
   }
 
   /** Generic typed ingest: read with a declared schema and enforce

@@ -101,6 +101,34 @@ class ExtensionsSpec extends SparkTestBase {
     batch.release()
   }
 
+  test("malformed timestamps are quarantined, not thrown at (ANSI)") {
+    // a bad ts parses fine against the TEXT schema (no _corrupt), so
+    // it must be caught by try_to_timestamp — under ANSI a plain
+    // to_timestamp would fail the whole batch at materialization
+    val dir = java.nio.file.Files.createTempDirectory("graft_badts").toString
+    val lines = Seq(
+      """{"event_id": 1, "ts": "2024-01-01 00:00:00.000001", "user_id": 1, "event_type": "click", "value": 1.0}""",
+      """{"event_id": 2, "ts": "not-a-timestamp", "user_id": 2, "event_type": "click", "value": 2.0}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part.json"),
+      String.join("\n", lines: _*).getBytes)
+    val jb = graft.sources.JsonIngest.readEvents(spark, dir)
+    assert(jb.clean.count() === 1)
+    assert(jb.quarantined.count() === 1)
+    assert(jb.quarantined.select("ts").collect()(0).getString(0)
+      === "not-a-timestamp")
+    jb.release()
+    val csvDir = java.nio.file.Files.createTempDirectory("graft_badts_csv")
+      .toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(csvDir, "part.csv"),
+      ("event_id,ts,user_id,event_type,value\n" +
+        "1,2024-01-01 00:00:00.000001,1,click,1.0\n" +
+        "2,31 Feb 2024,2,click,2.0").getBytes)
+    val cb = graft.sources.CsvIngest.readEvents(spark, csvDir)
+    assert(cb.clean.count() === 1)
+    assert(cb.quarantined.count() === 1)
+    cb.release()
+  }
+
   test("compaction collapses micro-batch files and preserves the rows") {
     import graft.sinks.AppendSink
     val out = java.nio.file.Files
