@@ -72,7 +72,13 @@ object GraftFunctions {
     ("top_k",
       info("top_k",
         "top_k(value, id, k) - aggregate: k largest (value, id) pairs, bounded-heap state"),
-      (es: Seq[Expression]) => TopKAgg(es(0), es(1),
+      // cast up front so integer/decimal value and id columns work
+      // from SQL (TopKAgg itself type-checks at analysis)
+      (es: Seq[Expression]) => TopKAgg(
+        org.apache.spark.sql.catalyst.expressions.Cast(es(0),
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.catalyst.expressions.Cast(es(1),
+          org.apache.spark.sql.types.LongType),
         es(2).eval().asInstanceOf[Int]).toAggregateExpression())
   )
 

@@ -258,7 +258,7 @@ object SparkEntry {
         |             - len(list_intersect(x.grams, y.grams)) AS double)
         |    ELSE 0.0 END AS jac
         |FROM d x JOIN d y ON x.lang = y.lang AND x.source = y.source
-        |  AND x.blk = y.blk AND x.doc_id < y.doc_id
+        |  AND abs(x.blk - y.blk) <= 1 AND x.doc_id < y.doc_id
         |  AND abs(x.n_chars - y.n_chars) <= 20
         |ORDER BY jac DESC, a, b LIMIT 200""".stripMargin,
     "cosine_pairs" ->
@@ -689,6 +689,7 @@ object SparkEntry {
         |  16 + strlen(text) % 624 AS width,
         |  16 + (strlen(text) * 7) % 464 AS height,
         |  1 + strlen(text) % 3 AS channels
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents WHERE text IS NOT NULL
+        |ORDER BY doc_id""".stripMargin
   )
 }

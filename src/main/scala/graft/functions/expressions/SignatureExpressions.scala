@@ -117,7 +117,11 @@ object MinHashSig {
   def compute(text: UTF8String, k: Int, w: Int): ArrayData = {
     require(k <= MaxK, s"k=$k exceeds MaxK=$MaxK")
     val th = tokenHashes(text)
-    if (th.length < w) return new GenericArrayData(Array.empty[Long])
+    // w <= 0 must not degenerate to one constant empty-window hash
+    // per doc (every doc would minhash-match every other) — same
+    // guard as ShingleHashes
+    if (w <= 0 || th.length < w)
+      return new GenericArrayData(Array.empty[Long])
     val seen = new java.util.HashSet[java.lang.Long]()
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
@@ -217,6 +221,7 @@ case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
 
 object CharNgrams {
   def compute(text: UTF8String, n: Int): ArrayData = {
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
     val t = text.toString.toLowerCase(Locale.ROOT)
     val m = t.length - (n - 1)
     if (m < 1) return new GenericArrayData(Array.empty[Any])

@@ -32,6 +32,20 @@ case class TopKAgg(valueExpr: Expression, idExpr: Expression, k: Int,
     extends TypedImperativeAggregate[TopKAgg.Heap] {
   require(k > 0, "k must be positive")
 
+  // Reject wrong input types at analysis with a readable message
+  // instead of a per-row ClassCastException (AbstractDataType — the
+  // ExpectsInputTypes route — is private[sql]; the SQL-surface
+  // builder casts integer/decimal inputs before they reach here).
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (valueExpr.dataType == DoubleType && idExpr.dataType == LongType)
+      TypeCheckSuccess
+    else TypeCheckFailure(
+      s"top_k requires (double, bigint) inputs, got " +
+        s"(${valueExpr.dataType.simpleString}, ${idExpr.dataType.simpleString})")
+  }
+
   override def children: Seq[Expression] = Seq(valueExpr, idExpr)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(
@@ -100,6 +114,11 @@ object TopKAgg {
     private var n = 0
 
     def offer(v: Double, id: Long): Unit = {
+      // NaN never ranks: under the better() order every comparison
+      // with NaN is false, so an admitted NaN would sift to the root
+      // and block all later offers (and make the final sortWith
+      // comparator inconsistent). Same contract as max_by/arg_max.
+      if (v.isNaN) return
       if (n < k) {
         vs(n) = v; ids(n) = id; n += 1
         siftUp(n - 1)

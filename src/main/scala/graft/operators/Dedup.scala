@@ -39,10 +39,11 @@ object Dedup {
     * (band, key); emit a<b pairs inside buckets of size [2, cap]
     * (frequent-bucket pruning); distinct because a pair can collide
     * in several bands. Shuffled bytes = O(rows × bands × 24B). */
-  private[operators] def bucketPairs(banded: DataFrame): DataFrame =
+  private[operators] def bucketPairs(banded: DataFrame,
+      cap: Int = BucketCap): DataFrame =
     banded.groupBy("band", "key")
       .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")).between(2, BucketCap))
+      .filter(size(col("ids")).between(2, cap))
       .select(explode(col("ids")).as("a"), col("ids"))
       .select(col("a"), explode(col("ids")).as("b"))
       .filter(col("a") < col("b"))
@@ -180,11 +181,21 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         floor(col("n_chars") / lit(20)).as("blk"),
         TextFunctions.charNgrams(col("text"), 3).as("grams"))
+    // The probe side fans out to its own and both ADJACENT length
+    // blocks, so a ≤20-char pair straddling a block boundary (19 vs
+    // 21 chars) is still generated — an equi-join on blk alone would
+    // silently miss it, and within one block the ≤20 filter could
+    // never fire. Each qualifying pair matches exactly one of the
+    // three keys (b's blk is fixed), so no distinct is needed.
     val a = d.select(col("doc_id").as("a"), col("lang"), col("source"),
-      col("blk"), col("n_chars").as("nc_a"), col("grams").as("grams_a"))
+        col("blk"), col("n_chars").as("nc_a"), col("grams").as("grams_a"))
+      .withColumn("jblk",
+        explode(array(col("blk") - 1, col("blk"), col("blk") + 1)))
+      .drop("blk")
     val b = d.select(col("doc_id").as("b"), col("lang"), col("source"),
-      col("blk"), col("n_chars").as("nc_b"), col("grams").as("grams_b"))
-    a.join(b, Seq("lang", "source", "blk"))
+      col("blk").as("jblk"), col("n_chars").as("nc_b"),
+      col("grams").as("grams_b"))
+    a.join(b, Seq("lang", "source", "jblk"))
       .filter(col("a") < col("b") && abs(col("nc_a") - col("nc_b")) <= 20)
       .withColumn("jac", TextFunctions.jaccard(col("grams_a"), col("grams_b")))
       .select("a", "b", "jac")

@@ -61,6 +61,9 @@ object Multimodal {
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.load(spark, dir, "documents")
+      // a null payload has nothing to decode (decodeStub would NPE on
+      // payload.length) — mirror multimodalChunks' null/empty policy
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as[MediaIn]
       .mapPartitions(_.map(decodeStub))

@@ -174,22 +174,29 @@ object Similarity {
     * only cross product is rows × C (broadcast, C bounded); the probe
     * join is hash-partitioned on cell id. Rows-only; recall gated in
     * SimilaritySpec. */
-  // Trained-centroid cache, keyed by corpus dir: the centroid set is
-  // a bounded model artifact (C × dim doubles — here 32×64), trained
-  // once per corpus and reused by every probe query, exactly like a
-  // production IVF index. The driver-side materialization is bounded
-  // by C, never by data size.
+  // Trained-centroid cache, keyed by corpus dir + source mtime (a
+  // regenerated corpus at the same path must not serve stale
+  // centroids): the centroid set is a bounded model artifact (C ×
+  // dim doubles — here 32×64), trained once per corpus and reused by
+  // every probe query, exactly like a production IVF index. The
+  // driver-side materialization is bounded by C, never by data size.
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Seq[Double])]]
 
+  /** Cache key carrying the corpus identity AND freshness. */
+  private def modelKey(dir: String): String =
+    dir + "@" + new java.io.File(dir, "embeddings.parquet").lastModified
+
   /** Deterministic seed sample + Lloyd refinement, cached per corpus. */
   def trainedCentroids(spark: SparkSession, dir: String): DataFrame = {
-    val cached = centroidCache.computeIfAbsent(dir, _ => {
+    val cached = centroidCache.computeIfAbsent(modelKey(dir), _ => {
       val e = emb(spark, dir)
       val seed = e
         .select(col("vec_id").as("c_id"), col("vec").as("cvec"),
           hash(col("vec_id")).as("h"))
-        .orderBy("h").limit(IvfCells).drop("h")
+        // vec_id tiebreak: hash alone is not a total order, and the
+        // limit boundary must be run-independent
+        .orderBy(col("h"), col("c_id")).limit(IvfCells).drop("h")
       import spark.implicits._
       kmeansRefine(e.select(col("vec_id"), col("vec")), seed, IvfKmeansIters)
         .select(col("c_id"), col("cvec"))
@@ -282,7 +289,7 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Seq[Double])]]
 
   def centroidAssign(spark: SparkSession, dir: String): DataFrame = {
-    val cached = labelCentroidCache.computeIfAbsent(dir, _ => {
+    val cached = labelCentroidCache.computeIfAbsent(modelKey(dir), _ => {
       import spark.implicits._
       centroidDims(spark, dir)
         .groupBy(col("label").as("c_label"))
@@ -316,13 +323,7 @@ object Similarity {
     val e = emb(spark, dir).select(col("vec_id"), col("vec"))
     val banded = withBands(e, "vec", NearDupBitsPerBand)
       .select(col("vec_id").as("doc_id"), col("band"), col("key"))
-    val idPairs = banded.groupBy("band", "key")
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")).between(2, EmbBucketCap))
-      .select(explode(col("ids")).as("a"), col("ids"))
-      .select(col("a"), explode(col("ids")).as("b"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+    val idPairs = Dedup.bucketPairs(banded, EmbBucketCap)
     idPairs
       .join(e.select(col("vec_id").as("a"), col("vec").as("va")), "a")
       .join(e.select(col("vec_id").as("b"), col("vec").as("vb")), "b")
