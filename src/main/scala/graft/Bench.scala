@@ -18,17 +18,24 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Measure with collect(), NOT count(): under a count aggregate
+    // Catalyst eliminates final sorts, prunes every unused column,
+    // and answers parquet scans from footer metadata — a
+    // projection-shaped query (e.g. fingerprint's per-row kernel)
+    // would be "timed" without its work ever running. collect() forces
+    // the full result AND matches how the DuckDB baseline is timed
+    // (fetchall), so the comparison stays apples-to-apples.
     // Untimed warmup pass: JIT, codegen compilation, parquet footer
     // caches. Timed pass below measures steady-state execution.
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try fn(spark, sfDir).collect() catch { case _: Throwable => () }
     }
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.ListBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).count()
+        fn(spark, sfDir).collect()
         timings(name) = (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable =>

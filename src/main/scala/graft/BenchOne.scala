@@ -23,10 +23,10 @@ object BenchOne {
     spark.sparkContext.setLogLevel("WARN")
     args.foreach { name =>
       val fn = SparkEntry.queries(name)
-      fn(spark, sfDir).count() // warmup
+      fn(spark, sfDir).collect() // warmup
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        fn(spark, sfDir).collect() // full result, like Bench and the DuckDB fetchall
         (System.nanoTime() - t0) / 1e9
       }
       println(f"[benchone] $name reps=${times.map(t => f"$t%.3f").mkString(",")} min=${times.min}%.3f")

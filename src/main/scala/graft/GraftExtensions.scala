@@ -29,6 +29,31 @@ object GraftFunctions {
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft.functions.expressions", null, name, usage, "")
 
+  /** Scalar parameter extraction with real errors: a NULL literal
+    * must not unbox to 0 (silently changing semantics), a BIGINT
+    * literal must not ClassCastException, and a non-literal must say
+    * so — `eval().asInstanceOf[Int]` did all three. */
+  private def intArg(e: Expression, fn: String, param: String): Int = {
+    require(e.foldable, s"$fn: $param must be a literal")
+    e.eval() match {
+      case n: Number => n.intValue
+      case null =>
+        throw new IllegalArgumentException(s"$fn: $param must not be NULL")
+      case x => throw new IllegalArgumentException(
+        s"$fn: $param must be an integer literal, got $x")
+    }
+  }
+  private def longArg(e: Expression, fn: String, param: String): Long = {
+    require(e.foldable, s"$fn: $param must be a literal")
+    e.eval() match {
+      case n: Number => n.longValue
+      case null =>
+        throw new IllegalArgumentException(s"$fn: $param must not be NULL")
+      case x => throw new IllegalArgumentException(
+        s"$fn: $param must be an integer literal, got $x")
+    }
+  }
+
   /** (name, doc, builder) for every graft SQL function. */
   val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("cosine_sim",
@@ -43,13 +68,13 @@ object GraftFunctions {
     ("minhash_sig",
       info("minhash_sig", "minhash_sig(s, k, w) - k-element MinHash signature over word w-shingles"),
       (es: Seq[Expression]) => MinHashSig(es(0),
-        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),
+        intArg(es(1), "minhash_sig", "k"), intArg(es(2), "minhash_sig", "w"))),
     ("simhash64",
       info("simhash64", "simhash64(s) - 64-bit SimHash of the whitespace tokens"),
       (es: Seq[Expression]) => SimHash64(es(0))),
     ("char_ngrams",
       info("char_ngrams", "char_ngrams(s, n) - distinct lowercase character n-grams"),
-      (es: Seq[Expression]) => CharNgrams(es(0), es(1).eval().asInstanceOf[Int])),
+      (es: Seq[Expression]) => CharNgrams(es(0), intArg(es(1), "char_ngrams", "n"))),
     ("sig_agree",
       info("sig_agree", "sig_agree(a, b) - agreeing positions of two long-array signatures"),
       (es: Seq[Expression]) => LongArrayAgree(es(0), es(1))),
@@ -57,9 +82,10 @@ object GraftFunctions {
       info("sign_band_keys",
         "sign_band_keys(vec, seed, dim, bands, bits) - sign-LSH band keys of a double vector"),
       (es: Seq[Expression]) => SignBandKeys(es(0),
-        es(1).eval().asInstanceOf[Number].longValue(),
-        es(2).eval().asInstanceOf[Int], es(3).eval().asInstanceOf[Int],
-        es(4).eval().asInstanceOf[Int])),
+        longArg(es(1), "sign_band_keys", "seed"),
+        intArg(es(2), "sign_band_keys", "dim"),
+        intArg(es(3), "sign_band_keys", "bands"),
+        intArg(es(4), "sign_band_keys", "bits"))),
     ("sentiment_counts",
       info("sentiment_counts",
         "sentiment_counts(s) - struct(n_pos, n_neg, n_tok) lexicon sentiment counts"),
@@ -68,7 +94,7 @@ object GraftFunctions {
       info("shingle_hashes",
         "shingle_hashes(s, w) - distinct 64-bit hashes of the word w-shingles"),
       (es: Seq[Expression]) => ShingleHashes(es(0),
-        es(1).eval().asInstanceOf[Int])),
+        intArg(es(1), "shingle_hashes", "w"))),
     ("top_k",
       info("top_k",
         "top_k(value, id, k) - aggregate: k largest (value, id) pairs, bounded-heap state"),
@@ -79,7 +105,7 @@ object GraftFunctions {
           org.apache.spark.sql.types.DoubleType),
         org.apache.spark.sql.catalyst.expressions.Cast(es(1),
           org.apache.spark.sql.types.LongType),
-        es(2).eval().asInstanceOf[Int]).toAggregateExpression())
+        intArg(es(2), "top_k", "k")).toAggregateExpression())
   )
 
   /** Register every graft function on a live session. */

@@ -18,6 +18,11 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // clear any previous run's output FIRST: a failing query must
+      // leave a missing dir (the driver records the failure), never a
+      // stale result a reused outDir would silently grade as current
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$outDir/$name"))
       try {
         val df = fn(spark, sfDir)
         // Timestamps go out as NTZ (isAdjustedToUTC=false) so the

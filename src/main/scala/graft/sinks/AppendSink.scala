@@ -223,12 +223,17 @@ object AppendSink {
 
   /** Prepare a warehouse for a writer whose batch ids restart at 0 (a
     * new or reset streaming checkpoint — see the protocol INVARIANT
-    * above): per day, sweep everything not live, then clear `covers`
-    * so restarted ids are visible again while the compacted
-    * generation stays live. Must run BEFORE the new writer's first
-    * micro-batch. */
-  def resetDayManifests(path: String): Unit =
+    * above). Per day: first FOLD any live positive-id partitions into
+    * a compacted generation — a restarted writer's dynamic partition
+    * overwrite would otherwise silently REPLACE a colliding live
+    * `_batch_id=N` dir with the new batch N — then sweep non-live
+    * dirs and clear `covers` so restarted ids are visible again while
+    * the compacted data stays live. Must run BEFORE the new writer's
+    * first micro-batch. */
+  def resetDayManifests(spark: SparkSession, path: String): Unit =
     listDayDirs(path).foreach { dayDir =>
+      if (liveBatchPairs(dayDir).exists(_._1 >= 0))
+        compactDay(spark, path, dayDir.getName.stripPrefix("batch_date="))
       val (gen, covers) = readManifest(dayDir)
       if (gen > 0) {
         gcDay(dayDir, liveUnder(gen, covers))

@@ -54,11 +54,23 @@ object EventStream {
   case class Alert(user_id: Long, ts: Timestamp, prev: Double,
       value: Double, change: Double)
 
+  /** State for priceAlerts: the last value WITH its event-time
+    * position, so cross-batch ordering is enforceable — a bare
+    * "last value" would compare a late event against a newer price
+    * and then overwrite state as if the late event were newest,
+    * emitting time-inverted alerts. */
+  case class AlertState(ts: Timestamp, event_id: Long, value: Double)
+
   /** Price-move alerts via flatMapGroupsWithState: per key, compare
     * each event (in event-time order) to the previous value and emit
     * only moves ≥ `threshold` — the custom-state shape that windowed
     * aggregation can't express (output cardinality is data-dependent,
-    * 0..n rows per key per batch). State is one double per key. */
+    * 0..n rows per key per batch). State is one (ts, id, value) per
+    * key. Late events — older than the state's position, i.e.
+    * arriving in a later micro-batch than a newer event (the
+    * at-least-once overlap this file's dedup doc describes) — are
+    * DROPPED, not compared backwards: the alert stream stays
+    * monotonic in event time per key. */
   def priceAlerts(spark: SparkSession, events: DataFrame,
       threshold: Double): Dataset[Alert] = {
     import spark.implicits._
@@ -66,15 +78,21 @@ object EventStream {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.NoTimeout()) {
-        (uid: Long, rows: Iterator[Ev], state: GroupState[Double]) =>
-          var prev = state.getOption.getOrElse(Double.NaN)
+        (uid: Long, rows: Iterator[Ev], state: GroupState[AlertState]) =>
+          var prev = state.getOption.orNull
           val out = scala.collection.mutable.ListBuffer[Alert]()
           rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            if (!prev.isNaN && math.abs(e.value - prev) >= threshold)
-              out += Alert(uid, e.ts, prev, e.value, e.value - prev)
-            prev = e.value
+            val pos = (e.ts.getTime, e.event_id)
+            if (prev == null ||
+                pos._1 > prev.ts.getTime ||
+                (pos._1 == prev.ts.getTime && pos._2 > prev.event_id)) {
+              if (prev != null && math.abs(e.value - prev.value) >= threshold)
+                out += Alert(uid, e.ts, prev.value, e.value,
+                  e.value - prev.value)
+              prev = AlertState(e.ts, e.event_id, e.value)
+            } // else: late event, already superseded — drop
           }
-          state.update(prev)
+          if (prev != null) state.update(prev)
           out.iterator
       }
   }

@@ -290,11 +290,23 @@ class EventStreamSpec extends SparkTestBase {
     // checkpoint reset: batch ids restart at 0 and now carry NEW
     // data; resetDayManifests clears the covers (keeping the
     // compacted generation live) so the reused id is visible again
-    AppendSink.resetDayManifests(out)
+    AppendSink.resetDayManifests(spark, out)
     assert(AppendSink.readManifest(dayDir) === ((3L, Set.empty[Long])))
     EventStream.writeMicroBatch(mkBatch(7 to 8), 0L, out)
     assert(readIds() === ((0L to 8L) :+ 100L),
       "restarted batch id invisible after manifest reset")
+
+    // a SECOND reset while positive-id partitions are live must fold
+    // them into a generation first — otherwise a restarted writer's
+    // batch 0 would dynamic-partition-OVERWRITE the live _batch_id=0
+    // dir and silently destroy rows 7-8
+    AppendSink.resetDayManifests(spark, out)
+    assert(AppendSink.readManifest(dayDir) === ((4L, Set.empty[Long])))
+    assert(AppendSink.liveBatchDirs(dayDir).map(_.getName) ===
+      Seq("_batch_id=-4"))
+    EventStream.writeMicroBatch(mkBatch(9 to 9), 0L, out)
+    assert(readIds() === ((0L to 9L) :+ 100L),
+      "reset with live positive ids lost rows to an id collision")
 
     // a backfill appended DIRECTLY into the batched day (loose
     // day-level files next to _batch_id dirs) must read alongside
@@ -304,7 +316,7 @@ class EventStreamSpec extends SparkTestBase {
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .withColumn("batch_date", to_date(col("ts")))
       .write.mode("append").partitionBy("batch_date").parquet(out)
-    assert(readIds() === ((0L to 8L) ++ Seq(100L, 300L)),
+    assert(readIds() === ((0L to 9L) ++ Seq(100L, 300L)),
       "loose backfill files in a batched day were dropped")
   }
 }
