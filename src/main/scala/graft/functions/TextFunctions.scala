@@ -93,6 +93,12 @@ object TextFunctions {
   def sentimentCounts(text: Column): Column =
     GraftSqlBridge.column(SentimentCounts(GraftSqlBridge.expression(text)))
 
+  /** Fused PII scrub: struct<n_emails, n_phones, clean_text> in one
+    * pass (see PiiScrub for the byte-scan fast path and the
+    * oracle-nesting contract). */
+  def piiScrubStruct(text: Column): Column =
+    GraftSqlBridge.column(expressions.PiiScrub(GraftSqlBridge.expression(text)))
+
   /** Character n-gram set (distinct) — near-dup verification kernel
     * (SURVEY.md §2 #22). Empty array for strings shorter than n.
     * Codegen'd single-pass kernel (see SignatureExpressions). */

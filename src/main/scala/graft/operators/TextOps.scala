@@ -44,25 +44,30 @@ object TextOps {
       .orderBy("source")
 
   /** Email/phone patterns for PII scrubbing — kept to syntax both
-    * Java regex (Spark) and RE2 (DuckDB) interpret identically. */
-  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    * Java regex (Spark) and RE2 (DuckDB) interpret identically. The
+    * kernel's fallback path compiles EmailRe; PhoneRe is matched by
+    * an exact hand scanner (see PiiScrub). */
+  val EmailRe: String = graft.functions.expressions.PiiScrub.EmailRe
   val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
 
   /** #44 PII scrub: replace emails/phones with typed placeholder
     * tokens, report per-doc match counts — the redaction pass a
-    * training-data pipeline runs before tokenization. Single scan,
-    * all codegen'd regex built-ins; the synthetic corpus is PII-free
-    * (counts 0), TextOpsSpec plants PII and proves removal. */
+    * training-data pipeline runs before tokenization. Single scan
+    * through the fused codegen'd PiiScrub kernel (one byte pre-scan
+    * instead of four regex automaton passes; see
+    * functions/expressions/PiiScrub.scala); the synthetic corpus is
+    * PII-free (counts 0), TextOpsSpec plants PII and proves removal
+    * with semantics identical to the nested-regexp oracle SQL. */
   def piiScrub(spark: SparkSession, dir: String): DataFrame =
     piiScrubOn(Tables.load(spark, dir, "documents"))
 
   def piiScrubOn(docs: DataFrame): DataFrame =
     docs
+      .withColumn("p", piiScrubStruct(col("text")))
       .select(col("doc_id"),
-        regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
-        regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phones"),
-        regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
-          PhoneRe, "<PHONE>").as("clean_text"))
+        col("p.n_emails").as("n_emails"),
+        col("p.n_phones").as("n_phones"),
+        col("p.clean_text").as("clean_text"))
       .orderBy("doc_id")
 
   /** #66 Per-document sentiment score — lexicon hit counts (codegen'd
