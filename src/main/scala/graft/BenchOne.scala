@@ -13,20 +13,27 @@ object BenchOne {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
+    val stageFiles =
+      sys.env.getOrElse("SPARK_GRAFT_STAGE_FILES", "8").toInt
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same staged layout as Bench, so numbers stay comparable
+    // (SPARK_GRAFT_STAGE_FILES=0 to profile the raw single-file SF)
+    val runDir = if (stageFiles > 0) Bench.stage(spark, sfDir, stageFiles) else sfDir
     args.foreach { name =>
       val fn = SparkEntry.queries(name)
-      fn(spark, sfDir).collect() // warmup
+      fn(spark, runDir).collect() // warmup
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).collect() // full result, like Bench and the DuckDB fetchall
+        fn(spark, runDir).collect() // full result, like Bench and the DuckDB fetchall
         (System.nanoTime() - t0) / 1e9
       }
       println(f"[benchone] $name reps=${times.map(t => f"$t%.3f").mkString(",")} min=${times.min}%.3f")

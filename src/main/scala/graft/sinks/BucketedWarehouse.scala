@@ -23,7 +23,10 @@ object BucketedWarehouse {
     * session — re-invocations reuse the registered tables, which is
     * the operational model bucketing exists for. */
   def build(spark: SparkSession, dir: String): (String, String) = {
-    val suffix = (dir.hashCode & Int.MaxValue).toString
+    // MD5-derived key, NOT dir.hashCode: two source dirs colliding on
+    // the 32-bit hashCode would silently serve each other's warehouse
+    // (same reasoning as StagePath / ZOrderLayout).
+    val suffix = graft.sources.StagePath.key(dir)
     val li = s"graft_lineitem_b_$suffix"
     val ord = s"graft_orders_b_$suffix"
     if (spark.catalog.tableExists(li) && spark.catalog.tableExists(ord))

@@ -144,6 +144,34 @@ class OperatorsSpec extends SparkTestBase {
       tree.mkString("\n"))
   }
 
+  test("bucketed warehouses of hashCode-colliding dirs stay distinct") {
+    // "…Aa" and "…BB" have equal String.hashCodes — under the old
+    // dir.hashCode key these two corpora would silently share one
+    // warehouse; the MD5 key must keep them apart.
+    val base = new java.io.File(sys.props("java.io.tmpdir"), "graft_bw_collide")
+    val dirA = new java.io.File(base, "Aa").getPath
+    val dirB = new java.io.File(base, "BB").getPath
+    assert(dirA.hashCode === dirB.hashCode)
+    val li = graft.sources.Tables.load(spark, SfDir, "lineitem")
+    val ord = graft.sources.Tables.load(spark, SfDir, "orders")
+    li.write.mode("overwrite").parquet(s"$dirA/lineitem.parquet")
+    ord.write.mode("overwrite").parquet(s"$dirA/orders.parquet")
+    // corpus B is a strict subset, so serving the wrong table is
+    // detectable by count
+    li.filter(col("l_orderkey") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$dirB/lineitem.parquet")
+    ord.filter(col("o_orderkey") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$dirB/orders.parquet")
+    val (liA, _) = graft.sinks.BucketedWarehouse.build(spark, dirA)
+    val (liB, _) = graft.sinks.BucketedWarehouse.build(spark, dirB)
+    assert(liA !== liB)
+    val nA = spark.table(liA).count()
+    val nB = spark.table(liB).count()
+    assert(nA === li.count())
+    assert(nB === li.filter(col("l_orderkey") % 2 === 0).count())
+    assert(nA !== nB)
+  }
+
   test("news date round-trip through 'MMMM d, yyyy' preserves the date") {
     val got = StockOps.newsDateParse(spark, SfDir)
       .select(col("collected_at").cast("date").as("d"), col("news_date"))
