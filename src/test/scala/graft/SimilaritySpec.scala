@@ -25,9 +25,10 @@ class SimilaritySpec extends SparkTestBase {
       .select("q_id", "cand_id").as[(Long, Long)].collect().toSet
     val recall = (brute intersect ivf).size.toDouble / brute.size
     info(s"ann_ivf recall = $recall")
-    // multi-assignment + adaptive probing (Similarity.IvfAssign /
-    // IvfProbeMargin) lift recall well above the single-assign ~0.55
-    assert(recall >= 0.6, s"IVF recall $recall too low (found ${ivf.size})")
+    // 8 Lloyd iters + 3x multi-assignment + 10-cell adaptive probing
+    // (grid-searched round 7: 0.95-1.0 across the SF corpora) must
+    // hold a production-grade recall even on this isotropic worst case
+    assert(recall >= 0.85, s"IVF recall $recall too low (found ${ivf.size})")
   }
 
   test("label centroids equal the plain-Scala per-label means") {
