@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Larger-scale benchmark (VERDICT r6 #6): the sf0.1 corpus
+  * multiplied MULT× by hardlinking the staged 8-file tables, so the
+  * per-query scheduling floor amortizes and the comparison measures
+  * engine throughput, not job-launch latency. Only queries with
+  * row-linear semantics run here (scans, per-row kernels, key-local
+  * aggregations/windows — no cross-table joins, whose cardinality a
+  * file-duplication corpus would square). The DuckDB twin reads the
+  * SAME multiplied file lists (driver-side script; see BASELINE.md).
+  * Prints one JSON line like Bench. */
+object ScaleBench {
+
+  /** Row-linear subset of SparkEntry.queries. */
+  val Queries: Seq[String] = Seq(
+    "q1_agg", "filter_scan", "vwap", "ohlc_bars", "dq_checks",
+    "latest_per_key", "incremental_batch", "sessionize",
+    "quality_score", "token_count", "lang_id", "sentiment_docs",
+    "sentiment_daily", "fingerprint", "pii_scrub", "chunk_docs",
+    "repetition_score", "corpus_stats", "contamination", "dedup_exact")
+
+  /** Multiply every staged table dir by hardlinking each part file
+    * `mult` times under fresh names. Values are bit-identical; the
+    * corpus is `mult`× the rows at zero copy cost. */
+  def multiply(staged: String, mult: Int): String = {
+    val dest = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_scale_${graft.sources.StagePath.key(staged)}_x$mult")
+    val marker = new java.io.File(dest, "_STAGED")
+    if (marker.exists()) return dest.getPath
+    org.apache.commons.io.FileUtils.deleteQuietly(dest)
+    new java.io.File(staged).listFiles().filter(_.isDirectory).foreach { t =>
+      val out = new java.io.File(dest, t.getName)
+      out.mkdirs()
+      t.listFiles().filter(_.getName.endsWith(".parquet")).foreach { part =>
+        for (i <- 0 until mult)
+          java.nio.file.Files.createLink(
+            new java.io.File(out, s"m${i}_${part.getName}").toPath,
+            part.toPath)
+      }
+    }
+    marker.createNewFile()
+    dest.getPath
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val mult = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT", "10").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val runDir = multiply(stage(spark, sfDir), mult)
+    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val errors = scala.collection.mutable.ListBuffer[String]()
+    Queries.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      try {
+        fn(spark, runDir).collect() // warmup
+        var best = Double.MaxValue
+        for (_ <- 1 to 3) {
+          val t0 = System.nanoTime()
+          fn(spark, runDir).collect()
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        }
+        timings(name) = best
+      } catch {
+        case e: Throwable =>
+          errors += name
+          System.err.println(s"[scalebench] $name FAILED: ${e.getMessage}")
+      }
+    }
+    val qs = timings.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"scale_total","value":${timings.values.sum},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","mult":$mult}""")
+    spark.stop()
+  }
+
+  private def stage(spark: SparkSession, sfDir: String): String =
+    Bench.stage(spark, sfDir, 8)
+}

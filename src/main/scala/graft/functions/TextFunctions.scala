@@ -73,19 +73,26 @@ object TextFunctions {
   def punctCount(text: Column): Column =
     length(text) - length(regexp_replace(text, PunctClass, ""))
 
-  /** Composite quality metrics; every ratio is an exact int/int
-    * double division → engine-agnostic. */
-  def qualityColumns(text: Column): Seq[Column] = {
-    val nChars = length(text)
-    val nTok = wsTokenCount(text)
-    Seq(
-      nChars.cast("long").as("n_chars_m"),
-      nTok.cast("long").as("n_tokens"),
-      (nChars.cast("double") / nTok.cast("double")).as("chars_per_token"),
-      (punctCount(text).cast("double") / nChars.cast("double")).as("punct_ratio"),
-      (stopwordCount(text).cast("double") / nTok.cast("double")).as("stopword_ratio")
-    )
-  }
+  /** Fused quality stats: struct<n_chars, n_tok, n_punct, n_stop> in
+    * one codegen'd pass (see QualityStats for the SQL-twin
+    * contract). The composed `qualityColumns` form tokenized twice
+    * and ran an interpreted array-filter HOF per row. */
+  def qualityStruct(text: Column): Column =
+    GraftSqlBridge.column(
+      expressions.QualityStats(GraftSqlBridge.expression(text)))
+
+  /** Composite quality metrics from a materialized [[qualityStruct]]
+    * column; every ratio is an exact int/int double division →
+    * engine-agnostic and identical to the pre-kernel composed form. */
+  def qualityColumnsFrom(s: Column): Seq[Column] = Seq(
+    s.getField("n_chars").as("n_chars_m"),
+    s.getField("n_tok").cast("long").as("n_tokens"),
+    (s.getField("n_chars").cast("double") /
+      s.getField("n_tok").cast("double")).as("chars_per_token"),
+    (s.getField("n_punct").cast("double") /
+      s.getField("n_chars").cast("double")).as("punct_ratio"),
+    (s.getField("n_stop").cast("double") /
+      s.getField("n_tok").cast("double")).as("stopword_ratio"))
 
   /** Lexicon sentiment counts: struct<n_pos, n_neg, n_tok> over the
     * whitespace tokens — single-pass codegen'd kernel (see

@@ -26,10 +26,12 @@ object TextOps {
       .orderBy("pred_lang")
 
   /** #28 Quality scoring: per-doc metrics (exact int arithmetic /
-    * double divisions → engine-agnostic). */
+    * double divisions → engine-agnostic), all ingredients from ONE
+    * codegen'd QualityStats pass per document. */
   def qualityQuery(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
-      .select(col("doc_id") +: qualityColumns(col("text")): _*)
+      .withColumn("s", qualityStruct(col("text")))
+      .select(col("doc_id") +: qualityColumnsFrom(col("s")): _*)
       .orderBy("doc_id")
 
   /** #29 Token counting: whitespace and BPE-ish subword counts,
