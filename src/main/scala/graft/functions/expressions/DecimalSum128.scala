@@ -1,0 +1,144 @@
+package graft.functions.expressions
+
+import java.math.BigInteger
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types._
+
+/** Exact 128-bit sum of unscaled decimal(_,6) longs, on the
+  * hash-aggregate fast path.
+  *
+  * Spark's built-in `Sum` over any decimal input keeps its running
+  * total in `DecimalType(p+10, s)`; past 18 digits of precision that
+  * buffer is BigDecimal-backed, so every row pays an object
+  * allocation and a scaled BigDecimal add — measured ~2.5× the cost
+  * of a double sum on the q1 shape (ScaleExp: 0.50 s vs 0.20 s per
+  * 6M rows). This aggregate instead accumulates the UNSCALED long
+  * (`UnscaledValue(cast(x as decimal(18,6)))`) into a two's-complement
+  * 128-bit accumulator held as two long buffer slots — fixed-width,
+  * codegen'd, zero allocation per row — and converts to
+  * `decimal(38,6)` once per group.
+  *
+  * The low-word adds must wrap (the carry is reconstructed from the
+  * operands), so they are built with an explicit
+  * `EvalMode.LEGACY` context — under the session's ANSI mode a
+  * wrapping long add would throw ARITHMETIC_OVERFLOW.
+  *
+  * Exactness: the inputs are integers (unscaled 6-dp decimals), the
+  * 128-bit add is exact, and 2^127/10^6 ≈ 1.7×10^32 > the decimal(38,6)
+  * domain — the accumulator cannot overflow before the result would
+  * be unrepresentable anyway. Input casts are ANSI: a value outside
+  * decimal(18,6) (|x| ≥ 10^12) fails loudly rather than truncating.
+  */
+case class DecimalSum128(child: Expression)
+    extends DeclarativeAggregate with UnaryLike[Expression] {
+
+  // AbstractDataType (the ExpectsInputTypes route) is private[sql];
+  // reject wrong inputs at analysis time instead.
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (child.dataType == LongType) TypeCheckSuccess
+    else TypeCheckFailure(
+      s"decimal_sum128 requires a bigint (unscaled decimal) input, " +
+        s"got ${child.dataType.simpleString}")
+  }
+  override def dataType: DataType = DecimalType(38, 6)
+  override def nullable: Boolean = true
+  override def prettyName: String = "decimal_sum128"
+
+  private lazy val hi =
+    AttributeReference("sum128_hi", LongType, nullable = false)()
+  private lazy val lo =
+    AttributeReference("sum128_lo", LongType, nullable = false)()
+  private lazy val seen =
+    AttributeReference("sum128_seen", BooleanType, nullable = false)()
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] =
+    Seq(hi, lo, seen)
+
+  override lazy val initialValues: Seq[Expression] =
+    Seq(Literal(0L), Literal(0L), Literal(false))
+
+  /** Wrapping (non-ANSI) long add. */
+  private def addw(a: Expression, b: Expression): Expression =
+    Add(a, b, NumericEvalContext(EvalMode.LEGACY,
+      allowDecimalPrecisionLoss = true))
+
+  /** Carry-out bit of the unsigned 64-bit add a+b, computed from the
+    * operands only: bit 63 of (a>>>1) + (b>>>1) + (a&b&1). That sum
+    * is the exact value (a+b)/2 rounded down plus the dropped-bit
+    * carry — ≤ 2^64-1, so its low 64 bits (one wrapping add) hold it
+    * exactly and bit 63 is the carry into bit 64 of a+b. */
+  private def carry(a: Expression, b: Expression): Expression =
+    ShiftRightUnsigned(
+      addw(
+        addw(ShiftRightUnsigned(a, Literal(1)),
+          ShiftRightUnsigned(b, Literal(1))),
+        BitwiseAnd(BitwiseAnd(a, b), Literal(1L))),
+      Literal(63))
+
+  // update sees the OLD buffer plus the input row; the Seq order is
+  // the aggBufferAttributes order (hi, lo, seen). A null input adds 0
+  // and leaves `seen` untouched — built-in Sum's null semantics.
+  override lazy val updateExpressions: Seq[Expression] = {
+    val x = Coalesce(Seq(child, Literal(0L)))
+    Seq(
+      addw(addw(hi, ShiftRight(x, Literal(63))), carry(lo, x)),
+      addw(lo, x),
+      Or(seen, IsNotNull(child)))
+  }
+
+  override lazy val mergeExpressions: Seq[Expression] = Seq(
+    addw(addw(hi.left, hi.right), carry(lo.left, lo.right)),
+    addw(lo.left, lo.right),
+    Or(seen.left, seen.right))
+
+  override lazy val evaluateExpression: Expression =
+    If(seen, Decimal128FromParts(hi, lo), Literal(null, DecimalType(38, 6)))
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** (hi, lo) two's-complement 128-bit → the decimal(38,6) it encodes
+  * (unscaled value hi·2^64 + lo, scale 6). Evaluated once per group. */
+case class Decimal128FromParts(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckSuccess
+    else TypeCheckFailure("decimal128_from_parts requires (bigint, bigint)")
+  }
+  override def dataType: DataType = DecimalType(38, 6)
+  override def prettyName: String = "decimal128_from_parts"
+
+  override def nullSafeEval(h: Any, l: Any): Any =
+    Decimal128FromParts.make(h.asInstanceOf[Long], l.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (h, l) =>
+      s"${ev.value} = graft.functions.expressions.Decimal128FromParts.make($h, $l);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object Decimal128FromParts {
+  private val TwoPow64 = BigInteger.ONE.shiftLeft(64)
+
+  def make(hi: Long, lo: Long): Decimal = {
+    val unsignedLo =
+      if (lo >= 0) BigInteger.valueOf(lo)
+      else BigInteger.valueOf(lo).add(TwoPow64)
+    val unscaled = BigInteger.valueOf(hi).shiftLeft(64).add(unsignedLo)
+    Decimal(new java.math.BigDecimal(unscaled, 6), 38, 6)
+  }
+}

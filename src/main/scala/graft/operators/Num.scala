@@ -18,8 +18,42 @@ import org.apache.spark.sql.functions._
 object Num {
   val Dec = "decimal(28,6)"
 
-  /** Exact, order-independent sum of a double column → double. */
-  def dsum(c: Column): Column = sum(c.cast(Dec)).cast("double")
+  /** Exact, order-independent sum of a double column → double.
+    *
+    * The row values are cast to decimal(18,6) — long-backed, so the
+    * cast is the only per-row BigDecimal touch — and their unscaled
+    * longs are summed by [[graft.functions.expressions.DecimalSum128]]
+    * on the codegen'd fixed-width hash-agg path (~2× the built-in
+    * decimal Sum's throughput; see that kernel's doc). The exact
+    * 128-bit total → decimal(38,6) → double is bit-identical to the
+    * previous `cast(sum(cast(x as decimal(28,6))) as double)` form
+    * and to the DuckDB oracle, which both compute the same exact
+    * rational. ANSI bound: inputs must be |x| < 10^12 (monetary /
+    * quantity scale) or the 18,6 cast fails loudly. */
+  def dsum(c: Column): Column = dsumUnscaled(unscaled6(c))
+
+  /** The unscaled long of `c` rounded to 6 dp (= 10^6 × round6(c),
+    * exactly): one long-backed decimal(18,6) cast, no BigDecimal on
+    * the 128-bit sum path. ANSI: |c| ≥ 10^12 fails loudly. */
+  def unscaled6(c: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.UnscaledValue
+    GraftSqlBridge.column(
+      UnscaledValue(GraftSqlBridge.expression(c.cast("decimal(18,6)"))))
+  }
+
+  /** 128-bit exact sum of [[unscaled6]] longs → double. Bounded
+    * intermediate sums of unscaled6 values (e.g. per-order partials
+    * summed by the built-in long sum) can be re-summed with this at
+    * any scale — the accumulator is 128-bit. */
+  def dsumUnscaled(c: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(
+      graft.functions.expressions.DecimalSum128(
+        GraftSqlBridge.expression(c))
+        .toAggregateExpression())
+      .cast("double")
+  }
 
   /** Exact mean: decimal sum / count, divided in double (deterministic
     * given identical operands). */

@@ -75,21 +75,29 @@ object StockOps {
     // Pre-aggregate lineitem per order (additive partials), then join
     // the 4×-smaller partial table to orders and roll up per customer
     // — order_cnt becomes an exact count of pre-collapsed rows.
+    // Both aggregation levels stay on the codegen'd fixed-width
+    // hash-agg path: per-order partials are built-in long sums of the
+    // 6-dp unscaled values (an order has bounded lines, so the long
+    // cannot overflow — and ANSI would fail loudly, not truncate),
+    // and the per-customer rollup re-sums those longs with the
+    // 128-bit DecimalSum128 (exact at any number of orders). Value
+    // parity with the old decimal(28,6) two-level sum is exact: both
+    // compute Σ round6(row value) with no intermediate rounding.
     val liAgg = Tables.load(spark, dir, "lineitem")
       .groupBy("l_orderkey")
       .agg(
-        sum((col("l_extendedprice") * (lit(1d) - col("l_discount")))
-          .cast(Num.Dec)).as("rev_part"),
-        sum((col("l_extendedprice") * col("l_tax")).cast(Num.Dec))
+        sum(Num.unscaled6(col("l_extendedprice") * (lit(1d) - col("l_discount"))))
+          .as("rev_part"),
+        sum(Num.unscaled6(col("l_extendedprice") * col("l_tax")))
           .as("tax_part"),
-        sum(col("l_quantity").cast(Num.Dec)).as("qty_part"),
+        sum(Num.unscaled6(col("l_quantity"))).as("qty_part"),
         count(lit(1)).as("line_part"))
     liAgg.join(ord, liAgg("l_orderkey") === ord("o_orderkey"))
       .groupBy(col("o_custkey").as("ticker_id"))
       .agg(
-        sum(col("rev_part")).cast("double").as("total_revenue"),
-        sum(col("tax_part")).cast("double").as("total_tax"),
-        sum(col("qty_part")).cast("double").as("total_qty"),
+        Num.dsumUnscaled(col("rev_part")).as("total_revenue"),
+        Num.dsumUnscaled(col("tax_part")).as("total_tax"),
+        Num.dsumUnscaled(col("qty_part")).as("total_qty"),
         sum(col("line_part")).as("line_cnt"),
         count(lit(1)).as("order_cnt"))
       .orderBy("ticker_id")
