@@ -100,6 +100,14 @@ object TextFunctions {
   def sentimentCounts(text: Column): Column =
     GraftSqlBridge.column(SentimentCounts(GraftSqlBridge.expression(text)))
 
+  /** Trigram duplication stats: struct<n_tok, n_tg, n_dup> over the
+    * repo-wide tokens — single-pass codegen'd kernel, no trigram
+    * strings materialized (see TrigramStats for the oracle-parity
+    * and hash-collision contract). */
+  def trigramStats(text: Column): Column =
+    GraftSqlBridge.column(
+      expressions.TrigramStats(GraftSqlBridge.expression(text)))
+
   /** Fused PII scrub: struct<n_emails, n_phones, clean_text> in one
     * pass (see PiiScrub for the byte-scan fast path and the
     * oracle-nesting contract). */

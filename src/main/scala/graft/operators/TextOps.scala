@@ -157,23 +157,18 @@ object TextOps {
 
   /** #70 Repetition scoring (Gopher-style quality signal): per doc,
     * the fraction of duplicate token trigrams. A high ratio marks
-    * boilerplate/spam for the training-mix filter. Single scan; the
-    * trigram array is built once per row from the token projection and
-    * consumed by two sizes — no shuffle, no UDF. */
+    * boilerplate/spam for the training-mix filter. One codegen'd
+    * TrigramStats pass per document — no trigram strings, no
+    * interpreted HOF, no shuffle (see the kernel's oracle-parity
+    * contract). */
   def repetitionScore(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), toksOf(col("text")).as("toks"))
-      .withColumn("tg", when(size(col("toks")) >= 3,
-          transform(sequence(lit(0), size(col("toks")) - 3),
-            i => concat_ws(" ", element_at(col("toks"), i + 1),
-              element_at(col("toks"), i + 2), element_at(col("toks"), i + 3))))
-        .otherwise(array().cast("array<string>")))
-      .withColumn("n_trigrams", size(col("tg")).cast("long"))
-      .withColumn("n_dup",
-        (size(col("tg")) - size(array_distinct(col("tg")))).cast("long"))
-      .select(col("doc_id"), col("n_trigrams"), col("n_dup"),
-        when(col("n_trigrams") > 0,
-          col("n_dup").cast("double") / col("n_trigrams").cast("double"))
+      .select(col("doc_id"), trigramStats(col("text")).as("g"))
+      .select(col("doc_id"),
+        col("g.n_tg").cast("long").as("n_trigrams"),
+        col("g.n_dup").cast("long").as("n_dup"),
+        when(col("g.n_tg") > 0,
+          col("g.n_dup").cast("double") / col("g.n_tg").cast("double"))
           .otherwise(0.0).as("dup_ratio"))
       .orderBy("doc_id")
 
@@ -193,21 +188,16 @@ object TextOps {
   def corpusStats(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .select(col("source"), col("lang"), col("text"),
-        toksOf(col("text")).as("toks"),
+        trigramStats(col("text")).as("g"),
         sentimentCounts(col("text")).as("s"))
-      .withColumn("tg", when(size(col("toks")) >= 3,
-          transform(sequence(lit(0), size(col("toks")) - 3),
-            i => concat_ws(" ", element_at(col("toks"), i + 1),
-              element_at(col("toks"), i + 2), element_at(col("toks"), i + 3))))
-        .otherwise(array().cast("array<string>")))
       .select(col("source"), col("lang"),
-        size(col("toks")).cast("long").as("n_tok"),
+        col("g.n_tok").cast("long").as("n_tok"),
         length(col("text")).cast("long").as("n_chars"),
         col("s.n_pos").cast("long").as("n_pos"),
         col("s.n_neg").cast("long").as("n_neg"),
-        when(size(col("tg")) > 0,
-          (size(col("tg")) - size(array_distinct(col("tg")))).cast("double") /
-            size(col("tg")).cast("double")).otherwise(0.0).as("dup_ratio"))
+        when(col("g.n_tg") > 0,
+          col("g.n_dup").cast("double") / col("g.n_tg").cast("double"))
+          .otherwise(0.0).as("dup_ratio"))
       .groupBy("source", "lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("sum_tokens"),
