@@ -36,6 +36,13 @@ object TextFunctions {
   /** Whitespace token count. */
   def wsTokenCount(text: Column): Column = size(tokens(text))
 
+  /** Fused ws + BPE-ish token counts: struct<ws, bpe> in one
+    * codegen'd byte pass (see TokenCounts for the regex-twin
+    * contract) — replaces a per-doc java.util.regex scan. */
+  def tokenCounts(text: Column): Column =
+    GraftSqlBridge.column(
+      expressions.TokenCounts(GraftSqlBridge.expression(text)))
+
   /** BPE-ish subword count: runs of letters, runs of digits, or a
     * single other non-space char. Mirrors a byte-pair pre-tokenizer's
     * word-split regex. */

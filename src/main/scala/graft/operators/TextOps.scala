@@ -38,8 +38,8 @@ object TextOps {
     * rolled up per source. */
   def tokenCountQuery(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
-      .select(col("source"), wsTokenCount(col("text")).as("ws"),
-        bpeTokenCount(col("text")).as("bpe"))
+      .select(col("source"), tokenCounts(col("text")).as("t"))
+      .select(col("source"), col("t.ws").as("ws"), col("t.bpe").as("bpe"))
       .groupBy("source")
       .agg(sum(col("ws")).as("ws_tokens"), sum(col("bpe")).as("bpe_tokens"),
         count(lit(1)).as("n_docs"))

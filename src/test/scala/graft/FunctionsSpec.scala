@@ -80,6 +80,27 @@ class FunctionsSpec extends SparkTestBase {
     assert(r.getAs[Int]("stop") === 3) // "the" ×2 + "and" ("hat!" keeps its punct)
   }
 
+  test("TokenCounts kernel equals the composed ws/bpe forms") {
+    val edge = Seq("The cat and the hat!", "", " ", "\t", "a  b\tc",
+      "x9y 42 ... 3.14", "unicode é Ü 中文!", "trailing space ",
+      "İstanbul MiXeD", "a-b_c;d")
+    val rows = edge.toDF("text").select(col("text"),
+      TextFunctions.tokenCounts(col("text")).as("k"),
+      struct(TextFunctions.wsTokenCount(col("text")).as("ws"),
+        TextFunctions.bpeTokenCount(col("text")).as("bpe")).as("c"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getStruct(1) === r.getStruct(2),
+        s"kernel vs composed mismatch for '${r.getString(0)}'")
+    }
+    val bad = graft.sources.Tables.load(spark, SfDir, "documents")
+      .select(TextFunctions.tokenCounts(col("text")).as("k"),
+        struct(TextFunctions.wsTokenCount(col("text")).as("ws"),
+          TextFunctions.bpeTokenCount(col("text")).as("bpe")).as("c"))
+      .filter(col("k") =!= col("c")).count()
+    assert(bad === 0L)
+  }
+
   test("jaccard of char trigram sets") {
     val df = Seq(("abcd", "abcd"), ("abcd", "wxyz")).toDF("x", "y")
     val got = df.select(TextFunctions.jaccard(
