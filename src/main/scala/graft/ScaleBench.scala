@@ -21,20 +21,33 @@ object ScaleBench {
     "sentiment_daily", "fingerprint", "pii_scrub", "chunk_docs",
     "repetition_score", "corpus_stats", "contamination", "dedup_exact")
 
-  /** Multiply every staged table dir by hardlinking each part file
-    * `mult` times under fresh names. Values are bit-identical; the
-    * corpus is `mult`× the rows at zero copy cost. */
-  def multiply(staged: String, mult: Int): String = {
+  /** Join shapes where only the FACT side (lineitem) multiplies —
+    * each order keeps its (now mult×) lines and every dim stays
+    * single-copy, so outputs scale linearly instead of squaring.
+    * These are the shuffle-bound plans the row-linear set skips. */
+  val JoinQueries: Seq[String] = Seq(
+    "topk_revenue", "join_broadcast", "fin_statement")
+  val JoinFactTables: Set[String] = Set("lineitem")
+
+  /** Multiply the named staged tables by hardlinking each part file
+    * `mult` times under fresh names (other tables hardlink once).
+    * Values are bit-identical; the corpus is `mult`× the rows at
+    * zero copy cost. */
+  def multiply(staged: String, mult: Int,
+      tables: Set[String] = null): String = {
+    val tag = if (tables == null) "" else "_fact"
     val dest = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_scale_${graft.sources.StagePath.key(staged)}_x$mult")
+      s"graft_scale_${graft.sources.StagePath.key(staged)}$tag" + s"_x$mult")
     val marker = new java.io.File(dest, "_STAGED")
     if (marker.exists()) return dest.getPath
     org.apache.commons.io.FileUtils.deleteQuietly(dest)
     new java.io.File(staged).listFiles().filter(_.isDirectory).foreach { t =>
       val out = new java.io.File(dest, t.getName)
       out.mkdirs()
+      val m = if (tables == null || tables.exists(n => t.getName.startsWith(n)))
+        mult else 1
       t.listFiles().filter(_.getName.endsWith(".parquet")).foreach { part =>
-        for (i <- 0 until mult)
+        for (i <- 0 until m)
           java.nio.file.Files.createLink(
             new java.io.File(out, s"m${i}_${part.getName}").toPath,
             part.toPath)
@@ -48,6 +61,7 @@ object ScaleBench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val mult = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT", "10").toInt
+    val mode = sys.env.getOrElse("SPARK_GRAFT_SCALE_MODE", "linear")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -56,10 +70,12 @@ object ScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val runDir = multiply(stage(spark, sfDir), mult)
+    val runDir =
+      if (mode == "joins") multiply(stage(spark, sfDir), mult, JoinFactTables)
+      else multiply(stage(spark, sfDir), mult)
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.ListBuffer[String]()
-    Queries.foreach { name =>
+    (if (mode == "joins") JoinQueries else Queries).foreach { name =>
       val fn = SparkEntry.queries(name)
       try {
         fn(spark, runDir).collect() // warmup
@@ -79,7 +95,7 @@ object ScaleBench {
     val qs = timings.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"scale_total","value":${timings.values.sum},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","mult":$mult}""")
+    println(s"""{"metric":"scale_total","value":${timings.values.sum},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","mult":$mult,"mode":"$mode"}""")
     spark.stop()
   }
 

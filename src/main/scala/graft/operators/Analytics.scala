@@ -58,16 +58,19 @@ object Analytics {
     // pre-aggregation on l_orderkey would shuffle the same lineitem
     // bytes the join shuffle costs, plus an extra stage — measured
     // slower at every SF.
+    // rev rides the joins as the 6-dp unscaled LONG (8 bytes, no
+    // BigDecimal) and the final sum is the 128-bit exact kernel —
+    // value parity with sum(cast(… as decimal(28,6))) is exact.
     Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey"),
-        (col("l_extendedprice") * (lit(1d) - col("l_discount")))
-          .cast(Num.Dec).as("rev"))
+        Num.unscaled6(col("l_extendedprice") * (lit(1d) - col("l_discount")))
+          .as("rev"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("o_orderpriority"))
-      .agg(sum(col("rev")).cast("double").as("revenue"),
+      .agg(Num.dsumUnscaled(col("rev")).as("revenue"),
         count(lit(1)).as("n_lines"))
       .orderBy("r_name", "o_orderpriority")
   }
@@ -82,13 +85,16 @@ object Analytics {
   def topkRevenue(spark: SparkSession, dir: String): DataFrame = {
     val ord = Tables.load(spark, dir, "orders")
       .select("o_orderkey", "o_custkey")
+    // rev joins as the 6-dp unscaled long; exact 128-bit final sum
+    // (see joinBroadcast) — half the join-payload bytes, no
+    // BigDecimal per row.
     Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey"),
-        (col("l_extendedprice") * (lit(1d) - col("l_discount")))
-          .cast(Num.Dec).as("rev"))
+        Num.unscaled6(col("l_extendedprice") * (lit(1d) - col("l_discount")))
+          .as("rev"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey").as("cust_id"))
-      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .agg(Num.dsumUnscaled(col("rev")).as("revenue"))
       .orderBy(col("revenue").desc, col("cust_id").asc)
       .limit(10)
   }

@@ -58,4 +58,15 @@ object Num {
   /** Exact mean: decimal sum / count, divided in double (deterministic
     * given identical operands). */
   def davg(c: Column): Column = dsum(c) / count(c).cast("double")
+
+  /** [[dsum]] kept as exact decimal(38,6) — for partials that will be
+    * re-summed (e.g. salted phase-1 aggregates, whose group sizes are
+    * unbounded by design). */
+  def dsumExact(c: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(
+      graft.functions.expressions.DecimalSum128(
+        GraftSqlBridge.expression(unscaled6(c)))
+        .toAggregateExpression())
+  }
 }

@@ -26,7 +26,10 @@ object Skew {
       .withColumn("_salt", pmod(hash(col(idCol)), lit(salt)))
       .groupBy((keyCols :+ col("_salt")): _*)
       .agg(count(lit(1)).as("_n"),
-        sum(col(valueCol).cast(Num.Dec)).as("_s"))
+        // 128-bit exact phase-1 partial: salted groups are unbounded
+        // by design, so the fast-path kernel keeps decimal(38,6)
+        // exactness at any group size (phase 2 re-sums few rows)
+        Num.dsumExact(col(valueCol)).as("_s"))
     phase1.groupBy(keyCols: _*)
       .agg(sum(col("_n")).as("n_events"),
         sum(col("_s")).cast("double").as("sum_value"))
