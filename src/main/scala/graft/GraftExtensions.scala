@@ -105,7 +105,33 @@ object GraftFunctions {
           org.apache.spark.sql.types.DoubleType),
         org.apache.spark.sql.catalyst.expressions.Cast(es(1),
           org.apache.spark.sql.types.LongType),
-        intArg(es(2), "top_k", "k")).toAggregateExpression())
+        intArg(es(2), "top_k", "k")).toAggregateExpression()),
+    ("pii_scrub",
+      info("pii_scrub",
+        "pii_scrub(s) - struct(n_emails, n_phones, clean_text): emails/phones counted and masked in one pass"),
+      (es: Seq[Expression]) => PiiScrub(es(0))),
+    ("quality_stats",
+      info("quality_stats",
+        "quality_stats(s) - struct(n_chars, n_tok, n_punct, n_stop) quality-scoring ingredients in one pass"),
+      (es: Seq[Expression]) => QualityStats(es(0))),
+    ("trigram_stats",
+      info("trigram_stats",
+        "trigram_stats(s) - struct(n_tok, n_tg, n_dup): token-trigram duplication stats, no trigram strings materialized"),
+      (es: Seq[Expression]) => TrigramStats(es(0))),
+    ("token_counts",
+      info("token_counts",
+        "token_counts(s) - struct(ws, bpe): whitespace and BPE-pretokenizer token counts in one pass"),
+      (es: Seq[Expression]) => TokenCounts(es(0))),
+    ("dsum",
+      info("dsum",
+        "dsum(x) - aggregate: exact order-independent sum of doubles (rounded once to 6 dp, 128-bit accumulator) -> double"),
+      (es: Seq[Expression]) => org.apache.spark.sql.catalyst.expressions.Cast(
+        DecimalSum128(
+          org.apache.spark.sql.catalyst.expressions.UnscaledValue(
+            org.apache.spark.sql.catalyst.expressions.Cast(es(0),
+              org.apache.spark.sql.types.DecimalType(18, 6))))
+          .toAggregateExpression(),
+        org.apache.spark.sql.types.DoubleType))
   )
 
   /** Register every graft function on a live session. */

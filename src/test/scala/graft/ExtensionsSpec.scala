@@ -71,6 +71,30 @@ class ExtensionsSpec extends SparkTestBase {
     assert(viaSql === viaCol)
   }
 
+  test("round-7 SQL kernels: pii/quality/trigram/token structs and the dsum aggregate") {
+    GraftFunctions.register(spark)
+    Seq(("mail me a@b.co or 555-123-4567", 1.25),
+      ("the cat the cat the cat", 2.5),
+      ("x", -0.125)).toDF("s", "v").createOrReplaceTempView("ext_t7")
+    val r = spark.sql(
+      """SELECT pii_scrub(s).n_emails AS ne, quality_stats(s).n_tok AS qt,
+        |  trigram_stats(s).n_dup AS dup, token_counts(s).ws AS ws
+        |FROM ext_t7 WHERE s LIKE 'the cat%'""".stripMargin).collect()(0)
+    assert(r.getInt(0) === 0)
+    assert(r.getInt(1) === 6)
+    assert(r.getInt(2) === 2) // 4 trigrams, 2 distinct
+    assert(r.getInt(3) === 6)
+    val masked = spark.sql(
+      "SELECT pii_scrub(s).n_emails FROM ext_t7 WHERE s LIKE 'mail%'")
+      .collect()(0).getInt(0)
+    assert(masked === 1)
+    // dsum = exact 6-dp sum, identical to the Column API kernel path
+    val viaSql = spark.sql("SELECT dsum(v) FROM ext_t7").collect()(0).getDouble(0)
+    val viaCol = spark.table("ext_t7")
+      .agg(graft.operators.Num.dsum(col("v"))).collect()(0).getDouble(0)
+    assert(viaSql === viaCol && viaSql === 3.625)
+  }
+
   test("top_k SQL aggregate matches the Column API form") {
     GraftFunctions.register(spark)
     Tables.load(spark, SfDir, "orders").createOrReplaceTempView("ext_orders")
