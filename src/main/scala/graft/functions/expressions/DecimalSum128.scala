@@ -32,6 +32,16 @@ import org.apache.spark.sql.types._
   * domain — the accumulator cannot overflow before the result would
   * be unrepresentable anyway. Input casts are ANSI: a value outside
   * decimal(18,6) (|x| ≥ 10^12) fails loudly rather than truncating.
+  *
+  * Overflow bound, precisely: for exact sums whose unscaled magnitude
+  * lands in [10^38, 2^127) the final `decimal(38,6)` conversion fails
+  * loudly (Decimal cannot represent it); past 2^127 the accumulator
+  * itself wraps SILENTLY — same contract as wrapping machine
+  * arithmetic, unlike built-in Sum's ANSI error. Reaching 2^127
+  * needs ~1.7×10^20 rows of max-magnitude decimal(18,6) input, so
+  * the wrap is unreachable at any realistic cardinality; callers
+  * needing the full ANSI error surface past 10^38 should use the
+  * built-in Sum and pay its BigDecimal path.
   */
 case class DecimalSum128(child: Expression)
     extends DeclarativeAggregate with UnaryLike[Expression] {

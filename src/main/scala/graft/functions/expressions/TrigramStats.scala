@@ -91,7 +91,11 @@ object TrigramStats {
     // each trigram: FNV-1a over tok(i)·' '·tok(i+1)·' '·tok(i+2)
     // (each token's bytes hashed ≤3×; no trigram string ever built)
     val nTg = nTok - 2
-    var cap = Integer.highestOneBit(math.max(4, nTg * 2 - 1)) << 1
+    // capacity in Long: nTg*2-1 overflows Int past 2^30 tokens (a >1 GB
+    // document); clamp to 1<<30 — the open-addressing probe still
+    // terminates, it just runs denser than 50% past that point
+    val cap = math.min(1L << 30,
+      java.lang.Long.highestOneBit(math.max(4L, nTg.toLong * 2 - 1)) << 1).toInt
     val table = new Array[Long](cap)
     val mask = cap - 1
     var distinct = 0
@@ -111,11 +115,14 @@ object TrigramStats {
       if (h == 0L) h = 1L // 0 is the empty-slot sentinel
       var slot = (h.toInt ^ (h >>> 32).toInt) & mask
       var seenIt = false
-      while (!seenIt && table(slot) != 0L) {
+      // distinct < cap keeps the probe terminating even at the clamped
+      // capacity (a saturated table counts further new trigrams as dups
+      // — only reachable past 2^29 tokens in one document)
+      while (!seenIt && table(slot) != 0L && distinct < cap) {
         if (table(slot) == h) seenIt = true
         else slot = (slot + 1) & mask
       }
-      if (!seenIt) { table(slot) = h; distinct += 1 }
+      if (!seenIt && table(slot) == 0L) { table(slot) = h; distinct += 1 }
       g += 1
     }
     new GenericInternalRow(Array[Any](nTok, nTg, nTg - distinct))

@@ -80,14 +80,14 @@ class ExtensionsSpec extends SparkTestBase {
       """SELECT pii_scrub(s).n_emails AS ne, quality_stats(s).n_tok AS qt,
         |  trigram_stats(s).n_dup AS dup, token_counts(s).ws AS ws
         |FROM ext_t7 WHERE s LIKE 'the cat%'""".stripMargin).collect()(0)
-    assert(r.getInt(0) === 0)
+    assert(r.getLong(0) === 0L) // PiiScrub counts are LongType
     assert(r.getInt(1) === 6)
     assert(r.getInt(2) === 2) // 4 trigrams, 2 distinct
     assert(r.getInt(3) === 6)
     val masked = spark.sql(
       "SELECT pii_scrub(s).n_emails FROM ext_t7 WHERE s LIKE 'mail%'")
-      .collect()(0).getInt(0)
-    assert(masked === 1)
+      .collect()(0).getLong(0)
+    assert(masked === 1L)
     // dsum = exact 6-dp sum, identical to the Column API kernel path
     val viaSql = spark.sql("SELECT dsum(v) FROM ext_t7").collect()(0).getDouble(0)
     val viaCol = spark.table("ext_t7")
