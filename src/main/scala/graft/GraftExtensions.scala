@@ -122,6 +122,14 @@ object GraftFunctions {
       info("token_counts",
         "token_counts(s) - struct(ws, bpe): whitespace and BPE-pretokenizer token counts in one pass"),
       (es: Seq[Expression]) => TokenCounts(es(0))),
+    ("quantize_i8",
+      info("quantize_i8",
+        "quantize_i8(v) - symmetric int8 quantization of a double array (codes in [-127,127])"),
+      (es: Seq[Expression]) => QuantizeI8(es(0))),
+    ("int_cosine",
+      info("int_cosine",
+        "int_cosine(a, b) - cosine of two int-code arrays via exact integer dot/norms"),
+      (es: Seq[Expression]) => IntCosine(es(0), es(1))),
     ("dsum",
       info("dsum",
         "dsum(x) - aggregate: exact order-independent sum of doubles (rounded once to 6 dp, 128-bit accumulator) -> double"),

@@ -53,8 +53,13 @@ object SparkEntry {
     "ann_brute" -> (Similarity.annBrute _),
     "ann_lsh" -> (Similarity.annLsh _),
     "ann_ivf" -> (Similarity.annIvf _),
+    "ann_quant" -> (Similarity.annQuant _),
     "label_centroids" -> (Similarity.labelCentroids _),
     "centroid_assign" -> (Similarity.centroidAssign _),
+    // §2.F dedup clustering + keyword search (round 8)
+    "dedup_components" -> (Components.dedupComponents _),
+    "term_stats" -> (Search.termStats _),
+    "bm25_search" -> (Search.bm25Search _),
     // §2.B OLAP / sequence extensions (round 3)
     "rollup_agg" -> (Olap.rollupAgg _),
     "pivot_wide" -> (Olap.pivotWide _),
@@ -316,6 +321,124 @@ object SparkEntry {
         |SELECT q_id, cast(rnk AS bigint) AS rnk, cand_id,
         |  round(cos, 6) AS cos_sim
         |FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    // Int8-quantized ANN: integer dot/norms are exact in both engines,
+    // so unlike the float ANN variants this one is fully oracled.
+    // Quantization twin: s = ma/127, q_i = floor(v_i/s + 0.5) — the
+    // identical IEEE op sequence as the QuantizeI8 kernel.
+    "ann_quant" ->
+      """WITH e AS (SELECT vec_id, cast(embedding AS double[]) AS v
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) AS ma FROM e),
+        |q AS (SELECT vec_id,
+        |    CASE WHEN ma > 0
+        |      THEN list_transform(v, x -> floor(x / (ma / 127.0) + 0.5))
+        |      ELSE list_transform(v, x -> 0.0) END AS qv
+        |  FROM m),
+        |qq AS (SELECT vec_id AS q_id, qv AS qvec FROM q WHERE vec_id < 8),
+        |sc AS (SELECT qq.q_id, q.vec_id AS cand_id,
+        |    list_dot_product(qq.qvec, q.qv) /
+        |      (sqrt(list_dot_product(qq.qvec, qq.qvec)) *
+        |       sqrt(list_dot_product(q.qv, q.qv))) AS cos
+        |  FROM q CROSS JOIN qq WHERE q.vec_id <> qq.q_id),
+        |r AS (SELECT q_id, cand_id, cos,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, cand_id ASC) AS rnk FROM sc)
+        |SELECT q_id, cast(rnk AS bigint) AS rnk, cand_id,
+        |  round(cos, 6) AS cos_q
+        |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    // Connected components: recursive min-label propagation — only the
+    // component minimum must reach every member (comp < dst prunes the
+    // non-min label floods), the same fixed point the Spark loop finds.
+    "dedup_components" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, lang, source, n_chars, n_chars // 20 AS blk,
+        |    list_distinct(list_transform(
+        |      range(greatest(length(lower(text)) - 2, 0)),
+        |      i -> substr(lower(text), cast(i + 1 AS int), 3))) AS grams
+        |  FROM documents),
+        |p AS (SELECT x.doc_id AS a, y.doc_id AS b,
+        |    CASE WHEN len(x.grams) + len(y.grams)
+        |              - len(list_intersect(x.grams, y.grams)) > 0
+        |      THEN cast(len(list_intersect(x.grams, y.grams)) AS double)
+        |        / cast(len(x.grams) + len(y.grams)
+        |               - len(list_intersect(x.grams, y.grams)) AS double)
+        |      ELSE 0.0 END AS jac
+        |  FROM d x JOIN d y ON x.lang = y.lang AND x.source = y.source
+        |    AND abs(x.blk - y.blk) <= 1 AND x.doc_id < y.doc_id
+        |    AND abs(x.n_chars - y.n_chars) <= 20),
+        |e AS (SELECT a, b FROM p WHERE jac >= 0.5),
+        |sym AS (SELECT a AS src, b AS dst FROM e
+        |  UNION ALL SELECT b AS src, a AS dst FROM e),
+        |r AS (
+        |  SELECT doc_id AS id, doc_id AS comp FROM documents
+        |  UNION
+        |  SELECT s.dst AS id, r.comp AS comp
+        |  FROM r JOIN sym s ON s.src = r.id WHERE r.comp < s.dst),
+        |c AS (SELECT id, min(comp) AS comp FROM r GROUP BY id),
+        |sz AS (SELECT comp, count(*) AS comp_size FROM c GROUP BY comp)
+        |SELECT c.id AS doc_id, c.comp AS comp_id, sz.comp_size,
+        |  cast(CASE WHEN c.id = c.comp THEN 1 ELSE 0 END AS bigint)
+        |    AS is_canonical
+        |FROM c JOIN sz ON c.comp = sz.comp
+        |ORDER BY doc_id""".stripMargin,
+    "term_stats" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+        |  FROM t GROUP BY 1)
+        |SELECT s.term, s.df, s.cf,
+        |  round(ln(1.0 + (cast(n.n_docs - s.df AS double) + 0.5) /
+        |    (cast(s.df AS double) + 0.5)), 6) AS idf
+        |FROM s, n ORDER BY s.term""".stripMargin,
+    // BM25 twin: every arithmetic step mirrors Search.bm25Search
+    // operation-for-operation (idf, tf*(k1+1), length norm, left-assoc
+    // term sum), so the double scores hash-compare exactly.
+    "bm25_search" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |pd AS (SELECT doc_id, count(*) AS dl,
+        |    sum(CASE WHEN term = 'vector' THEN 1 ELSE 0 END) AS tf0,
+        |    sum(CASE WHEN term = 'stream' THEN 1 ELSE 0 END) AS tf1,
+        |    sum(CASE WHEN term = 'merge' THEN 1 ELSE 0 END) AS tf2
+        |  FROM t GROUP BY 1),
+        |st AS (SELECT cast(sum(dl) AS double) AS sum_dl,
+        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        |  FROM pd),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT pd.doc_id, pd.dl,
+        |    ln(1.0 + (cast(n.n_docs - st.df0 AS double) + 0.5) /
+        |        (cast(st.df0 AS double) + 0.5))
+        |      * (cast(pd.tf0 AS double) * (1.2 + 1.0))
+        |      / (cast(pd.tf0 AS double) + 1.2 * (1.0 - 0.75 + 0.75 *
+        |          (cast(pd.dl AS double) /
+        |           (st.sum_dl / cast(n.n_docs AS double)))))
+        |    + ln(1.0 + (cast(n.n_docs - st.df1 AS double) + 0.5) /
+        |        (cast(st.df1 AS double) + 0.5))
+        |      * (cast(pd.tf1 AS double) * (1.2 + 1.0))
+        |      / (cast(pd.tf1 AS double) + 1.2 * (1.0 - 0.75 + 0.75 *
+        |          (cast(pd.dl AS double) /
+        |           (st.sum_dl / cast(n.n_docs AS double)))))
+        |    + ln(1.0 + (cast(n.n_docs - st.df2 AS double) + 0.5) /
+        |        (cast(st.df2 AS double) + 0.5))
+        |      * (cast(pd.tf2 AS double) * (1.2 + 1.0))
+        |      / (cast(pd.tf2 AS double) + 1.2 * (1.0 - 0.75 + 0.75 *
+        |          (cast(pd.dl AS double) /
+        |           (st.sum_dl / cast(n.n_docs AS double)))))
+        |    AS score
+        |  FROM pd, st, n),
+        |r AS (SELECT doc_id, dl, score, row_number() OVER (
+        |    ORDER BY score DESC, doc_id ASC) AS rnk FROM sc)
+        |SELECT cast(rnk AS bigint) AS rnk, doc_id,
+        |  round(score, 6) AS score, dl
+        |FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
     "vwap" ->
       s"""SELECT user_id AS ticker_id, cast(ts AS date) AS day,
          |  ${dsum("value * length(props)")} /

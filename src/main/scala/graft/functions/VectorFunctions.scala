@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
-import graft.functions.expressions.{CosineSim, DotProduct, Fnv64, SignBandKeys}
+import graft.functions.expressions.{CosineSim, DotProduct, Fnv64, IntCosine, QuantizeI8, SignBandKeys}
 
 /** Column-level vector API over the custom Catalyst kernels plus the
   * random-hyperplane LSH used by the similarity operators
@@ -24,6 +24,15 @@ object VectorFunctions {
   def dot(a: Column, b: Column): Column = c(DotProduct(e(a), e(b)))
   def cosine(a: Column, b: Column): Column = c(CosineSim(e(a), e(b)))
   def fnv64(a: Column): Column = c(Fnv64(e(a)))
+
+  /** Symmetric int8 quantization: array<double> → array<int> codes in
+    * [-127, 127] (scale = max|v|/127; the scale cancels in cosine, so
+    * it is never stored). 4× smaller than float32 on disk/shuffle. */
+  def quantizeI8(v: Column): Column = c(QuantizeI8(e(v)))
+
+  /** Cosine over int8 codes: exact integer dot/norms, one double
+    * division — order-independent and engine-portable. */
+  def intCosine(a: Column, b: Column): Column = c(IntCosine(e(a), e(b)))
 
   /** Deterministic random hyperplanes (unit-free Gaussian) for
     * sign-LSH. Fixed seed → identical buckets on every run/executor. */

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.sources.Tables
+
+/** Connected components over the near-dup candidate graph
+  * (SURVEY.md §2 #75) — the step that turns pair emitters
+  * ([[Dedup.minhashPairs]], [[Dedup.ngramJaccardPairs]]) into an
+  * actual deduplication: docs chained by pairwise similarity collapse
+  * into one cluster with one canonical representative (the min
+  * doc_id), which is what a production pipeline keeps.
+  *
+  * Scale design (§5): iterative min-label propagation with pointer
+  * jumping. Each round is (a) one hash join (symmetric edges ⋈
+  * labels, both shuffled on the join key) plus one map-side-combined
+  * groupBy — the "take the minimum of my neighbors' labels" move —
+  * and (b) one labels ⋈ labels self-join that path-compresses
+  * l(v) ← l(l(v)), halving the depth of every label chain. (a) alone
+  * converges in O(diameter) rounds; (b) turns that into
+  * O(log diameter) — the same asymptotics as alternating
+  * large-star/small-star — so even adversarially deep chain graphs
+  * finish in a handful of shuffles. No driver-side data, no collect.
+  * Lineage is truncated every round with `localCheckpoint` (without
+  * it the loop's plan doubles per iteration and Catalyst re-analysis
+  * dominates).
+  *
+  * Convergence is detected with a decimal-exact sum of labels: min
+  * propagation only ever decreases a label, so the label sum strictly
+  * decreases until the fixed point — one scalar aggregate per round
+  * instead of a change-count join.
+  */
+object Components {
+
+  /** Trigram-Jaccard edge threshold: 0.5 keeps the planted dup
+    * families connected (their pairwise Jaccard is ≥0.6 by
+    * construction) while random same-block pairs in the synthetic
+    * vocabulary sit well below it. */
+  val EdgeThreshold = 0.5
+
+  /** Hard iteration cap — with pointer jumping a component of depth d
+    * converges in O(log d) rounds, so 25 covers graphs astronomically
+    * deeper than any real near-dup cluster. */
+  val MaxIters = 25
+
+  /** One pointer jump per round, computed LAZILY off the round's
+    * checkpoint. Variants measured at sf0.1 before settling here:
+    * multiple lazy jumps double the unshared subplan per jump (2×
+    * slower at 3 jumps); checkpointing every jump individually looks
+    * cheap early but degenerates exponentially in late rounds
+    * (0.3 s → 242 s per jump by round 11 — per-round block/lineage
+    * interactions, not data size). The single-checkpoint round is
+    * stable at ~0.35 s/round for the life of the loop. */
+
+  /** Min-label connected components: `nodes` = (id), `edges` =
+    * (a, b) undirected. Returns (id, comp) where comp = min id
+    * reachable from id (singletons map to themselves).
+    *
+    * The self-loop (id, id) rows live in the persisted edge table, so
+    * the per-round plan is join→agg→jumps with NO per-round union —
+    * a union of the labels into a plan that self-joins trips
+    * Catalyst's union-constraint rewrite (attribute dedup) and would
+    * recompute per branch anyway. One localCheckpoint materializes
+    * each round; the convergence sum then reads the checkpoint. */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .union(nodes.select(col("id").as("src"), col("id").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)")).as("s"))
+        .head.getDecimal(0)
+    var labels = nodes.select(col("id"), col("id").as("comp"))
+      .localCheckpoint()
+    var prev = labelSum(labels)
+    var it = 0
+    var done = prev == null // empty node set
+    while (!done && it < MaxIters) {
+      // "min over my neighbors' labels" (self-loop keeps own label);
+      // the checkpoint truncates the round's lineage and the jump
+      // self-joins it without tripping Catalyst's union-constraint
+      // rewrite (the plan under the join is a LogicalRDD, not a union)
+      val stepped = sym
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      // pointer jumping: a label is always a node id, so every comp
+      // matches exactly one label row — l(v) <- min(l(v), l(l(v)))
+      val next = stepped
+        .join(stepped.select(col("id").as("cid"), col("comp").as("ccomp")),
+          col("comp") === col("cid"))
+        .select(col("id"), least(col("comp"), col("ccomp")).as("comp"))
+      val cur = labelSum(next)
+      done = cur.compareTo(prev) == 0
+      prev = cur
+      labels = next
+      it += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** #75 Near-dup dedup clusters over `documents`: edges = blocked
+    * trigram-Jaccard pairs ≥ [[EdgeThreshold]], components via
+    * [[connectedComponents]], annotated with cluster size and the
+    * canonical-keep flag. Every doc appears exactly once (singletons
+    * are their own one-doc cluster), so `is_canonical = 1` rows ARE
+    * the deduplicated corpus. */
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val edges = Dedup.ngramJaccardPairs(docs)
+      .filter(col("jac") >= EdgeThreshold)
+      .select("a", "b")
+    val nodes = docs.select(col("doc_id").as("id"))
+    val comp = connectedComponents(nodes, edges)
+    val sizes = comp.groupBy("comp").agg(count(lit(1)).as("comp_size"))
+    comp.join(sizes, "comp")
+      .select(col("id").as("doc_id"), col("comp").as("comp_id"),
+        col("comp_size"),
+        when(col("id") === col("comp"), 1L).otherwise(0L).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+}

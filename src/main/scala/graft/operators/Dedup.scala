@@ -176,8 +176,15 @@ object Dedup {
     * (lang, source, n_chars/20 bucket) — never all-pairs — then exact
     * trigram-set Jaccard, ranked. SQL-expressible, so this one has a
     * full DuckDB oracle. */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.load(spark, dir, "documents")
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(Tables.load(spark, dir, "documents"))
+      .orderBy(col("jac").desc, col("a"), col("b"))
+      .limit(200)
+
+  /** All blocked candidate pairs with exact trigram Jaccard —
+    * unbounded, the edge source for [[Components.dedupComponents]]. */
+  def ngramJaccardPairs(docs: DataFrame): DataFrame = {
+    val d = docs
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         floor(col("n_chars") / lit(20)).as("blk"),
         TextFunctions.charNgrams(col("text"), 3).as("grams"))
@@ -199,7 +206,5 @@ object Dedup {
       .filter(col("a") < col("b") && abs(col("nc_a") - col("nc_b")) <= 20)
       .withColumn("jac", TextFunctions.jaccard(col("grams_a"), col("grams_b")))
       .select("a", "b", "jac")
-      .orderBy(col("jac").desc, col("a"), col("b"))
-      .limit(200)
   }
 }

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Keyword-search operators over `documents` (SURVEY.md §2 #76, #78):
+  * inverted-index term statistics and BM25 ranked retrieval — the
+  * query-side counterpart of the text-analysis operators, and the
+  * standard relevance filter a training-data pipeline runs to mine
+  * topic-matched documents out of a 100 TB corpus.
+  *
+  * Scale design (§5): both operators are one explode of the token
+  * stream followed by hash aggregations — the inverted-index shape.
+  * The shuffle moves (term) or (doc_id, term-counts) scalars, never
+  * document text; partial aggregation combines map-side, so the
+  * shuffled bytes are O(distinct keys), not O(total tokens). The
+  * corpus-level statistics (N, avgdl, per-term df) aggregate to ONE
+  * row that broadcasts back over the scoring scan — no second pass
+  * over the corpus and no driver-side collect.
+  */
+object Search {
+
+  /** BM25 parameters (the standard Robertson/Lucene values). */
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Fixed query — mid-frequency corpus terms; [[bm25Search]] scores
+    * the whole corpus against it and keeps the top [[TopK]]. */
+  val QueryTerms: Seq[String] = Seq("vector", "stream", "merge")
+  val TopK = 20
+
+  /** Repo-wide tokenization (= `list_filter(string_split_regex(
+    * lower(trim(text)), '\s+'), x -> x <> '')` in the oracles). */
+  private def toks(c: Column): Column =
+    filter(split(lower(trim(c)), "\\s+"), t => t =!= lit(""))
+
+  /** (doc_id, term) token stream — the exploded inverted-index feed. */
+  private def termStream(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(toks(col("text"))).as("term"))
+
+  /** #76 Term statistics: per-term document frequency, collection
+    * frequency, and BM25 idf. The groupBy partial-aggregates map-side
+    * (distinct terms, not token instances, ride the shuffle); the
+    * corpus size joins in as a broadcast single row. */
+  def termStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    termStream(docs)
+      .groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("cf"))
+      .crossJoin(broadcast(n))
+      .select(col("term"), col("df"), col("cf"),
+        round(log(lit(1.0) +
+          ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))), 6).as("idf"))
+      .orderBy("term")
+  }
+
+  /** #78 BM25 ranked retrieval: score every document against
+    * [[QueryTerms]], keep the global top-[[TopK]] (deterministic
+    * tiebreak on doc_id). One tokenize+explode pass produces per-doc
+    * (dl, tf_i); the corpus stats (N, avgdl, df_i) reduce to a single
+    * broadcast row; the final top-k is TakeOrderedAndProject (per
+    * partition heaps + driver merge of k rows), never a global sort.
+    * All arithmetic is written to match the DuckDB oracle
+    * operation-for-operation, so the scores hash-compare exactly. */
+  def bm25Search(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val tfCols = QueryTerms.zipWithIndex.map { case (q, i) =>
+      sum(when(col("term") === lit(q), 1L).otherwise(0L)).as(s"tf$i")
+    }
+    val perDoc = termStream(docs)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("dl"), tfCols: _*)
+    val dfCols = QueryTerms.indices.map { i =>
+      sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")
+    }
+    val stats = perDoc
+      .agg(sum(col("dl").cast("decimal(38,0)")).as("sum_dl"), dfCols: _*)
+      .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+      .withColumn("avgdl",
+        col("sum_dl").cast("double") / col("n_docs").cast("double"))
+    val termScores = QueryTerms.indices.map { i =>
+      val tf = col(s"tf$i").cast("double")
+      val idf = log(lit(1.0) +
+        ((col("n_docs") - col(s"df$i")).cast("double") + lit(0.5)) /
+          (col(s"df$i").cast("double") + lit(0.5)))
+      idf * (tf * (lit(K1) + lit(1.0))) /
+        (tf + lit(K1) * (lit(1.0) - lit(B) + lit(B) *
+          (col("dl").cast("double") / col("avgdl"))))
+    }
+    val topDocs = perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl"),
+        termScores.reduceLeft(_ + _).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(TopK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id").asc)
+    topDocs
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("rnk"), col("doc_id"), round(col("score"), 6).as("score"),
+        col("dl"))
+      .orderBy("rnk")
+  }
+}

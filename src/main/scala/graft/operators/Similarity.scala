@@ -350,4 +350,33 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("a"), col("b"))
       .limit(100)
   }
+
+  /** #77 Int8-quantized ANN: the same top-5 contract as [[annBrute]],
+    * but every vector is first quantized to int8 codes (QuantizeI8 —
+    * 4× smaller than float32) and ranking runs on the exact-integer
+    * IntCosine kernel. This is the memory-bound scale path: at 100 TB
+    * the quantized corpus is what fits in cache/shuffle, and the
+    * integer arithmetic is deterministic across engines, so unlike
+    * every float ANN variant this one has a full DuckDB oracle.
+    * SimilaritySpec asserts top-5 recall vs the float-exact
+    * [[annBrute]] ranking. Plan shape is identical to annBrute
+    * (queries broadcast, corpus streams); an IVF/LSH front end from
+    * the existing kernels composes on top unchanged. */
+  def annQuant(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+      .select(col("vec_id"), quantizeI8(col("vec")).as("qv"))
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("qv").as("qq"))
+    val scored = e.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        intCosine(col("qq"), col("qv")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("cand_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("cand_id"),
+        round(col("cos"), 6).as("cos_q"))
+      .orderBy("q_id", "rnk")
+  }
 }
