@@ -70,9 +70,17 @@ object Search {
     val tfCols = QueryTerms.zipWithIndex.map { case (q, i) =>
       sum(when(col("term") === lit(q), 1L).otherwise(0L)).as(s"tf$i")
     }
+    // ONE tokenization pass over the corpus: the per-doc aggregate is
+    // ~40 B/doc of scalars, so materializing it (localCheckpoint) and
+    // serving both the stats reduction and the scoring pass from it
+    // beats re-running the explode+agg per branch (the lazy plan
+    // scans and tokenizes the corpus once per consumer). The n_docs
+    // count below still touches documents, but a bare count answers
+    // from parquet footer metadata, not data pages.
     val perDoc = termStream(docs)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("dl"), tfCols: _*)
+      .localCheckpoint()
     val dfCols = QueryTerms.indices.map { i =>
       sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")
     }
