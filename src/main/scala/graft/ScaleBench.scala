@@ -19,7 +19,10 @@ object ScaleBench {
     "latest_per_key", "incremental_batch", "sessionize",
     "quality_score", "token_count", "lang_id", "sentiment_docs",
     "sentiment_daily", "fingerprint", "pii_scrub", "chunk_docs",
-    "repetition_score", "corpus_stats", "contamination", "dedup_exact")
+    "repetition_score", "corpus_stats", "contamination", "dedup_exact",
+    // round 8: inverted-index shapes — one explode + hash agg, the
+    // multiplied doc_ids merge in the groupBy so cost stays row-linear
+    "term_stats", "bm25_search")
 
   /** Join shapes where only the FACT side (lineitem) multiplies —
     * each order keeps its (now mult×) lines and every dim stays

@@ -23,7 +23,11 @@ import org.apache.spark.sql.types._
   * vectors quantize to all-zero codes. Output range is [-127, 127]
   * by construction (|v_i|/s ≤ 127, so the rounded value cannot
   * exceed 127 in magnitude); elements are int for cheap exact
-  * integer dot products downstream. */
+  * integer dot products downstream. Domain: finite values only —
+  * a NaN element quantizes to 0 here (Java (int)NaN), while SQL
+  * twins of this kernel error or null on floor(NaN), so NaN-bearing
+  * embeddings must be filtered upstream (the loaders' schemas carry
+  * no NaN source). */
 case class QuantizeI8(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullSafeEval(v: Any): Any =

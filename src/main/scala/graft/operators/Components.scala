@@ -76,29 +76,35 @@ object Components {
     var prev = labelSum(labels)
     var it = 0
     var done = prev == null // empty node set
-    while (!done && it < MaxIters) {
-      // "min over my neighbors' labels" (self-loop keeps own label);
-      // the checkpoint truncates the round's lineage and the jump
-      // self-joins it without tripping Catalyst's union-constraint
-      // rewrite (the plan under the join is a LogicalRDD, not a union)
-      val stepped = sym
-        .join(labels.withColumnRenamed("id", "src"), "src")
-        .groupBy(col("dst").as("id")).agg(min(col("comp")).as("comp"))
-        .localCheckpoint()
-      // pointer jumping: a label is always a node id, so every comp
-      // matches exactly one label row — l(v) <- min(l(v), l(l(v)))
-      val next = stepped
-        .join(stepped.select(col("id").as("cid"), col("comp").as("ccomp")),
-          col("comp") === col("cid"))
-        .select(col("id"), least(col("comp"), col("ccomp")).as("comp"))
-      val cur = labelSum(next)
-      done = cur.compareTo(prev) == 0
-      prev = cur
-      labels = next
-      it += 1
-    }
-    sym.unpersist()
-    labels
+    try {
+      while (!done && it < MaxIters) {
+        // "min over my neighbors' labels" (self-loop keeps own label);
+        // the checkpoint truncates the round's lineage and the jump
+        // self-joins it without tripping Catalyst's union-constraint
+        // rewrite (the plan under the join is a LogicalRDD, not a union)
+        val stepped = sym
+          .join(labels.withColumnRenamed("id", "src"), "src")
+          .groupBy(col("dst").as("id")).agg(min(col("comp")).as("comp"))
+          .localCheckpoint()
+        // pointer jumping: a label is always a node id, so every comp
+        // matches exactly one label row — l(v) <- min(l(v), l(l(v)))
+        val next = stepped
+          .join(stepped.select(col("id").as("cid"), col("comp").as("ccomp")),
+            col("comp") === col("cid"))
+          .select(col("id"), least(col("comp"), col("ccomp")).as("comp"))
+        val cur = labelSum(next)
+        done = cur.compareTo(prev) == 0
+        prev = cur
+        labels = next
+        it += 1
+      }
+      if (!done && it >= MaxIters)
+        // unconverged labels are a CORRECTNESS hazard (components
+        // under-merged) — fail loudly instead of returning them
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $MaxIters rounds")
+      labels
+    } finally sym.unpersist()
   }
 
   /** #75 Near-dup dedup clusters over `documents`: edges = blocked
