@@ -58,6 +58,42 @@ class QuantSpec extends SparkTestBase {
     assert(recall >= 0.8, s"int8 recall $recall too low")
   }
 
+  test("int8 codes store ~4x smaller than float32 embeddings on parquet") {
+    val e = graft.sources.Tables.load(spark, SfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val tmp = java.nio.file.Files.createTempDirectory("quantstore").toString
+    e.coalesce(1).write.mode("overwrite").parquet(s"$tmp/float32")
+    e.select(col("vec_id"),
+        quantizeI8(col("embedding").cast("array<double>")).as("codes"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/int8")
+    def bytes(p: String): Long =
+      new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(_.length()).sum
+    val f32 = bytes(s"$tmp/float32"); val i8 = bytes(s"$tmp/int8")
+    info(s"float32=$f32 B, int8=$i8 B, ratio=${f32.toDouble / i8}")
+    // random floats are incompressible (~4 B/dim); the [-127,127]
+    // codes bit-pack to ~1 B/dim — parquet should realize most of 4x
+    assert(f32.toDouble / i8 >= 2.5, s"storage ratio only ${f32.toDouble / i8}")
+    // and the stored codes serve the same search results
+    val stored = spark.read.parquet(s"$tmp/int8")
+    val q = stored.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("codes").as("qq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("cand_id").asc)
+    val fromStore = stored.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        intCosine(col("qq"), col("codes")).as("cos"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select("q_id", "rnk", "cand_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val direct = graft.operators.Similarity.annQuant(spark, SfDir)
+      .select("q_id", "rnk", "cand_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(fromStore == direct, "stored codes reproduce the quantized ANN")
+  }
+
   test("quantize_i8 / int_cosine are on the SQL surface") {
     GraftFunctions.register(spark)
     val got = spark.sql(
