@@ -56,10 +56,13 @@ object SparkEntry {
     "ann_quant" -> (Similarity.annQuant _),
     "label_centroids" -> (Similarity.labelCentroids _),
     "centroid_assign" -> (Similarity.centroidAssign _),
-    // §2.F dedup clustering + keyword search (round 8)
+    // §2.F dedup clustering + keyword search + curation (round 8)
     "dedup_components" -> (Components.dedupComponents _),
     "term_stats" -> (Search.termStats _),
     "bm25_search" -> (Search.bm25Search _),
+    "incremental_dedup" -> (Dedup.incrementalDedup _),
+    "approx_percentiles" -> (Olap.approxPercentiles _),
+    "curation_pipeline" -> (Curation.curationPipeline _),
     // §2.B OLAP / sequence extensions (round 3)
     "rollup_agg" -> (Olap.rollupAgg _),
     "pivot_wide" -> (Olap.pivotWide _),
@@ -382,6 +385,74 @@ object SparkEntry {
         |    AS is_canonical
         |FROM c JOIN sz ON c.comp = sz.comp
         |ORDER BY doc_id""".stripMargin,
+    // Incremental dedup twin: same blocked pair generation as
+    // ngram_jaccard but index×batch sides (index = existing corpus +
+    // earlier batch docs); best match realized as row_number
+    // (jac DESC, a ASC) = Spark's max(struct(jac, -a)).
+    "incremental_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source, n_chars, n_chars // 20 AS blk,
+        |    list_distinct(list_transform(
+        |      range(greatest(length(lower(text)) - 2, 0)),
+        |      i -> substr(lower(text), cast(i + 1 AS int), 3))) AS grams
+        |  FROM documents),
+        |p AS (SELECT y.doc_id AS b, x.doc_id AS a,
+        |    CASE WHEN len(x.grams) + len(y.grams)
+        |              - len(list_intersect(x.grams, y.grams)) > 0
+        |      THEN cast(len(list_intersect(x.grams, y.grams)) AS double)
+        |        / cast(len(x.grams) + len(y.grams)
+        |               - len(list_intersect(x.grams, y.grams)) AS double)
+        |      ELSE 0.0 END AS jac
+        |  FROM d x JOIN d y ON x.lang = y.lang AND x.source = y.source
+        |    AND abs(x.blk - y.blk) <= 1
+        |    AND y.doc_id % 7 = 0
+        |    AND (x.doc_id % 7 <> 0 OR x.doc_id < y.doc_id)
+        |    AND abs(x.n_chars - y.n_chars) <= 20),
+        |r AS (SELECT b, jac, a, row_number() OVER (PARTITION BY b
+        |    ORDER BY jac DESC, a ASC) AS rn FROM p),
+        |best AS (SELECT b, jac, a FROM r WHERE rn = 1)
+        |SELECT t.doc_id,
+        |  CASE WHEN best.jac >= 0.5 THEN best.a END AS dup_of,
+        |  round(coalesce(best.jac, 0.0), 6) AS best_jac,
+        |  CASE WHEN best.jac >= 0.5 THEN 'drop' ELSE 'keep' END AS verdict
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 7 = 0) t
+        |LEFT JOIN best ON t.doc_id = best.b
+        |ORDER BY t.doc_id""".stripMargin,
+    // Curation twin: the composed stage oracles — token gate
+    // (token_count's unfiltered split), lang_id's regex cascade,
+    // dedup_exact's min-id keep, group_cap's hash order, and
+    // sample_hash's split rule — in one statement.
+    "curation_pipeline" ->
+      """WITH t AS (SELECT doc_id, source, text,
+        |    cast(len(string_split_regex(lower(trim(text)), '\s+'))
+        |      AS bigint) AS n_tok,
+        |    CASE
+        |      WHEN regexp_matches(lower(text), '[\x{4e00}-\x{9fff}]')
+        |        THEN 'zh'
+        |      WHEN regexp_matches(lower(text),
+        |        '(^|\s)(the|a|and|of|to|in|is)(\s|$)') THEN 'en'
+        |      WHEN regexp_matches(lower(text),
+        |        '(^|\s)(el|la|los|de|que|y|en)(\s|$)') THEN 'es'
+        |      ELSE 'und' END AS pred_lang
+        |  FROM documents),
+        |g AS (SELECT * FROM t
+        |  WHERE n_tok >= 20 AND pred_lang IN ('en', 'es')),
+        |k AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY text),
+        |d AS (SELECT g.* FROM g JOIN k USING (doc_id)),
+        |c AS (SELECT * FROM (SELECT d.*, row_number() OVER (
+        |      PARTITION BY source
+        |      ORDER BY (doc_id % 1000000007) * 2654435761 % 1000000007 ASC,
+        |        doc_id ASC) AS rnk
+        |    FROM d) WHERE rnk <= 20),
+        |s AS (SELECT source,
+        |    CASE WHEN (doc_id % 1000000007) * 2654435761 % 1000 < 800
+        |        THEN 'train'
+        |      WHEN (doc_id % 1000000007) * 2654435761 % 1000 < 900
+        |        THEN 'val'
+        |      ELSE 'test' END AS split, n_tok FROM c)
+        |SELECT source, split, count(*) AS n_docs,
+        |  cast(sum(n_tok) AS bigint) AS sum_tokens
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "term_stats" ->
       """WITH t AS (SELECT doc_id,
         |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),

@@ -207,4 +207,64 @@ object Dedup {
       .withColumn("jac", TextFunctions.jaccard(col("grams_a"), col("grams_b")))
       .select("a", "b", "jac")
   }
+
+  /** #80 parameters: the "new batch" is every 7th doc_id (an
+    * SF-independent ~14% slice standing in for today's crawl; 7 is
+    * chosen decorrelated from the corpus generator's dup-family id
+    * stride) and a batch doc is a duplicate when its best trigram
+    * Jaccard against the index side reaches the threshold. */
+  val IncrBatchMod = 7
+  val IncrThreshold = 0.5
+
+  /** #80 Incremental dedup: match a new batch against the historical
+    * corpus — the shape a daily ingest actually runs (full-corpus
+    * re-dedup per day is a non-starter at 100 TB; the index side is
+    * precomputed once and the join cost scales with the BATCH).
+    * The index side is the existing corpus PLUS earlier batch docs
+    * (id-ordered), so within-batch duplicates are also caught —
+    * without it, a crawl that fetched the same page twice today
+    * would admit both copies. Blocked exactly like
+    * [[ngramJaccardPairs]], but the ±1 length-block fan-out rides
+    * the small batch side, not the corpus; each batch doc reports
+    * its best index match (highest Jaccard, smallest doc_id on
+    * ties) and a keep/drop verdict. Every batch doc appears exactly
+    * once (unmatched ⇒ best_jac 0, dup_of null). */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        floor(col("n_chars") / lit(20)).as("blk"),
+        TextFunctions.charNgrams(col("text"), 3).as("grams"))
+    val index = d
+      .select(col("doc_id").as("a"), col("lang"), col("source"),
+        col("blk").as("jblk"), col("n_chars").as("nc_a"),
+        col("grams").as("grams_a"))
+    val batch = d.filter(col("doc_id") % IncrBatchMod === 0)
+    val probes = batch
+      .select(col("doc_id").as("b"), col("lang"), col("source"), col("blk"),
+        col("n_chars").as("nc_b"), col("grams").as("grams_b"))
+      .withColumn("jblk",
+        explode(array(col("blk") - 1, col("blk"), col("blk") + 1)))
+      .drop("blk")
+    val best = probes.join(index, Seq("lang", "source", "jblk"))
+      .filter(abs(col("nc_a") - col("nc_b")) <= 20)
+      // index side = existing corpus OR an earlier batch doc (this
+      // also excludes the self-pair: a == b is a batch doc, not < b)
+      .filter(col("a") % IncrBatchMod =!= 0 || col("a") < col("b"))
+      .select(col("b"),
+        TextFunctions.jaccard(col("grams_a"), col("grams_b")).as("jac"),
+        col("a"))
+      // best match per batch doc: max jac, min existing id on ties —
+      // max of struct(jac, -a) realizes both in one agg
+      .groupBy("b")
+      .agg(max(struct(col("jac"), (-col("a")).as("na"))).as("m"))
+      .select(col("b"), col("m.jac").as("best_jac"), (-col("m.na")).as("dup_of"))
+    batch.select(col("doc_id"))
+      .join(best, col("doc_id") === col("b"), "left")
+      .select(col("doc_id"),
+        when(col("best_jac") >= IncrThreshold, col("dup_of")).as("dup_of"),
+        round(coalesce(col("best_jac"), lit(0.0)), 6).as("best_jac"),
+        when(col("best_jac") >= IncrThreshold, lit("drop"))
+          .otherwise(lit("keep")).as("verdict"))
+      .orderBy("doc_id")
+  }
 }

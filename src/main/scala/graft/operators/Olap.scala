@@ -66,6 +66,29 @@ object Olap {
         round(element_at(col("ps"), 4), 6).as("p99"))
       .orderBy("event_type")
 
+  /** #79 Mergeable quantile sketch: the same percentiles as [[percentiles]]
+    * via `approx_percentile` (Greenwald-Khanna). The exact form
+    * collects every group's values into one sorted buffer — O(group
+    * rows) memory on one task, which a hot group breaks at 100 TB.
+    * The sketch keeps O(1/accuracy) state per group, merges map-side,
+    * and bounds RANK error by 1/accuracy (value error follows on any
+    * non-degenerate distribution; OlapSessionsSpec asserts both
+    * against the exact answer). Approximate → rows-only in the
+    * driver gate. */
+  val SketchAccuracy = 10000
+
+  def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(expr(s"approx_percentile(value, array(0.25D, 0.5D, 0.9D, 0.99D), " +
+        s"$SketchAccuracy)").as("ps"))
+      .select(col("event_type"),
+        round(element_at(col("ps"), 1), 6).as("p25"),
+        round(element_at(col("ps"), 2), 6).as("p50"),
+        round(element_at(col("ps"), 3), 6).as("p90"),
+        round(element_at(col("ps"), 4), 6).as("p99"))
+      .orderBy("event_type")
+
   /** #51+#63 Top-k per group: each customer's 3 most valuable orders
     * via the custom bounded-heap TopKAgg aggregate — per-group state
     * is k pairs combined map-side, so the shuffle carries

@@ -1,0 +1,95 @@
+package graft
+
+import graft.operators.{Curation, Dedup, Olap, Sampling}
+
+/** Round-8 composition tests: the curation pipeline against a
+  * plain-Scala reference implementation, incremental dedup against
+  * the full pair set, and the quantile sketch against exact
+  * percentiles. */
+class CurationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def loadDocs() =
+    graft.sources.Tables.load(spark, SfDir, "documents")
+      .select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect()
+
+  test("curation_pipeline equals a plain-Scala reference run") {
+    val docs = loadDocs()
+    val zh = java.util.regex.Pattern.compile("[一-鿿]")
+    val en = java.util.regex.Pattern.compile(
+      "(^|\\s)(the|a|and|of|to|in|is)(\\s|$)")
+    val es = java.util.regex.Pattern.compile(
+      "(^|\\s)(el|la|los|de|que|y|en)(\\s|$)")
+    def lang(t: String): String = {
+      val l = t.toLowerCase
+      if (zh.matcher(l).find()) "zh"
+      else if (en.matcher(l).find()) "en"
+      else if (es.matcher(l).find()) "es"
+      else "und"
+    }
+    def nTok(t: String): Long = t.trim.toLowerCase.split("\\s+").length.toLong
+    def hashKey(id: Long): Long = (id % 1000000007L) * 2654435761L % 1000000007L
+    def split(id: Long): String = {
+      val b = (id % 1000000007L) * 2654435761L % 1000L
+      if (b < 800) "train" else if (b < 900) "val" else "test"
+    }
+    val gated = docs.filter { case (id, _, t) =>
+      nTok(t) >= Curation.MinTokens && Curation.Langs.contains(lang(t)) }
+    val keep = gated.groupBy(_._3).map(_._2.map(_._1).min).toSet
+    val deduped = gated.filter(d => keep(d._1))
+    val capped = deduped.groupBy(_._2).toSeq.flatMap { case (_, ds) =>
+      ds.sortBy(d => (hashKey(d._1), d._1)).take(Sampling.GroupCapN)
+    }
+    val want = capped.groupBy(d => (d._2, split(d._1))).map { case (k, ds) =>
+      (k._1, k._2, ds.size.toLong, ds.map(x => nTok(x._3)).sum)
+    }.toSet
+    val got = Curation.curationPipeline(spark, SfDir)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("incremental_dedup covers the batch exactly once and flags planted dups") {
+    val out = Dedup.incrementalDedup(spark, SfDir)
+      .as[(Long, Option[Long], Double, String)].collect()
+    val batchIds = loadDocs().map(_._1).filter(_ % Dedup.IncrBatchMod == 0)
+    assert(out.map(_._1).toSeq.sorted == batchIds.toSeq.sorted,
+      "every batch doc appears exactly once")
+    out.foreach { case (id, dupOf, _, verdict) =>
+      assert((verdict == "drop") == dupOf.isDefined,
+        s"verdict/dup_of consistent for $id")
+      dupOf.foreach(d => assert(d % Dedup.IncrBatchMod != 0 || d < id,
+        s"dup_of $d must be an existing doc or an EARLIER batch doc"))
+    }
+    assert(out.exists(_._4 == "drop"),
+      "the planted dup families must surface at least one batch dup")
+  }
+
+  test("approx_percentiles is rank-exact at this accuracy") {
+    // GK guarantees rank error <= n/accuracy; with n per group far
+    // below the accuracy (10k), the sketch must return an element
+    // whose RANK brackets the target exactly — value-space
+    // comparison against the interpolating exact percentile()
+    // would wrongly fail on tail gaps between adjacent order stats.
+    val vals = graft.sources.Tables.load(spark, SfDir, "events")
+      .select("event_type", "value").as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val approx = Olap.approxPercentiles(spark, SfDir)
+      .as[(String, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> Seq(0.25 -> r._2, 0.5 -> r._3, 0.9 -> r._4,
+        0.99 -> r._5)).toMap
+    assert(approx.keySet == vals.keySet)
+    approx.foreach { case (k, ps) =>
+      val xs = vals(k); val n = xs.length
+      ps.foreach { case (p, a) =>
+        // rounded to 6dp in the query output — compare with epsilon
+        val idx = xs.indexWhere(x => math.abs(x - a) < 5e-7)
+        assert(idx >= 0, s"$k p$p: $a is not an element of the group")
+        val target = p * (n - 1)
+        val lastIdx = xs.lastIndexWhere(x => math.abs(x - a) < 5e-7)
+        assert(target >= idx - 1.0 && target <= lastIdx + 1.0,
+          s"$k p$p: rank of $a is [$idx,$lastIdx], target $target")
+      }
+    }
+  }
+}
