@@ -12,13 +12,17 @@ import graft.functions.TextFunctions
   * stage operators, demonstrating that the pieces compose into one
   * Catalyst plan (single job, no intermediate materialization).
   *
-  * Scale shape (§5): one corpus scan computes the per-doc quality and
-  * language columns (codegen'd kernels); the dedup keep-set is a
-  * content-hash aggregate (shuffles 40 B/doc); the cap rides the
-  * bounded-heap TopKAgg (O(cap) state per source); split assignment
-  * is a pure per-row projection; the final accounting is one
-  * map-side-combined aggregate. Nothing in the composition adds
-  * state proportional to a hot group.
+  * Scale shape (§5): ONE corpus scan computes the per-doc quality,
+  * language, and content-hash columns (codegen'd kernels + sha2) and
+  * reduces each doc to a scalars-only metadata row (~40 B/doc),
+  * materialized via localCheckpoint — every later stage (dedup
+  * keep-set, cap, split, accounting) runs off that table, so the
+  * lazy-plan alternative of re-scanning and re-tokenizing the corpus
+  * once per consuming branch (8 scans in the composed plan) never
+  * happens. The cap rides the bounded-heap TopKAgg (O(cap) state per
+  * source); split assignment is a pure per-row projection; the final
+  * accounting is one map-side-combined aggregate. Nothing in the
+  * composition adds state proportional to a hot group.
   */
 object Curation {
 
@@ -34,16 +38,19 @@ object Curation {
         TextFunctions.tokenCounts(col("text")).getField("ws")
           .cast("long").as("n_tok"),
         TextFunctions.langId(col("text")).as("pred_lang"))
-    // stage 1+2: quality + language gates (pushed into the scan's
-    // projection; the kernels run once per doc)
-    val gated = docs
+    // stage 1+2: quality + language gates, then reduce every
+    // surviving doc to scalars (text itself is not needed past the
+    // content hash) and materialize — the single corpus scan
+    val meta = docs
       .filter(col("n_tok") >= MinTokens && col("pred_lang").isin(Langs: _*))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        sha2(col("text"), 256).as("h"))
+      .localCheckpoint()
     // stage 3: exact dedup — keep the min doc_id per content hash
-    val keeps = gated
-      .groupBy(sha2(col("text"), 256).as("h"))
-      .agg(min(col("doc_id")).as("doc_id"))
+    val keeps = meta
+      .groupBy("h").agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    val deduped = gated.join(keeps, "doc_id")
+    val deduped = meta.join(keeps, "doc_id")
     // stage 4: per-source cap, same deterministic hash order as #65
     val capped = deduped
       .groupBy(col("source"))
