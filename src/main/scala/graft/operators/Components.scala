@@ -44,14 +44,19 @@ object Components {
     * deeper than any real near-dup cluster. */
   val MaxIters = 25
 
-  /** One pointer jump per round, computed LAZILY off the round's
-    * checkpoint. Variants measured at sf0.1 before settling here:
-    * multiple lazy jumps double the unshared subplan per jump (2×
-    * slower at 3 jumps); checkpointing every jump individually looks
-    * cheap early but degenerates exponentially in late rounds
-    * (0.3 s → 242 s per jump by round 11 — per-round block/lineage
-    * interactions, not data size). The single-checkpoint round is
-    * stable at ~0.35 s/round for the life of the loop. */
+  /** Propagation hops per materialized round. Each hop is a
+    * sym ⋈ labels join + min-agg CHAINED linearly (hop 2 consumes
+    * hop 1's plan — no self-join, no plan duplication), so k hops
+    * ride one scheduled job and one checkpoint; the round then adds
+    * one pointer jump computed LAZILY off the checkpoint. Variants
+    * measured at sf0.1 before settling here: multiple lazy JUMPS
+    * double the unshared subplan per jump (2× slower at 3);
+    * checkpointing every jump individually degenerates exponentially
+    * in late rounds (0.3 s → 242 s per jump by round 11 — per-round
+    * block/lineage interactions, not data size); single-hop rounds
+    * are stable but need 14 of them — two hops halve the round count
+    * for ~30% less wall-clock. */
+  val HopsPerRound = 2
 
   /** Min-label connected components: `nodes` = (id), `edges` =
     * (a, b) undirected. Returns (id, comp) where comp = min id
@@ -78,14 +83,15 @@ object Components {
     var done = prev == null // empty node set
     try {
       while (!done && it < MaxIters) {
-        // "min over my neighbors' labels" (self-loop keeps own label);
-        // the checkpoint truncates the round's lineage and the jump
-        // self-joins it without tripping Catalyst's union-constraint
-        // rewrite (the plan under the join is a LogicalRDD, not a union)
-        val stepped = sym
-          .join(labels.withColumnRenamed("id", "src"), "src")
-          .groupBy(col("dst").as("id")).agg(min(col("comp")).as("comp"))
-          .localCheckpoint()
+        // "min over my neighbors' labels" (self-loop keeps own label),
+        // HopsPerRound times in one linear chain; the checkpoint
+        // truncates the round's lineage and the jump self-joins it
+        // without tripping Catalyst's union-constraint rewrite (the
+        // plan under the join is a LogicalRDD, not a union)
+        val stepped = (1 to HopsPerRound).foldLeft(labels) { (cur, _) =>
+          sym.join(cur.withColumnRenamed("id", "src"), "src")
+            .groupBy(col("dst").as("id")).agg(min(col("comp")).as("comp"))
+        }.localCheckpoint()
         // pointer jumping: a label is always a node id, so every comp
         // matches exactly one label row — l(v) <- min(l(v), l(l(v)))
         val next = stepped

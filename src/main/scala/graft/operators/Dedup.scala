@@ -228,7 +228,15 @@ object Dedup {
     * the small batch side, not the corpus; each batch doc reports
     * its best index match (highest Jaccard, smallest doc_id on
     * ties) and a keep/drop verdict. Every batch doc appears exactly
-    * once (unmatched ⇒ best_jac 0, dup_of null). */
+    * once (unmatched ⇒ best_jac 0, dup_of null).
+    *
+    * At 100 TB the hash-join shown here shuffles the index side's
+    * gram sets once per batch run — the production deployment
+    * instead writes the (lang, source, blk)-keyed gram index ONCE
+    * with the bucketed-warehouse layout (`sinks/BucketedWarehouse`,
+    * #36), after which every daily batch joins exchange-free against
+    * the persisted buckets and the per-run cost scales with the
+    * batch alone. The query-side plan is identical either way. */
   def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
