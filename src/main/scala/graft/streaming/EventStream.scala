@@ -192,6 +192,29 @@ object EventStream {
     * (ts desc, event_id desc) tiebreak stays correct across
     * micro-batches — matching the batch twin `StockOps.latestPerKey`
     * even when an equal-ts event arrives in a later batch. */
+  /** #82 Streaming incremental dedup: a document stream deduplicated
+    * (a) against a STATIC historical index via a stream-static
+    * left-anti join on content hash — the streaming twin of
+    * `Dedup.incrementalDedup`'s exact layer — and (b) within the
+    * stream itself via watermark-bounded dedup (today's crawl
+    * fetching the same page twice, possibly across micro-batches).
+    * Only never-before-seen documents flow downstream.
+    *
+    * Scale notes: the static side is re-planned per micro-batch, so
+    * a periodically-refreshed index table is picked up without
+    * restarting the query; the within-stream state holds one hash
+    * per unexpired document and is EVICTED at the watermark — an
+    * unbounded `dropDuplicates` would accumulate every hash ever
+    * streamed. The stream side ships (hash, metadata) into the join;
+    * document text never rides the shuffle. */
+  def dedupAgainstIndex(docs: DataFrame, indexHashes: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("ingest_ts"),
+        sha2(col("text"), 256).as("h"))
+      .withWatermark("ingest_ts", "1 hour")
+      .join(indexHashes.select(col("h")), Seq("h"), "left_anti")
+      .dropDuplicatesWithinWatermark("h")
+
   case class LatestState(latest_ts: Timestamp, latest_price: Double,
       event_id: Long)
 

@@ -319,4 +319,34 @@ class EventStreamSpec extends SparkTestBase {
     assert(readIds() === ((0L to 9L) ++ Seq(100L, 300L)),
       "loose backfill files in a batched day were dropped")
   }
+
+  test("streaming dedup vs static index admits only never-seen docs") {
+    import java.sql.Timestamp
+    val dir = Files.createTempDirectory("graft_docstream").toString
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    // index knows "alpha"; the stream carries: a dup of the index
+    // (drop), a fresh doc (keep), the same fresh doc again
+    // (within-stream dup, keep once), and a second fresh doc (keep)
+    Seq((10L, t0, "alpha"), (11L, t0, "beta"), (12L, t0, "beta"),
+      (13L, t0, "gamma"))
+      .toDF("doc_id", "ingest_ts", "text")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val index = Seq("alpha").toDF("text")
+      .select(sha2(col("text"), 256).as("h"))
+    val docsStream = spark.readStream
+      .schema("doc_id LONG, ingest_ts TIMESTAMP, text STRING")
+      .parquet(dir)
+    val out = EventStream.dedupAgainstIndex(docsStream, index)
+    val q = out.writeStream.format("memory").queryName("doc_dedup")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val kept = spark.table("doc_dedup").select("doc_id")
+      .as[Long].collect().toSet
+    // exactly one of {11, 12} (beta) survives, plus gamma; alpha's
+    // dup never appears
+    assert(!kept.contains(10L), "index dup must be dropped")
+    assert(kept.contains(13L), "fresh doc must pass")
+    assert((kept & Set(11L, 12L)).size == 1, "within-stream dup kept once")
+    assert(kept.size == 2)
+  }
 }
