@@ -208,6 +208,47 @@ object Dedup {
       .select("a", "b", "jac")
   }
 
+  /** The (lang, source, blk)-bucketed gram index behind
+    * [[incrementalDedupBucketed]]: written ONCE per corpus (keyed by
+    * the MD5 dir digest, the BucketedWarehouse pattern), after which
+    * every batch run's join reads pre-bucketed index files with NO
+    * exchange on the corpus side — the ingest shuffle is paid once,
+    * not per batch. */
+  def buildGramIndex(spark: SparkSession, dir: String): String = {
+    val name = s"graft_gram_index_${graft.sources.StagePath.key(dir)}"
+    if (spark.catalog.tableExists(name)) return name
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh, name))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id").as("a"), col("lang"), col("source"),
+        floor(col("n_chars") / lit(20)).as("jblk"),
+        col("n_chars").as("nc_a"),
+        TextFunctions.charNgrams(col("text"), 3).as("grams_a"))
+      .write.mode("overwrite")
+      .bucketBy(8, "lang", "source", "jblk")
+      .saveAsTable(name)
+    name
+  }
+
+  /** #80 at scale: [[incrementalDedup]] probing the PERSISTED
+    * bucketed gram index instead of re-deriving (and re-shuffling)
+    * the corpus side per run. Row-identical output — DedupSpec
+    * asserts equality and that the index side of the join plan
+    * carries no Exchange (the probe side still shuffles, but it is
+    * batch-sized). */
+  def incrementalDedupBucketed(spark: SparkSession, dir: String,
+      forceSortMerge: Boolean = false): DataFrame = {
+    val t = spark.table(buildGramIndex(spark, dir))
+    // default: let the planner broadcast the batch-sized probe over
+    // the bucketed index (zero exchange anywhere near the corpus).
+    // forceSortMerge models the big-batch regime where broadcast is
+    // off the table: the SMJ then shuffles ONLY the probe side — the
+    // bucketed index reads pre-partitioned (DedupSpec plan-asserts).
+    val index = if (forceSortMerge) t.hint("merge") else t
+    incrementalDedupAgainst(spark, dir, index)
+  }
+
   /** #80 parameters: the "new batch" is every 7th doc_id (an
     * SF-independent ~14% slice standing in for today's crawl; 7 is
     * chosen decorrelated from the corpus generator's dup-family id
@@ -238,15 +279,25 @@ object Dedup {
     * the persisted buckets and the per-run cost scales with the
     * batch alone. The query-side plan is identical either way. */
   def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.load(spark, dir, "documents")
+    val index = Tables.load(spark, dir, "documents")
+      .select(col("doc_id").as("a"), col("lang"), col("source"),
+        floor(col("n_chars") / lit(20)).as("jblk"),
+        col("n_chars").as("nc_a"),
+        TextFunctions.charNgrams(col("text"), 3).as("grams_a"))
+    incrementalDedupAgainst(spark, dir, index)
+  }
+
+  /** Core of #80: probe the batch slice of `dir`'s documents against
+    * an index with columns (a, lang, source, jblk, nc_a, grams_a) —
+    * derived inline ([[incrementalDedup]]) or read from the persisted
+    * bucketed table ([[incrementalDedupBucketed]]). */
+  private def incrementalDedupAgainst(spark: SparkSession, dir: String,
+      index: DataFrame): DataFrame = {
+    val batch = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % IncrBatchMod === 0)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         floor(col("n_chars") / lit(20)).as("blk"),
         TextFunctions.charNgrams(col("text"), 3).as("grams"))
-    val index = d
-      .select(col("doc_id").as("a"), col("lang"), col("source"),
-        col("blk").as("jblk"), col("n_chars").as("nc_a"),
-        col("grams").as("grams_a"))
-    val batch = d.filter(col("doc_id") % IncrBatchMod === 0)
     val probes = batch
       .select(col("doc_id").as("b"), col("lang"), col("source"), col("blk"),
         col("n_chars").as("nc_b"), col("grams").as("grams_b"))

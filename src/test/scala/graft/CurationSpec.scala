@@ -65,6 +65,30 @@ class CurationSpec extends SparkTestBase {
       "the planted dup families must surface at least one batch dup")
   }
 
+  test("bucketed gram index: identical verdicts, no exchange on the index side") {
+    val direct = Dedup.incrementalDedup(spark, SfDir)
+      .as[(Long, Option[Long], Double, String)].collect().toSeq
+    val bucketed = Dedup.incrementalDedupBucketed(spark, SfDir)
+    val got = bucketed.as[(Long, Option[Long], Double, String)].collect().toSeq
+    assert(got == direct, "bucketed index must be row-identical")
+    // small-batch regime: planner broadcasts the probe; the bucketed
+    // index streams with no exchange anywhere near it
+    val plan = planOf(bucketed)
+    assert(plan.contains("Bucketed: true"),
+      s"index scan must read buckets:\n${plan.take(2000)}")
+    // big-batch regime (broadcast disallowed): the SMJ shuffles ONLY
+    // the probe side — exactly one hashpartitioning exchange carries
+    // the join keys, and the index side reads its buckets in place
+    val smjPlan = planOf(
+      Dedup.incrementalDedupBucketed(spark, SfDir, forceSortMerge = true))
+    assert(smjPlan.contains("SortMergeJoin"), "merge hint must hold")
+    // formatted mode lists each Exchange's keys on an Arguments line
+    val joinKeyExchanges = smjPlan.linesIterator.count(l =>
+      l.contains("hashpartitioning") && l.contains("jblk"))
+    assert(joinKeyExchanges == 1,
+      s"expected exactly the probe-side shuffle, got $joinKeyExchanges")
+  }
+
   test("approx_percentiles is rank-exact at this accuracy") {
     // GK guarantees rank error <= n/accuracy; with n per group far
     // below the accuracy (10k), the sketch must return an element
