@@ -13,18 +13,20 @@ import graft.sources.Tables
   * doc_id), which is what a production pipeline keeps.
   *
   * Scale design (§5): iterative min-label propagation with pointer
-  * jumping. Each round is (a) one hash join (symmetric edges ⋈
-  * labels, both shuffled on the join key) plus one map-side-combined
-  * groupBy — the "take the minimum of my neighbors' labels" move —
-  * and (b) one labels ⋈ labels self-join that path-compresses
-  * l(v) ← l(l(v)), halving the depth of every label chain. (a) alone
-  * converges in O(diameter) rounds; (b) turns that into
-  * O(log diameter) — the same asymptotics as alternating
-  * large-star/small-star — so even adversarially deep chain graphs
-  * finish in a handful of shuffles. No driver-side data, no collect.
-  * Lineage is truncated every round with `localCheckpoint` (without
-  * it the loop's plan doubles per iteration and Catalyst re-analysis
-  * dominates).
+  * jumping. Each round is (a) [[HopsPerRound]] chained hash joins
+  * (symmetric edges ⋈ labels) each with a map-side-combined groupBy —
+  * the "take the minimum of my neighbors' labels" move — and (b) one
+  * labels ⋈ labels self-join that path-compresses l(v) ← l(l(v)).
+  * Plain propagation converges in O(diameter) rounds; the hops and
+  * the jump each multiply the distance the minimum travels per round
+  * (measured at sf0.1: 14 rounds with one hop, 7 with two), a
+  * CONSTANT-factor cut — a full pointer-doubling inner loop would be
+  * O(log d) in theory but pays one materialization per doubling,
+  * which costs more than it saves at real near-dup cluster depths
+  * (and degenerated badly when measured; see [[HopsPerRound]]).
+  * No driver-side data, no collect. Lineage is truncated every round
+  * with `localCheckpoint` (without it the loop's plan doubles per
+  * iteration and Catalyst re-analysis dominates).
   *
   * Convergence is detected with a decimal-exact sum of labels: min
   * propagation only ever decreases a label, so the label sum strictly
@@ -39,9 +41,12 @@ object Components {
     * vocabulary sit well below it. */
   val EdgeThreshold = 0.5
 
-  /** Hard iteration cap — with pointer jumping a component of depth d
-    * converges in O(log d) rounds, so 25 covers graphs astronomically
-    * deeper than any real near-dup cluster. */
+  /** Hard iteration cap. Each round advances the component minimum
+    * ~5 edge-hops (two propagation hops × the pointer jump), so 25
+    * rounds cover components of diameter ≈100+ — far past any real
+    * near-dup cluster (sf0.1's deepest length-block chain converges
+    * in 7). Exceeding the cap throws rather than returning
+    * under-merged labels. */
   val MaxIters = 25
 
   /** Propagation hops per materialized round. Each hop is a
