@@ -239,7 +239,12 @@ object Dedup {
     * batch-sized). */
   def incrementalDedupBucketed(spark: SparkSession, dir: String,
       forceSortMerge: Boolean = false): DataFrame = {
-    val t = spark.table(buildGramIndex(spark, dir))
+    val name = buildGramIndex(spark, dir)
+    // another process rebuilding the same warehouse dir invalidates
+    // this session's cached file listing (observed as FILE_NOT_EXIST
+    // mid-scan); a metadata refresh per call is cheap insurance
+    spark.catalog.refreshTable(name)
+    val t = spark.table(name)
     // default: let the planner broadcast the batch-sized probe over
     // the bucketed index (zero exchange anywhere near the corpus).
     // forceSortMerge models the big-batch regime where broadcast is

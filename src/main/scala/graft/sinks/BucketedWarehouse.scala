@@ -58,6 +58,10 @@ object BucketedWarehouse {
     * shuffle in the whole query is the final tiny groupBy. */
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     val (li, ord) = build(spark, dir)
+    // another process rebuilding the same warehouse dir invalidates
+    // this session's cached file listing (observed as FILE_NOT_EXIST
+    // mid-scan); a metadata refresh per call is cheap insurance
+    Seq(li, ord).foreach(spark.catalog.refreshTable)
     val l = spark.table(li)
     val o = spark.table(ord)
     l.hint("merge").join(o, l("l_orderkey") === o("o_orderkey"))
