@@ -124,4 +124,35 @@ class KernelPropertySpec extends AnyFunSuite {
         .numElements() === 0)
     }
   }
+
+  test("int8 quantization: codes in range, scale-invariant, cosine close") {
+    val vec = Gen.listOfN(16,
+      Gen.choose(-1e3, 1e3).suchThat(d => !d.isNaN)).map(_.toArray)
+    def q(v: Array[Double]): Array[Int] = {
+      val out = QuantizeI8.compute(new GenericArrayData(v))
+      (0 until out.numElements()).map(out.getInt).toArray
+    }
+    def exactCos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val den = math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum)
+      if (den == 0) 0.0 else dot / den
+    }
+    def intCos(a: Array[Int], b: Array[Int]): Double = {
+      val r = IntCosine(null, null).nullSafeEval(
+        new GenericArrayData(a), new GenericArrayData(b))
+      if (r == null) 0.0 else r.asInstanceOf[Double]
+    }
+    forAll2(vec, vec) { (a, b) =>
+      val (qa, qb) = (q(a), q(b))
+      assert(qa.forall(c => c >= -127 && c <= 127), "codes in [-127,127]")
+      // scale invariance: codes of 1000*v equal codes of v
+      assert(q(a.map(_ * 1000.0)).sameElements(qa), "scale cancels")
+      // int8 cosine stays close to the float cosine: worst-case code
+      // error is 0.5/127 per component; 0.05 is a loose cover at dim 16
+      if (a.exists(_ != 0.0) && b.exists(_ != 0.0))
+        assert(math.abs(intCos(qa, qb) - exactCos(a, b)) <= 0.05,
+          s"quantized cosine drifted: ${intCos(qa, qb)} vs ${exactCos(a, b)}")
+    }
+  }
 }
