@@ -64,8 +64,10 @@ object Components {
   val HopsPerRound = 2
 
   /** Min-label connected components: `nodes` = (id), `edges` =
-    * (a, b) undirected. Returns (id, comp) where comp = min id
-    * reachable from id (singletons map to themselves).
+    * (a, b) undirected with both endpoints ⊆ `nodes` (an edge naming
+    * an unknown id would mint a label row for it). Returns
+    * (id, comp) where comp = min id reachable from id (singletons
+    * map to themselves).
     *
     * The self-loop (id, id) rows live in the persisted edge table, so
     * the per-round plan is join→agg→jumps with NO per-round union —
