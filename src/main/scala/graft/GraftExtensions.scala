@@ -122,6 +122,16 @@ object GraftFunctions {
       info("token_counts",
         "token_counts(s) - struct(ws, bpe): whitespace and BPE-pretokenizer token counts in one pass"),
       (es: Seq[Expression]) => TokenCounts(es(0))),
+    ("bloom_agg",
+      info("bloom_agg",
+        "bloom_agg(h, bits, k) - aggregate: Bloom filter over bigint hashes, OR-merged map-side -> self-describing binary"),
+      (es: Seq[Expression]) => BloomAgg(es(0),
+        intArg(es(1), "bloom_agg", "bits"),
+        intArg(es(2), "bloom_agg", "k")).toAggregateExpression()),
+    ("bloom_might_contain",
+      info("bloom_might_contain",
+        "bloom_might_contain(filter, h) - membership probe, no false negatives"),
+      (es: Seq[Expression]) => BloomMightContain(es(0), es(1))),
     ("quantize_i8",
       info("quantize_i8",
         "quantize_i8(v) - symmetric int8 quantization of a double array (codes in [-127,127])"),

@@ -86,12 +86,27 @@ object SparkEntry {
     "chunk_docs" -> (TextOps.chunkDocs _),
     "repetition_score" -> (TextOps.repetitionScore _),
     "contamination" -> (TextOps.contaminationCheck _),
+    "contamination_bloom" -> (TextOps.contaminationBloom _),
     "corpus_stats" -> (TextOps.corpusStats _),
     "multimodal_meta" -> (Multimodal.multimodalMeta _)
   )
 
   private val Dec = "decimal(28,6)"
   private def dsum(x: String) = s"cast(sum(cast($x as $Dec)) as double)"
+
+  private val ContaminationSql =
+    """WITH t AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |      x -> x <> '') AS toks
+      |  FROM documents),
+      |s AS (SELECT doc_id,
+      |    unnest([array_to_string(list_slice(toks, i + 1, i + 8), ' ')
+      |      for i in range(len(toks) - 7)]) AS sh
+      |  FROM t),
+      |b AS (SELECT DISTINCT sh FROM s WHERE doc_id < 50),
+      |c AS (SELECT DISTINCT doc_id, sh FROM s WHERE doc_id >= 50)
+      |SELECT c.doc_id, count(*) AS n_shared
+      |FROM c JOIN b USING (sh) GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** DuckDB oracle SQL per query (same parquet tables, same column
     * names — SURVEY.md §6). Approximate/non-SQL operators
@@ -834,19 +849,11 @@ object SparkEntry {
         |FROM g ORDER BY doc_id""".stripMargin,
     // Shingle width 8, benchmark = doc_id < 50 — sync with
     // TextOps.ShingleWidth / BenchDocMax
-    "contamination" ->
-      """WITH t AS (SELECT doc_id,
-        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |      x -> x <> '') AS toks
-        |  FROM documents),
-        |s AS (SELECT doc_id,
-        |    unnest([array_to_string(list_slice(toks, i + 1, i + 8), ' ')
-        |      for i in range(len(toks) - 7)]) AS sh
-        |  FROM t),
-        |b AS (SELECT DISTINCT sh FROM s WHERE doc_id < 50),
-        |c AS (SELECT DISTINCT doc_id, sh FROM s WHERE doc_id >= 50)
-        |SELECT c.doc_id, count(*) AS n_shared
-        |FROM c JOIN b USING (sh) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "contamination" -> ContaminationSql,
+    // The Bloom pre-filter admits every true match (no false
+    // negatives) and the exact join removes the false positives, so
+    // the sketch-accelerated query has the SAME oracle text.
+    "contamination_bloom" -> ContaminationSql,
     "corpus_stats" ->
       """WITH t AS (SELECT source, lang, text,
         |    list_filter(string_split_regex(lower(trim(text)), '\s+'),

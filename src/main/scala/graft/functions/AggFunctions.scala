@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
-import graft.functions.expressions.TopKAgg
+import graft.functions.expressions.{BloomAgg, BloomMightContain, TopKAgg}
 
 /** Column API over the custom Catalyst aggregates. */
 object AggFunctions {
@@ -15,4 +15,16 @@ object AggFunctions {
   def topK(value: Column, id: Column, k: Int): Column =
     GraftSqlBridge.column(TopKAgg(GraftSqlBridge.expression(value),
       GraftSqlBridge.expression(id), k).toAggregateExpression())
+
+  /** Distributed Bloom-filter build over a bigint hash column:
+    * partial bitsets OR-merge map-side (no driver-side construction);
+    * result is the self-describing binary the probe reads. */
+  def bloomAgg(hash: Column, numBits: Int, numHashes: Int): Column =
+    GraftSqlBridge.column(BloomAgg(GraftSqlBridge.expression(hash),
+      numBits, numHashes).toAggregateExpression())
+
+  /** Membership probe against a built filter (no false negatives). */
+  def bloomMightContain(filter: Column, hash: Column): Column =
+    GraftSqlBridge.column(BloomMightContain(
+      GraftSqlBridge.expression(filter), GraftSqlBridge.expression(hash)))
 }

@@ -237,4 +237,56 @@ object TextOps {
       .agg(count(lit(1)).as("n_shared"))
       .orderBy("doc_id")
   }
+
+  /** #83 Bloom filter sizing for [[contaminationBloom]]: 2^20 bits
+    * (128 KiB) over the benchmark's distinct shingle hashes with 5
+    * probes — FP ≈ (1-e^(-5n/m))^5 < 1e-8 at n = 10^4 benchmark
+    * shingles, and still < 1% at n = 10^5. */
+  val BloomBits = 1 << 20
+  val BloomHashes = 5
+
+  /** #83 Bloom-prefiltered decontamination: answer-identical to
+    * [[contaminationCheck]], but corpus shingles first pass a
+    * membership probe against a Bloom filter of the benchmark set —
+    * built DISTRIBUTED by the mergeable [[graft.functions.expressions.BloomAgg]]
+    * (partial bitsets OR-combine map-side; nothing collects) and
+    * broadcast as one ~128 KiB row. No false negatives, so the
+    * downstream exact join sees every true match; false positives
+    * (< 1e-8 here) are removed by that same join, which is why this
+    * query shares `contamination`'s DuckDB oracle verbatim.
+    *
+    * The 100 TB point is the regime where the reference set OUTGROWS
+    * broadcast: a web-scale blocklist or seen-set of raw 8-byte
+    * hashes in the GBs forces the exact join to hash-shuffle every
+    * corpus shingle (O(corpus tokens) rows), while its Bloom filter
+    * at the same FP budget is ~100× smaller, still broadcasts, and
+    * cuts that shuffle to true matches plus the FP sliver. When the
+    * raw set broadcasts anyway (this corpus: the exact join is
+    * already broadcast and shuffle-free), the sketch adds its build
+    * jobs without removing any work — BASELINE.md records that
+    * honestly. The build-probe pair serves any bounded-reference
+    * membership pre-screen (seen URLs, license blocklists, index
+    * presence). */
+  def contaminationBloom(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.shingleHashes(col("text"),
+          ShingleWidth)).as("sh"))
+    // the benchmark hash set is bounded — materialize it once and
+    // serve BOTH the bloom build and the exact join from it (two lazy
+    // consumers would each re-scan and re-shingle the benchmark docs)
+    val bench = sh.filter(col("doc_id") < BenchDocMax).select("sh")
+      .distinct().localCheckpoint()
+    val bloom = bench.agg(graft.functions.AggFunctions
+      .bloomAgg(col("sh"), BloomBits, BloomHashes).as("bf"))
+    val candidates = sh.filter(col("doc_id") >= BenchDocMax)
+      .crossJoin(broadcast(bloom))
+      .filter(graft.functions.AggFunctions
+        .bloomMightContain(col("bf"), col("sh")))
+      .select("doc_id", "sh")
+    candidates.join(broadcast(bench), "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
 }
