@@ -57,8 +57,12 @@ object BloomFilter {
     }
   }
 
-  /** Probe a serialized filter ([numHashes int][longs]). */
+  /** Probe a serialized filter ([numHashes int][longs]). A malformed
+    * filter (fewer than header + one word — constructible only by
+    * hand-crafting the binary, never by [[BloomAgg]]) answers false
+    * rather than reading out of bounds. */
   def mightContain(bytes: Array[Byte], x: Long): Boolean = {
+    if (bytes.length < 12) return false
     val bb = ByteBuffer.wrap(bytes)
     val k = bb.getInt
     val nLongs = (bytes.length - 4) / 8
