@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -22,31 +22,47 @@ import graft.sources.Tables
 object AsOfJoin {
 
   /** Generic as-of join carrying any number of typed build columns.
-    * `build` must be unique per (key, ts) — pre-aggregate it if not,
-    * or ties make the result ambiguous. The carried payload is packed
-    * into one struct so `last(ignoreNulls)` forwards all columns
-    * atomically; output columns keep their build-side names and types. */
+    * `build` must either be unique per (key, ts), or supply
+    * `buildOrder` — a deterministic within-timestamp ordering whose
+    * LAST row wins at equal (key, ts) (e.g. `Seq(col("value"))` ≙
+    * "max value per instant"). Folding the tie policy into the ONE
+    * merge sort this operator already pays replaces the pre-aggregate
+    * callers would otherwise need — at 100 TB that pre-aggregate is a
+    * full extra shuffle of the build side. The carried payload is
+    * packed into one struct so `last(ignoreNulls)` forwards all
+    * columns atomically; output columns keep their build-side names
+    * and types. */
   def asOf(probe: DataFrame, build: DataFrame, key: String, ts: String,
-      valueCols: Seq[String]): DataFrame = {
+      valueCols: Seq[String], buildOrder: Seq[Column] = Nil): DataFrame = {
     val payload = struct(valueCols.map(col): _*)
-    val b = build.select(col(key), col(ts),
-      lit(1).as("_is_build"), payload.as("_bpay"))
+    val b = build.select((Seq(col(key), col(ts),
+      lit(1).as("_is_build"), payload.as("_bpay")) ++
+      buildOrder.zipWithIndex.map { case (c, i) => c.as(s"_bord$i") })
+      .toIndexedSeq: _*)
     val p = probe.withColumn("_is_build", lit(0))
       .withColumn("_bpay", lit(null).cast(b.schema("_bpay").dataType))
     val unioned = p.select((probe.columns.map(col) ++
       Seq(col("_is_build"), col("_bpay"))).toIndexedSeq: _*)
       .unionByName(b, allowMissingColumns = true)
-    // Build rows sort before probe rows at equal ts (is_build desc) so
-    // "at or before" includes equality.
+    // Sort order within a key: ts asc; at equal ts build rows BEFORE
+    // probe rows (_is_build desc — "at or before" includes equality;
+    // this also makes _bordN irrelevant between builds and probes);
+    // among equal-ts build rows the caller's tie order ASC puts the
+    // winner last, where the running last() picks it up. nulls_first
+    // keeps a null-ordered build row from beating a non-null one —
+    // the same verdict an aggregate max() would reach.
+    val ordCols = Seq(col(ts).asc, col("_is_build").desc) ++
+      buildOrder.indices.map(i => col(s"_bord$i").asc_nulls_first)
     val w = Window.partitionBy(key)
-      .orderBy(col(ts).asc, col("_is_build").desc)
+      .orderBy(ordCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned
       .withColumn("_fwd", last(col("_bpay"), ignoreNulls = true).over(w))
       .filter(col("_is_build") === 0)
     valueCols.foldLeft(carried) { (df, c) =>
       df.withColumn(c, col(s"_fwd.$c"))
-    }.drop("_is_build", "_bpay", "_fwd")
+    }.drop((Seq("_is_build", "_bpay", "_fwd") ++
+      buildOrder.indices.map(i => s"_bord$i")): _*)
   }
 
   /** Single-column convenience overload (previous API). */
@@ -56,14 +72,18 @@ object AsOfJoin {
       Seq(outName))
 
   /** Query #18: each click joined to the user's latest purchase value
-    * at or before the click. */
+    * at or before the click. Equal-timestamp purchases resolve to the
+    * max value via the merge sort's build ordering — the previous
+    * groupBy(user_id, ts).max pre-aggregate (a full build-side
+    * shuffle BEFORE the join's own shuffle) is folded away. */
   def clicksAsOfPurchases(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
     val probe = ev.filter(col("event_type") === "click")
       .select("event_id", "user_id", "ts")
     val build = ev.filter(col("event_type") === "purchase")
-      .groupBy("user_id", "ts").agg(max(col("value")).as("bval"))
-    asOf(probe, build, "user_id", "ts", "bval", "asof_value")
+      .select(col("user_id"), col("ts"), col("value").as("asof_value"))
+    asOf(probe, build, "user_id", "ts", Seq("asof_value"),
+      buildOrder = Seq(col("asof_value")))
       .select("event_id", "user_id", "ts", "asof_value")
       .orderBy("event_id")
   }

@@ -55,6 +55,20 @@ class OperatorsSpec extends SparkTestBase {
     assert(got.getAs[String]("phase") === "close")
   }
 
+  test("as-of join buildOrder resolves equal-ts build ties like max()") {
+    val t0 = ts("2024-01-01 00:01:00")
+    val probe = Seq((1L, 10L, t0), (2L, 10L, ts("2024-01-01 00:02:00")))
+      .toDF("event_id", "user_id", "ts")
+    // three purchases at the SAME instant: the max value must win,
+    // regardless of input row order
+    val build = Seq((10L, t0, 2.0), (10L, t0, 9.0), (10L, t0, 4.0))
+      .toDF("user_id", "ts", "v")
+    val got = AsOfJoin.asOf(probe, build, "user_id", "ts", Seq("v"),
+        buildOrder = Seq(org.apache.spark.sql.functions.col("v")))
+      .orderBy("event_id").select("v").collect().map(_.getDouble(0)).toSeq
+    assert(got === Seq(9.0, 9.0))
+  }
+
   test("idempotent append: replay replaces, blind append duplicates") {
     val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val batch = Seq((1L, "2024-01-01", 5.0), (2L, "2024-01-02", 7.0))
