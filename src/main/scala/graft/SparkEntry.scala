@@ -63,6 +63,14 @@ object SparkEntry {
     "incremental_dedup" -> (Dedup.incrementalDedup _),
     "approx_percentiles" -> (Olap.approxPercentiles _),
     "curation_pipeline" -> (Curation.curationPipeline _),
+    // §2.G time-series / warehouse / packing (round 9)
+    "resample_ffill" -> (TimeSeries.resampleFfill _),
+    "anomaly_zscore" -> (TimeSeries.anomalyZscore _),
+    "corr_matrix" -> (TimeSeries.corrMatrix _),
+    "scd2_dim" -> (Dimensional.scd2Dim _),
+    "funnel_stages" -> (Dimensional.funnelStages _),
+    "pack_sequences" -> (Packing.packSequences _),
+    "grouping_sets" -> (Olap.groupingSetsAgg _),
     // §2.B OLAP / sequence extensions (round 3)
     "rollup_agg" -> (Olap.rollupAgg _),
     "pivot_wide" -> (Olap.pivotWide _),
@@ -603,6 +611,152 @@ object SparkEntry {
         |SELECT doc_id, cast(chunk_id AS bigint) AS chunk_id,
         |  least(4096, n - chunk_id * 4096) AS chunk_len
         |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
+    // Resample twin: DuckDB's generate_series is inclusive like
+    // Spark's sequence(); last_value IGNORE NULLS ≙ last(ignoreNulls)
+    "resample_ffill" ->
+      """WITH p AS (SELECT user_id, ts, event_id, value,
+        |    date_trunc('hour', ts) AS hour
+        |  FROM events WHERE event_type = 'purchase'),
+        |o AS (SELECT user_id, hour, value AS obs_price FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, hour
+        |      ORDER BY ts DESC, event_id DESC) AS rn FROM p) WHERE rn = 1),
+        |b AS (SELECT user_id, min(hour) AS h0 FROM p GROUP BY 1),
+        |mx AS (SELECT max(hour) AS h1 FROM p),
+        |g AS (SELECT user_id,
+        |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        |  FROM b, mx),
+        |j AS (SELECT g.user_id, g.hour, o.obs_price
+        |  FROM g LEFT JOIN o ON g.user_id = o.user_id AND g.hour = o.hour)
+        |SELECT user_id AS ticker_id, hour,
+        |  round(last_value(obs_price IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY hour
+        |    ROWS UNBOUNDED PRECEDING), 6) AS price,
+        |  cast(obs_price IS NOT NULL AS bigint) AS is_observed
+        |FROM j ORDER BY ticker_id, hour""".stripMargin,
+    // Z-score twin: moments from exact decimal frame sums in the
+    // same closed form / IEEE op order as the Spark side; the
+    // n_win >= 8 gate keeps every denominator nonzero in both engines
+    "anomaly_zscore" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |w AS (SELECT *,
+        |    count(value) OVER f AS n_win,
+        |    cast(sum(cast(value AS decimal(28,6))) OVER f AS double) AS s1,
+        |    cast(sum(cast(value * value AS decimal(28,6))) OVER f
+        |      AS double) AS s2
+        |  FROM p WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |m AS (SELECT *,
+        |    CASE WHEN n_win >= 8 THEN s1 / cast(n_win AS double) END
+        |      AS mean_prev,
+        |    CASE WHEN n_win >= 8 THEN
+        |      (s2 - s1 * s1 / cast(n_win AS double)) /
+        |        (cast(n_win AS double) - 1.0) END AS var_prev
+        |  FROM w),
+        |z AS (SELECT *,
+        |    CASE WHEN var_prev > 0 THEN sqrt(var_prev) END AS std_prev
+        |  FROM m),
+        |zz AS (SELECT *, CASE WHEN std_prev IS NOT NULL
+        |    THEN (value - mean_prev) / std_prev END AS z FROM z)
+        |SELECT event_id, user_id AS ticker_id, ts, value AS price, n_win,
+        |  round(mean_prev, 6) AS mean_prev, round(std_prev, 6) AS std_prev,
+        |  round(z, 6) AS z,
+        |  coalesce(cast(abs(z) > 3.0 AS bigint), 0) AS is_anomaly
+        |FROM zz ORDER BY event_id""".stripMargin,
+    // Pearson r assembled from exact pair sums (never the built-in
+    // corr, whose co-moment accumulation order is engine-private);
+    // radicands guarded before sqrt — see TimeSeries.corrMatrix
+    "corr_matrix" ->
+      s"""WITH daily AS (SELECT user_id, cast(ts AS date) AS day,
+         |    ${dsum("value")} / cast(count(value) AS double) AS p
+         |  FROM events WHERE event_type = 'purchase' AND user_id < 8
+         |  GROUP BY 1, 2),
+         |pr AS (SELECT a.user_id AS ticker_a, b.user_id AS ticker_b,
+         |    a.p AS pa, b.p AS pb
+         |  FROM daily a JOIN daily b
+         |    ON a.day = b.day AND a.user_id < b.user_id),
+         |ag AS (SELECT ticker_a, ticker_b, count(*) AS n_days,
+         |    ${dsum("pa")} AS sx, ${dsum("pb")} AS sy,
+         |    ${dsum("pa * pb")} AS sxy, ${dsum("pa * pa")} AS sxx,
+         |    ${dsum("pb * pb")} AS syy
+         |  FROM pr GROUP BY 1, 2)
+         |SELECT ticker_a, ticker_b, n_days,
+         |  round(CASE WHEN cast(n_days AS double) * sxx - sx * sx > 0
+         |      AND cast(n_days AS double) * syy - sy * sy > 0
+         |    THEN (cast(n_days AS double) * sxy - sx * sy) /
+         |      (sqrt(cast(n_days AS double) * sxx - sx * sx) *
+         |       sqrt(cast(n_days AS double) * syy - sy * sy)) END, 6)
+         |    AS corr
+         |FROM ag ORDER BY ticker_a, ticker_b""".stripMargin,
+    "scd2_dim" ->
+      """WITH p AS (SELECT user_id, ts, event_id, value,
+        |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_value
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, event_id, value FROM p
+        |  WHERE prev_value IS NULL OR value <> prev_value),
+        |v AS (SELECT user_id, ts, value,
+        |    row_number() OVER w AS version,
+        |    lead(ts) OVER w AS effective_to
+        |  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id AS ticker_id, cast(version AS bigint) AS version,
+        |  ts AS effective_from, effective_to, value AS price,
+        |  cast(effective_to IS NULL AS bigint) AS is_current
+        |FROM v ORDER BY ticker_id, version""".stripMargin,
+    "funnel_stages" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2, min(s1.t1) AS t1
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3, min(s2.t1) AS t1
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY 1)
+        |SELECT '1_signup' AS stage, count(*) AS n_users,
+        |  round(cast(sum(cast(cast(epoch_us(t1) - epoch_us(t1) AS double)
+        |      / 3600000000.0 AS decimal(28,6))) AS double)
+        |    / cast(count(*) AS double), 6) AS avg_hours_from_signup
+        |FROM s1
+        |UNION ALL
+        |SELECT '2_click', count(*),
+        |  round(cast(sum(cast(cast(epoch_us(t2) - epoch_us(t1) AS double)
+        |      / 3600000000.0 AS decimal(28,6))) AS double)
+        |    / cast(count(*) AS double), 6)
+        |FROM s2
+        |UNION ALL
+        |SELECT '3_purchase', count(*),
+        |  round(cast(sum(cast(cast(epoch_us(t3) - epoch_us(t1) AS double)
+        |      / 3600000000.0 AS decimal(28,6))) AS double)
+        |    / cast(count(*) AS double), 6)
+        |FROM s3
+        |ORDER BY stage""".stripMargin,
+    // Packing twin: the two-level prefix sum collapses to plain
+    // running sums — block structure changes the EXECUTION shape,
+    // not the math. Geometry 512/256 — sync with Packing.SeqBudget
+    "pack_sequences" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    cast(len(string_split_regex(lower(trim(text)), '\s+'))
+        |      AS bigint) AS n_tok
+        |  FROM documents),
+        |o AS (SELECT source, doc_id, n_tok,
+        |    cast(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tok AS bigint) AS tok_offset
+        |  FROM t)
+        |SELECT source, doc_id, n_tok, tok_offset,
+        |  tok_offset // 512 AS seq_id,
+        |  (tok_offset + greatest(n_tok, 1) - 1) // 512 AS seq_end,
+        |  (tok_offset + greatest(n_tok, 1) - 1) // 512
+        |    - tok_offset // 512 + 1 AS n_seqs
+        |FROM o ORDER BY source, doc_id""".stripMargin,
+    "grouping_sets" ->
+      s"""SELECT o_orderpriority, o_orderstatus,
+         |  cast(grouping(o_orderpriority) * 2 + grouping(o_orderstatus)
+         |    AS bigint) AS grp_id,
+         |  ${dsum("o_totalprice")} AS sum_price, count(*) AS n_orders
+         |FROM orders GROUP BY GROUPING SETS ((o_orderpriority,
+         |  o_orderstatus), (o_orderpriority), (o_orderstatus), ())
+         |ORDER BY grp_id, o_orderpriority NULLS FIRST,
+         |  o_orderstatus NULLS FIRST""".stripMargin,
     "rollup_agg" ->
       s"""SELECT o_orderpriority, o_orderstatus,
          |  cast(grouping(o_orderpriority) * 2 + grouping(o_orderstatus)

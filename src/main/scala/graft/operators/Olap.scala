@@ -34,6 +34,26 @@ object Olap {
       .orderBy(col("grp_id"), col("o_orderpriority").asc_nulls_first,
         col("o_orderstatus").asc_nulls_first)
 
+  /** #91 Grouping-sets aggregate: the general form of [[rollupAgg]] —
+    * an EXPLICIT lattice of grouping levels, here both one-dimension
+    * marginals plus the full cross and the grand total (a rollup
+    * cannot express the (status)-only marginal). Still ONE logical
+    * aggregate: Spark expands the sets via Expand + a single shuffle
+    * with map-side partials, not one job per level. */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val p = col("o_orderpriority")
+    val s = col("o_orderstatus")
+    o.groupingSets(Seq(Seq(p, s), Seq(p), Seq(s), Seq.empty), p, s)
+      .agg(grouping_id().cast("long").as("grp_id"),
+        Num.dsum(col("o_totalprice")).as("sum_price"),
+        count(lit(1)).as("n_orders"))
+      .select("o_orderpriority", "o_orderstatus", "grp_id", "sum_price",
+        "n_orders")
+      .orderBy(col("grp_id"), col("o_orderpriority").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+  }
+
   /** The event-type domain, declared rather than discovered: an
     * explicit pivot value list keeps the pivot a single shuffle (no
     * distinct-values pre-pass over the fact table). */

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Time-series analytics over the intraday stream (SURVEY.md §2
+  * #84-86): grid resampling with forward fill, rolling z-score
+  * anomaly flags, and a pairwise return-correlation matrix — the
+  * quant views a stock dashboard layers on the reference's ticker
+  * stream (/root/reference/README.md:23-24) once the raw 2-minute
+  * fetches are warehoused.
+  *
+  * Scale notes (§5): every window partitions by the ticker key (one
+  * shuffle, per-key state bounded); the resample grid is
+  * |tickers| × |hours| rows — linear in the calendar, not in the
+  * event count; the correlation matrix is computed over a DECLARED
+  * watchlist (K tickers → K² pairs, broadcast-joined), never over
+  * the unbounded key domain.
+  */
+object TimeSeries {
+
+  private def purchases(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+
+  /** #86 Resample + forward fill: per-ticker hourly price grid from
+    * the ticker's first trade hour to the corpus' last, carrying the
+    * last observation forward through silent hours — the
+    * regular-cadence series every downstream chart/model wants.
+    * Hour buckets with ≥1 trade keep the LAST trade (ts, event_id
+    * tiebreak); the grid explode is `sequence()` per ticker (linear
+    * in hours); the fill is one `last(ignoreNulls)` running window
+    * per ticker. */
+  def resampleFfill(spark: SparkSession, dir: String): DataFrame = {
+    val p = purchases(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        date_trunc("hour", col("ts")).as("hour"))
+    // last observation per (ticker, hour), deterministic tiebreak
+    val byHour = Window.partitionBy("user_id", "hour")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val obs = p.withColumn("rn", row_number().over(byHour))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("hour"), col("value").as("obs_price"))
+    // per-ticker first hour; global last hour (one broadcast scalar)
+    val bounds = p.groupBy("user_id").agg(min(col("hour")).as("h0"))
+      .crossJoin(broadcast(p.agg(max(col("hour")).as("h1"))))
+    val grid = bounds.select(col("user_id"),
+      explode(sequence(col("h0"), col("h1"),
+        expr("INTERVAL 1 HOUR"))).as("hour"))
+    val filled = grid.join(obs, Seq("user_id", "hour"), "left")
+      .withColumn("is_observed",
+        col("obs_price").isNotNull.cast("long"))
+      .withColumn("price", last(col("obs_price"), ignoreNulls = true).over(
+        Window.partitionBy("user_id").orderBy("hour")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    filled.select(col("user_id").as("ticker_id"), col("hour"),
+        round(col("price"), 6).as("price"), col("is_observed"))
+      .orderBy("ticker_id", "hour")
+  }
+
+  /** Rolling stats window: the 20 trades BEFORE the current one. */
+  val ZWindow = 20
+  /** Minimum history before a z-score is emitted. */
+  val ZMinWin = 8
+  val ZThreshold = 3.0
+
+  /** #87 Rolling z-score anomaly flags: each trade scored against the
+    * mean/std of its ticker's previous [[ZWindow]] trades. The
+    * moments come from exact decimal frame sums (Σx, Σx²) — the
+    * window evaluates sequentially per key, and the closed-form
+    * variance keeps the arithmetic an exact-operand IEEE sequence
+    * both engines reproduce bit-identically (vs Welford-style
+    * `stddev`, whose accumulation order is engine-private). One
+    * shuffle on the ticker key. */
+  def anomalyZscore(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val f = w.rowsBetween(-ZWindow, -1)
+    val dec = "decimal(28,6)"
+    val scored = purchases(spark, dir)
+      .withColumn("n_win", count(col("value")).over(f))
+      .withColumn("s1", sum(col("value").cast(dec)).over(f).cast("double"))
+      .withColumn("s2",
+        sum((col("value") * col("value")).cast(dec)).over(f).cast("double"))
+      // stats emitted only with ZMinWin+ rows of history: the gate also
+      // keeps every division's denominator nonzero in BOTH engines
+      // (n_win-1 division by zero is IEEE ±Inf in Spark but NULL in
+      // DuckDB — never evaluate it)
+      .withColumn("mean_prev",
+        when(col("n_win") >= ZMinWin, col("s1") / col("n_win").cast("double")))
+      .withColumn("var_prev",
+        when(col("n_win") >= ZMinWin,
+          (col("s2") - col("s1") * col("s1") / col("n_win").cast("double")) /
+            (col("n_win").cast("double") - 1d)))
+      .withColumn("std_prev",
+        when(col("var_prev") > 0d, sqrt(col("var_prev"))))
+      .withColumn("z",
+        when(col("std_prev").isNotNull,
+          (col("value") - col("mean_prev")) / col("std_prev")))
+    scored.select(col("event_id"), col("user_id").as("ticker_id"),
+        col("ts"), col("value").as("price"), col("n_win"),
+        round(col("mean_prev"), 6).as("mean_prev"),
+        round(col("std_prev"), 6).as("std_prev"),
+        round(col("z"), 6).as("z"),
+        coalesce((abs(col("z")) > ZThreshold).cast("long"), lit(0L))
+          .as("is_anomaly"))
+      .orderBy("event_id")
+  }
+
+  /** The declared correlation watchlist: pairwise corr is inherently
+    * K² in the series count, so K is a config, never "all keys". */
+  val CorrWatchlist = 8
+
+  /** #88 Pairwise correlation matrix: Pearson correlation of daily
+    * mean prices for each watchlist ticker pair. Daily means are
+    * decimal-exact; the Pearson numerator/denominator are assembled
+    * from exact pair sums (n, Σx, Σy, Σxy, Σx², Σy²) in closed form,
+    * so the double result is engine-portable (built-in `corr` uses
+    * engine-private co-moment accumulation). The day-keyed self-join
+    * of K daily series is K²·days rows — bounded by the declared
+    * watchlist. */
+  def corrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val daily = purchases(spark, dir)
+      .filter(col("user_id") < CorrWatchlist)
+      .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+      .agg(Num.davg(col("value")).as("p"))
+    val a = daily.select(col("user_id").as("ticker_a"), col("day"),
+      col("p").as("pa"))
+    val b = daily.select(col("user_id").as("ticker_b"), col("day"),
+      col("p").as("pb"))
+    val pairs = a.join(b, Seq("day")).filter(col("ticker_a") < col("ticker_b"))
+    val agg = pairs.groupBy("ticker_a", "ticker_b").agg(
+      count(lit(1)).as("n_days"),
+      Num.dsum(col("pa")).as("sx"), Num.dsum(col("pb")).as("sy"),
+      Num.dsum(col("pa") * col("pb")).as("sxy"),
+      Num.dsum(col("pa") * col("pa")).as("sxx"),
+      Num.dsum(col("pb") * col("pb")).as("syy"))
+    val n = col("n_days").cast("double")
+    // guard the RADICANDS, not the product: a cancellation-negative
+    // radicand makes sqrt() NaN, and Spark orders NaN > 0 while DuckDB
+    // follows IEEE (false) — so the guard must run before any sqrt
+    val vx = n * col("sxx") - col("sx") * col("sx")
+    val vy = n * col("syy") - col("sy") * col("sy")
+    agg.select(col("ticker_a"), col("ticker_b"), col("n_days"),
+        round(when(vx > 0d && vy > 0d,
+          (n * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(vx) * sqrt(vy))), 6).as("corr"))
+      .orderBy("ticker_a", "ticker_b")
+  }
+}
