@@ -71,6 +71,7 @@ object SparkEntry {
     "funnel_stages" -> (Dimensional.funnelStages _),
     "pack_sequences" -> (Packing.packSequences _),
     "grouping_sets" -> (Olap.groupingSetsAgg _),
+    "heavy_hitters" -> (Frequency.heavyHitters _),
     // §2.B OLAP / sequence extensions (round 3)
     "rollup_agg" -> (Olap.rollupAgg _),
     "pivot_wide" -> (Olap.pivotWide _),
@@ -748,6 +749,16 @@ object SparkEntry {
         |  (tok_offset + greatest(n_tok, 1) - 1) // 512
         |    - tok_offset // 512 + 1 AS n_seqs
         |FROM o ORDER BY source, doc_id""".stripMargin,
+    // Heavy-hitters oracle covers the EXACT regime (key domain below
+    // the sketch capacity → max_err = 0, counts exact); the
+    // approximate regime is property-tested in FrequencySpec.
+    // Threshold 1/200 — sync with Frequency.HitFraction.
+    "heavy_hitters" ->
+      """SELECT user_id AS item, count(*) AS est_count,
+        |  cast(0 AS bigint) AS max_err
+        |FROM events GROUP BY 1
+        |HAVING count(*) >= (SELECT count(*) // 200 FROM events)
+        |ORDER BY 1""".stripMargin,
     "grouping_sets" ->
       s"""SELECT o_orderpriority, o_orderstatus,
          |  cast(grouping(o_orderpriority) * 2 + grouping(o_orderstatus)

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
-import graft.functions.expressions.{BloomAgg, BloomMightContain, TopKAgg}
+import graft.functions.expressions.{BloomAgg, BloomMightContain, FreqSketchAgg, TopKAgg}
 
 /** Column API over the custom Catalyst aggregates. */
 object AggFunctions {
@@ -22,6 +22,15 @@ object AggFunctions {
   def bloomAgg(hash: Column, numBits: Int, numHashes: Int): Column =
     GraftSqlBridge.column(BloomAgg(GraftSqlBridge.expression(hash),
       numBits, numHashes).toAggregateExpression())
+
+  /** Misra-Gries heavy-hitters sketch over a bigint key: ≤ capacity
+    * tracked candidates per group per task, merged map-side; counts
+    * exact (max_err=0) while the key domain fits the capacity, and
+    * never over-estimated past it. Result:
+    * struct<items array<struct<item, est>>, max_err>. */
+  def freqSketch(key: Column, capacity: Int): Column =
+    GraftSqlBridge.column(FreqSketchAgg(GraftSqlBridge.expression(key),
+      capacity).toAggregateExpression())
 
   /** Membership probe against a built filter (no false negatives). */
   def bloomMightContain(filter: Column, hash: Column): Column =
