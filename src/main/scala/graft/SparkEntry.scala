@@ -54,6 +54,8 @@ object SparkEntry {
     "ann_lsh" -> (Similarity.annLsh _),
     "ann_ivf" -> (Similarity.annIvf _),
     "ann_quant" -> (Similarity.annQuant _),
+    "ann_pq" -> (Similarity.annPq _),
+    "semantic_dedup" -> (Similarity.semanticDedup _),
     "label_centroids" -> (Similarity.labelCentroids _),
     "centroid_assign" -> (Similarity.centroidAssign _),
     // §2.F dedup clustering + keyword search + curation (round 8)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
-import graft.functions.expressions.{CosineSim, DotProduct, Fnv64, IntCosine, QuantizeI8, SignBandKeys}
+import graft.functions.expressions.{CosineSim, DotProduct, Fnv64, IntCosine, PqAdc, QuantizeI8, SignBandKeys}
 
 /** Column-level vector API over the custom Catalyst kernels plus the
   * random-hyperplane LSH used by the similarity operators
@@ -33,6 +33,12 @@ object VectorFunctions {
   /** Cosine over int8 codes: exact integer dot/norms, one double
     * division — order-independent and engine-portable. */
   def intCosine(a: Column, b: Column): Column = c(IntCosine(e(a), e(b)))
+
+  /** PQ asymmetric-distance score: Σ_m lut[m*k + codes[m]] — the
+    * M-table-reads candidate scan that never touches a float vector
+    * (see PqAdc scaladoc). */
+  def pqAdc(codes: Column, lut: Column, k: Int): Column =
+    c(PqAdc(e(codes), e(lut), k))
 
   /** Deterministic random hyperplanes (unit-free Gaussian) for
     * sign-LSH. Fixed seed → identical buckets on every run/executor. */

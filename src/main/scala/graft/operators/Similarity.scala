@@ -331,6 +331,57 @@ object Similarity {
       .orderBy("true_label", "pred_label")
   }
 
+  /** Within-cluster similarity floor for [[semanticDedup]]. A
+    * per-corpus knob: real duplicate-bearing corpora run 0.9+; the
+    * synthetic test corpus is near-isotropic (max pairwise cosine
+    * ≈ 0.48), so the shipped default sits where the operator's
+    * drop/keep mechanics are actually exercised. */
+  val SemThreshold = 0.4
+  /** Within-cell pair cap (same role as EmbBucketCap). */
+  val SemCellCap = 1024
+
+  /** #94 Semantic dedup (SemDeDup shape): cluster embeddings with
+    * the trained IVF centroids, then mark any vector that has a
+    * more-similar-than-threshold SMALLER-id neighbor in its own
+    * cluster as a drop. The pair search is cluster-scoped — shuffle
+    * keys are cell ids, pairs are generated ids-only inside capped
+    * cells, vectors join back by id — so the cost is
+    * Σ_cells |cell|², never corpus², and each cell's pair explosion
+    * is bounded by the cap. Rows-only (k-means model);
+    * SimilaritySpec checks the verdicts against a brute-force pair
+    * scan of the whole corpus. */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id"), col("vec"))
+    val centroids = broadcast(trainedCentroids(spark, dir))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cs").desc, col("c_id").asc)
+    val assigned = e.crossJoin(centroids)
+      .select(col("vec_id"), col("c_id"),
+        cosine(col("vec"), col("cvec")).as("cs"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id").as("cell"))
+    val idPairs = Dedup.bucketPairs(
+      assigned.select(col("vec_id").as("doc_id"), lit(0).as("band"),
+        col("cell").as("key")), SemCellCap)
+    val scored = idPairs
+      .join(e.select(col("vec_id").as("a"), col("vec").as("va")), "a")
+      .join(e.select(col("vec_id").as("b"), col("vec").as("vb")), "b")
+      .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= SemThreshold)
+    // verdict for the LARGER id of each qualifying pair: duplicate of
+    // its most-similar smaller-id cluster-mate (id tiebreak)
+    val verdicts = scored.groupBy(col("b").as("vec_id"))
+      .agg(max(struct(col("cos"), (-col("a")).as("na"))).as("best"))
+      .select(col("vec_id"), (-col("best.na")).as("dup_of"),
+        round(col("best.cos"), 6).as("max_cos"))
+    assigned.join(verdicts, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("dup_of"),
+        col("max_cos"),
+        when(col("dup_of").isNull, "keep").otherwise("drop").as("verdict"))
+      .orderBy("vec_id")
+  }
+
   /** #24 Embedding-cosine near-dup: all vectors banded, candidate
     * pairs generated inside capped buckets as (a, b) ids ONLY — a
     * 512-byte vector does not ride the bucket shuffle or the pair
@@ -362,6 +413,147 @@ object Similarity {
     * [[annBrute]] ranking. Plan shape is identical to annBrute
     * (queries broadcast, corpus streams); an IVF/LSH front end from
     * the existing kernels composes on top unchanged. */
+  // Product quantization (SURVEY.md §2 #93): M sub-codebooks of K
+  // centroids each — a vector stores M small codes (here 8 ints;
+  // bytes on disk) instead of Dim floats, a 32× cut at Dim=64/M=8,
+  // and candidates are scored from a per-query lookup table without
+  // touching any float vector. The standard IVF companion when even
+  // int8 is too big to scan at 100 TB.
+  val PqM = 8
+  val PqSubDim: Int = Dim / PqM
+  val PqK = 16
+  val PqIters = 4
+  /** ADC shortlist size before exact re-rank (the FAISS pattern:
+    * PQ ranks cheaply, floats re-rank a bounded shortlist). */
+  val PqShortlist = 48
+
+  /** (vec_id, m, sv): the M sub-vectors of each embedding. */
+  private def subVectors(e: DataFrame, vecCol: String = "vec"): DataFrame =
+    e.select(col("*"), posexplode(array((0 until PqM).map(m =>
+        expr(s"slice($vecCol, ${m * PqSubDim + 1}, $PqSubDim)")): _*)))
+      .withColumnRenamed("pos", "m")
+      .withColumnRenamed("col", "sv")
+      .drop(vecCol)
+
+  // Sub-codebook cache: M×K×subDim doubles (8×16×8 = 1024) — the
+  // same bounded model-artifact pattern as [[trainedCentroids]].
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Int, Seq[Double])]]
+
+  /** Lloyd-trained PQ sub-codebooks (L2 geometry): assignment by
+    * argmax(sv·c - |c|²/2) ≡ argmin ‖sv-c‖², recompute by
+    * decimal-exact dimension means — deterministic on any cluster.
+    * Training shape: iters × (rows×M sub-vectors ⋈ broadcast M×K
+    * codebook + one (m, cid, pos) scalar shuffle); at 100 TB
+    * codebooks train on a sampled slice, same plan. */
+  def trainedPqCodebooks(spark: SparkSession, dir: String): DataFrame = {
+    val cached = pqCache.computeIfAbsent(modelKey(dir), _ => {
+      val e = emb(spark, dir).select(col("vec_id"), col("vec"))
+      val sub = subVectors(e)
+      val seedW = org.apache.spark.sql.expressions.Window
+        .partitionBy("m").orderBy(hash(col("vec_id")), col("vec_id"))
+      var cb = sub.withColumn("rn", row_number().over(seedW))
+        .filter(col("rn") <= PqK)
+        .select(col("m"), (col("rn") - 1).as("cid"), col("sv").as("cvec"))
+      val aw = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id", "m").orderBy(col("score").desc, col("cid").asc)
+      for (_ <- 1 to PqIters) {
+        val cn = cb.withColumn("cn2", dot(col("cvec"), col("cvec")))
+        val assigned = sub.join(broadcast(cn), "m")
+          .withColumn("score", dot(col("sv"), col("cvec")) - col("cn2") / 2d)
+          .withColumn("rn", row_number().over(aw))
+          .filter(col("rn") === 1)
+        cb = assigned
+          .select(col("m"), col("cid"), posexplode(col("sv")))
+          .groupBy("m", "cid", "pos")
+          .agg(graft.operators.Num.davg(col("col")).as("mu"))
+          .groupBy("m", "cid")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, mu)))," +
+            " x -> x.mu)").as("cvec"))
+      }
+      import spark.implicits._
+      cb.as[(Int, Int, Seq[Double])].collect().toSeq
+    })
+    import spark.implicits._
+    cached.toDF("m", "cid", "cvec")
+  }
+
+  /** Corpus encoded to PQ codes: per vector the M best sub-codes
+    * plus the reconstruction norm² (Σ_m |c_{m,code}|²), both needed
+    * by the ADC scorer. The sums fold over the m-sorted struct list,
+    * so the double accumulation order is fixed. */
+  private def pqEncoded(spark: SparkSession, dir: String): DataFrame = {
+    val cbn = broadcast(trainedPqCodebooks(spark, dir)
+      .withColumn("cn2", dot(col("cvec"), col("cvec"))))
+    val aw = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id", "m").orderBy(col("score").desc, col("cid").asc)
+    subVectors(emb(spark, dir).select(col("vec_id"), col("vec")))
+      .join(cbn, "m")
+      .withColumn("score", dot(col("sv"), col("cvec")) - col("cn2") / 2d)
+      .withColumn("rn", row_number().over(aw))
+      .filter(col("rn") === 1)
+      .groupBy("vec_id")
+      .agg(
+        expr("transform(array_sort(collect_list(struct(m, cid, cn2)))," +
+          " x -> x.cid)").as("codes"),
+        expr("aggregate(transform(array_sort(collect_list(struct(m, cid," +
+          " cn2))), x -> x.cn2), 0D, (a, x) -> a + x)").as("rnorm2"))
+  }
+
+  /** #93 PQ ANN: ADC-scored shortlist + exact re-rank, same top-5
+    * contract as [[annBrute]]. The rank scan reads M codes per
+    * candidate (no float vectors in the hot path); the float join-back
+    * touches only PqShortlist rows per query. Rows-only (k-means
+    * model); recall vs annBrute gated in SimilaritySpec. */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cbn = trainedPqCodebooks(spark, dir)
+      .withColumn("cn2", dot(col("cvec"), col("cvec")))
+    val qs = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("vec").as("qvec"))
+    // per-query flat LUT: lut[m*K + cid] = q_m · c_{m,cid}; cells of
+    // centroids dropped during training read as -1e300 via the map
+    // fill (no stored code can reference them)
+    val lut = subVectors(qs, "qvec")
+      .withColumnRenamed("q_id", "q_id")
+      .join(broadcast(cbn), "m")
+      .select(col("q_id"),
+        (col("m") * PqK + col("cid")).as("idx"),
+        dot(col("sv"), col("cvec")).as("lv"))
+      .groupBy("q_id")
+      .agg(map_from_entries(collect_list(struct(col("idx"), col("lv"))))
+        .as("lm"))
+      .select(col("q_id"),
+        expr(s"transform(sequence(0, ${PqM * PqK - 1})," +
+          " i -> coalesce(try_element_at(lm, i), -1e300D))").as("lut"))
+    val qside = broadcast(lut.join(
+      qs.select(col("q_id"), col("qvec"),
+        sqrt(dot(col("qvec"), col("qvec"))).as("qn")), "q_id"))
+    val scored = pqEncoded(spark, dir).crossJoin(qside)
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("approx",
+        when(col("rnorm2") > 0d && col("qn") > 0d,
+          graft.functions.VectorFunctions.pqAdc(col("codes"), col("lut"), PqK)
+            / (col("qn") * sqrt(col("rnorm2")))))
+    val sw = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("approx").desc_nulls_last,
+        col("vec_id").asc)
+    val shortlist = scored.withColumn("srn", row_number().over(sw))
+      .filter(col("srn") <= PqShortlist)
+      .select(col("q_id"), col("qvec"), col("vec_id").as("cand_id"))
+    val reranked = shortlist
+      .join(e.select(col("vec_id").as("cand_id"), col("vec")), "cand_id")
+      .select(col("q_id"), col("cand_id"),
+        cosine(col("qvec"), col("vec")).as("cos"))
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("cand_id").asc)
+    reranked.withColumn("rnk", row_number().over(rw).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("cand_id"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy("q_id", "rnk")
+  }
+
   def annQuant(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
       .select(col("vec_id"), quantizeI8(col("vec")).as("qv"))

@@ -31,6 +31,86 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.85, s"IVF recall $recall too low (found ${ivf.size})")
   }
 
+  test("ann_pq recall vs ann_brute is substantial; contract shape holds") {
+    val brute = Similarity.annBrute(spark, SfDir)
+      .select("q_id", "cand_id").as[(Long, Long)].collect().toSet
+    val pqRows = Similarity.annPq(spark, SfDir).collect()
+    // same contract shape as annBrute: 5 ranked rows per query
+    val byQ = pqRows.groupBy(_.getAs[Long]("q_id"))
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("rnk")).sorted.toSeq === (1L to 5L))
+    }
+    val pq = pqRows.map(r =>
+      (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))).toSet
+    val recall = (brute intersect pq).size.toDouble / brute.size
+    info(s"ann_pq recall = $recall")
+    // 8×16 codebooks + 48-deep exact re-rank on an isotropic corpus:
+    // the ADC shortlist must recover most exact top-5 neighbors
+    assert(recall >= 0.5, s"PQ recall $recall too low (found ${pq.size})")
+    // exact re-rank: scores on shared (q, cand) pairs equal brute's
+    val bruteScores = Similarity.annBrute(spark, SfDir)
+      .select("q_id", "cand_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    pqRows.foreach { r =>
+      val k = (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))
+      bruteScores.get(k).foreach(b =>
+        assert(math.abs(r.getAs[Double]("cos_sim") - b) < 1e-9))
+    }
+  }
+
+  test("pq codebooks are M dense sub-tables; codes address them") {
+    val cb = Similarity.trainedPqCodebooks(spark, SfDir).collect()
+    assert(cb.map(_.getAs[Int]("m")).distinct.sorted.toSeq ===
+      (0 until Similarity.PqM))
+    cb.foreach { r =>
+      val cid = r.getAs[Int]("cid")
+      assert(cid >= 0 && cid < Similarity.PqK)
+      assert(r.getSeq[Double](2).size === Similarity.PqSubDim)
+    }
+  }
+
+  test("semantic_dedup verdicts agree with a brute-force pair scan") {
+    val got = Similarity.semanticDedup(spark, SfDir).collect()
+    val vecs = graft.sources.Tables.load(spark, SfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      (0 until a.length).foreach { i =>
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // every vector appears exactly once
+    assert(got.map(_.getAs[Long]("vec_id")).toSet === vecs.keySet)
+    val cells = got.map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Long]("cell")).toMap
+    got.foreach { r =>
+      val vid = r.getAs[Long]("vec_id")
+      // drops must cite a genuinely-qualifying smaller same-cell mate
+      if (r.getAs[String]("verdict") == "drop") {
+        val a = r.getAs[Long]("dup_of")
+        assert(a < vid)
+        assert(cells(a) === cells(vid))
+        assert(cos(vecs(a), vecs(vid)) >= Similarity.SemThreshold - 1e-9)
+        assert(math.abs(r.getAs[Double]("max_cos") -
+          cos(vecs(a), vecs(vid))) < 1e-5)
+      } else {
+        // keeps have NO qualifying smaller same-cell mate
+        val cell = cells(vid)
+        vecs.keys.filter(a => a < vid && cells(a) == cell).foreach { a =>
+          assert(cos(vecs(a), vecs(vid)) < Similarity.SemThreshold + 1e-9,
+            s"keep $vid missed dup $a")
+        }
+      }
+    }
+    // the threshold is sited where the mechanics actually fire
+    assert(got.exists(_.getAs[String]("verdict") == "drop"))
+    assert(got.count(_.getAs[String]("verdict") == "keep") > got.length / 2)
+  }
+
   test("label centroids equal the plain-Scala per-label means") {
     val raw = graft.sources.Tables.load(spark, SfDir, "embeddings")
       .select("label", "embedding").collect()
