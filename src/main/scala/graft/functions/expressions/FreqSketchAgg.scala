@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.types._
 
-/** Misra-Gries heavy-hitters sketch (SURVEY.md §2 #92): tracks up to
+/** Misra-Gries heavy-hitters sketch (SURVEY.md §2 #91): tracks up to
   * `capacity` candidate keys with O(capacity) state per group per
   * task, merged associatively map-side — the mergeable-summaries
   * form (sum counts item-wise, then subtract the (capacity+1)-th

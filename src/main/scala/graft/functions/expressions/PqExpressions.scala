@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
 /** Product-quantization ADC (asymmetric distance computation) kernel
-  * (SURVEY.md §2 #93): given a candidate's M sub-codebook codes and a
+  * (SURVEY.md §2 #92): given a candidate's M sub-codebook codes and a
   * query's precomputed lookup table (lut[m*K + c] = q_m · centroid_{m,c}),
   * the approximate inner product ⟨q, recon(v)⟩ is M table reads — the
   * FAISS-style scan that scores a candidate WITHOUT touching any

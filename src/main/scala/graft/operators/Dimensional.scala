@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
-/** Warehouse dimension/journey operators (SURVEY.md §2 #85, #89):
+/** Warehouse dimension/journey operators (SURVEY.md §2 #87-88):
   * SCD Type-2 history construction and a staged conversion funnel —
   * the two classic "table you actually ship" shapes a warehouse
   * builds on top of the reference's appended event stream
@@ -18,7 +18,7 @@ import graft.sources.Tables
   */
 object Dimensional {
 
-  /** #85 SCD Type-2 dimension build: compress each ticker's price
+  /** #87 SCD Type-2 dimension build: compress each ticker's price
     * stream to its CHANGE points (drop no-op updates — the defining
     * SCD2 move), then version the survivors with
     * [effective_from, effective_to) validity ranges; the open row is
@@ -44,7 +44,7 @@ object Dimensional {
       .orderBy("ticker_id", "version")
   }
 
-  /** #89 Conversion funnel: signup → first click after signup →
+  /** #88 Conversion funnel: signup → first click after signup →
     * first purchase after that click, per user; one summary row per
     * stage with reach and decimal-exact mean hours-from-signup.
     * Stage timestamps are mins under an order constraint, so the

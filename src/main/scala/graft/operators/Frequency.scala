@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.AggFunctions
 
-/** Heavy-hitters reporting (SURVEY.md §2 #92): the most frequent
+/** Heavy-hitters reporting (SURVEY.md §2 #91): the most frequent
   * keys of a stream via the mergeable Misra-Gries sketch — the
   * hot-key report (top tickers by activity, dominant crawl domains)
   * that a plain groupBy-count answers only by shuffling the FULL key
@@ -29,7 +29,7 @@ object Frequency {
     * rule, which can never drop a qualifying key. */
   val HitFraction = 200L
 
-  /** #92 Heavy hitters over the event stream's ticker key. One
+  /** #91 Heavy hitters over the event stream's ticker key. One
     * sketch aggregate + one bounded explode; the threshold derives
     * from the same single-row aggregate (no second scan). */
   def heavyHitters(spark: SparkSession, dir: String): DataFrame =

@@ -34,7 +34,7 @@ object Olap {
       .orderBy(col("grp_id"), col("o_orderpriority").asc_nulls_first,
         col("o_orderstatus").asc_nulls_first)
 
-  /** #91 Grouping-sets aggregate: the general form of [[rollupAgg]] —
+  /** #90 Grouping-sets aggregate: the general form of [[rollupAgg]] —
     * an EXPLICIT lattice of grouping levels, here both one-dimension
     * marginals plus the full cross and the grand total (a rollup
     * cannot express the (status)-only marginal). Still ONE logical

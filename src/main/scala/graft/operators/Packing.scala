@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.TextFunctions
 
-/** Training-sequence packing (SURVEY.md §2 #90): GPT-style
+/** Training-sequence packing (SURVEY.md §2 #89): GPT-style
   * concat-and-cut — per source, document token streams are laid
   * end-to-end in doc_id order and cut into fixed
   * [[SeqBudget]]-token sequences; each doc reports the sequence
@@ -33,7 +33,7 @@ object Packing {
   val SeqBudget = 512L
   val BlockDocs = 256L
 
-  /** #90 Pack documents into fixed-token training sequences. Output
+  /** #89 Pack documents into fixed-token training sequences. Output
     * per doc: its token count, global token offset within its
     * source's stream, and the [seq_id, seq_end] sequence range it
     * spans (empty docs occupy their boundary sequence). */

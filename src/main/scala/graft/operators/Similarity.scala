@@ -340,7 +340,7 @@ object Similarity {
   /** Within-cell pair cap (same role as EmbBucketCap). */
   val SemCellCap = 1024
 
-  /** #94 Semantic dedup (SemDeDup shape): cluster embeddings with
+  /** #93 Semantic dedup (SemDeDup shape): cluster embeddings with
     * the trained IVF centroids, then mark any vector that has a
     * more-similar-than-threshold SMALLER-id neighbor in its own
     * cluster as a drop. The pair search is cluster-scoped — shuffle
@@ -413,7 +413,7 @@ object Similarity {
     * [[annBrute]] ranking. Plan shape is identical to annBrute
     * (queries broadcast, corpus streams); an IVF/LSH front end from
     * the existing kernels composes on top unchanged. */
-  // Product quantization (SURVEY.md §2 #93): M sub-codebooks of K
+  // Product quantization (SURVEY.md §2 #92): M sub-codebooks of K
   // centroids each — a vector stores M small codes (here 8 ints;
   // bytes on disk) instead of Dim floats, a 32× cut at Dim=64/M=8,
   // and candidates are scored from a per-query lookup table without
@@ -500,7 +500,7 @@ object Similarity {
           " cn2))), x -> x.cn2), 0D, (a, x) -> a + x)").as("rnorm2"))
   }
 
-  /** #93 PQ ANN: ADC-scored shortlist + exact re-rank, same top-5
+  /** #92 PQ ANN: ADC-scored shortlist + exact re-rank, same top-5
     * contract as [[annBrute]]. The rank scan reads M codes per
     * candidate (no float vectors in the hot path); the float join-back
     * touches only PqShortlist rows per query. Rows-only (k-means
