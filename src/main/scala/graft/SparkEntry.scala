@@ -74,6 +74,10 @@ object SparkEntry {
     "pack_sequences" -> (Packing.packSequences _),
     "grouping_sets" -> (Olap.groupingSetsAgg _),
     "heavy_hitters" -> (Frequency.heavyHitters _),
+    "retention_cohorts" -> (Dimensional.retentionCohorts _),
+    "pps_sample" -> (Sampling.ppsSample _),
+    "quantile_bins" -> (Olap.quantileBins _),
+    "tfidf_docsim" -> (Search.tfidfDocsim _),
     // §2.B OLAP / sequence extensions (round 3)
     "rollup_agg" -> (Olap.rollupAgg _),
     "pivot_wide" -> (Olap.pivotWide _),
@@ -761,6 +765,80 @@ object SparkEntry {
         |FROM events GROUP BY 1
         |HAVING count(*) >= (SELECT count(*) // 200 FROM events)
         |ORDER BY 1""".stripMargin,
+    "retention_cohorts" ->
+      """WITH c AS (SELECT user_id, min(cast(ts AS date)) AS cohort_day
+        |  FROM events GROUP BY 1),
+        |sz AS (SELECT cohort_day, count(*) AS cohort_size
+        |  FROM c GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, cast(ts AS date) AS day FROM events),
+        |r AS (SELECT c.cohort_day,
+        |    cast(date_diff('day', c.cohort_day, a.day) AS bigint)
+        |      AS day_offset,
+        |    count(*) AS n_active
+        |  FROM a JOIN c USING (user_id) GROUP BY 1, 2)
+        |SELECT r.cohort_day, r.day_offset, r.n_active, sz.cohort_size,
+        |  round(cast(r.n_active AS double) / cast(sz.cohort_size AS double),
+        |    6) AS retention
+        |FROM r JOIN sz USING (cohort_day)
+        |ORDER BY cohort_day, day_offset""".stripMargin,
+    // PPS twin: the keep decision is *,/ arithmetic over the same
+    // hash-uniform as sample_hash — no libm in the membership test.
+    // k=500 — sync with Sampling.PpsK
+    "pps_sample" ->
+      s"""WITH s AS (SELECT ${dsum("o_totalprice")} AS sum_w FROM orders),
+         |x AS (SELECT o_orderpriority, ${dsum("o_totalprice")}
+         |    AS exact_total FROM orders GROUP BY 1),
+         |k AS (SELECT o.o_orderpriority, o.o_totalprice,
+         |    least(1.0, cast(500 AS double) * o.o_totalprice / s.sum_w) AS p
+         |  FROM orders o, s
+         |  WHERE cast((o.o_orderkey % 1000000007) * 2654435761 % 1000000007
+         |      AS double) / 1000000007.0
+         |    < least(1.0, cast(500 AS double) * o.o_totalprice / s.sum_w)),
+         |g AS (SELECT o_orderpriority, count(*) AS n_kept,
+         |    ${dsum("o_totalprice")} AS sum_kept,
+         |    ${dsum("o_totalprice / p")} AS ht_total
+         |  FROM k GROUP BY 1)
+         |SELECT g.o_orderpriority, g.n_kept, g.sum_kept, g.ht_total,
+         |  x.exact_total
+         |FROM g JOIN x USING (o_orderpriority)
+         |ORDER BY o_orderpriority""".stripMargin,
+    "quantile_bins" ->
+      s"""WITH b AS (SELECT event_type, value, event_id,
+         |    cast(ntile(4) OVER (PARTITION BY event_type
+         |      ORDER BY value, event_id) AS bigint) AS bin
+         |  FROM events)
+         |SELECT event_type, bin, count(*) AS n,
+         |  round(min(value), 6) AS lo, round(max(value), 6) AS hi,
+         |  ${dsum("value")} AS sum_value
+         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // TF-IDF doc-doc twin: w = tf·ln(1+N/df) (ln matches — the bm25
+    // oracle already hash-matches through ln), pair dots and norms
+    // decimal-exact. df cap 100 — sync with Search.SimDfCap
+    "tfidf_docsim" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |w AS (SELECT tf.doc_id, tf.term, dft.df,
+        |    cast(tf.tf AS double) * ln(1.0 + cast(n.n_docs AS double)
+        |      / cast(dft.df AS double)) AS w
+        |  FROM tf JOIN dft USING (term), n),
+        |nrm AS (SELECT doc_id,
+        |    sqrt(cast(sum(cast(w * w AS decimal(28,6))) AS double)) AS nrm
+        |  FROM w GROUP BY 1),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    cast(sum(cast(a.w * b.w AS decimal(28,6))) AS double) AS dotw
+        |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        |  WHERE a.df <= 100 AND b.df <= 100
+        |  GROUP BY 1, 2)
+        |SELECT p.doc_a, p.doc_b,
+        |  round(p.dotw / (na.nrm * nb.nrm), 6) AS tfidf_sim
+        |FROM p JOIN nrm na ON p.doc_a = na.doc_id
+        |  JOIN nrm nb ON p.doc_b = nb.doc_id
+        |ORDER BY tfidf_sim DESC, doc_a, doc_b LIMIT 100""".stripMargin,
     "grouping_sets" ->
       s"""SELECT o_orderpriority, o_orderstatus,
          |  cast(grouping(o_orderpriority) * 2 + grouping(o_orderstatus)

@@ -44,6 +44,39 @@ object Dimensional {
       .orderBy("ticker_id", "version")
   }
 
+  /** #94 Cohort retention triangle: users cohorted by first-seen
+    * day; each (cohort, day-offset) cell counts distinct users active
+    * that many days after joining, with the rate against the cohort
+    * size — the standard retention report. Two user-keyed aggregates
+    * + one broadcast of per-cohort sizes (|days| rows); the activity
+    * distinct is (user, day), never raw events. */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    // ONE user-keyed aggregate carries both the cohort day (min) and
+    // the distinct active-day set (bounded by the calendar, not the
+    // event count) — no separate distinct/cohort/size passes over the
+    // events. The cohort size IS the offset-0 cell (a user is always
+    // active on their first day), read back with a tiny window over
+    // the |cohorts|×|offsets| cell table.
+    val perUser = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      .groupBy("user_id")
+      .agg(min(col("day")).as("cohort_day"), collect_set(col("day")).as("days"))
+    val cells = perUser
+      .select(col("cohort_day"), explode(col("days")).as("day"))
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val byCohort = Window.partitionBy("cohort_day")
+    cells
+      .withColumn("cohort_size",
+        max(when(col("day_offset") === 0L, col("n_active"))).over(byCohort))
+      .select(col("cohort_day"), col("day_offset"), col("n_active"),
+        col("cohort_size"),
+        round(col("n_active").cast("double") /
+          col("cohort_size").cast("double"), 6).as("retention"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   /** #88 Conversion funnel: signup → first click after signup →
     * first purchase after that click, per user; one summary row per
     * stage with reach and decimal-exact mean hours-from-signup.

@@ -137,6 +137,28 @@ object Olap {
       .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("sum_value"))
       .orderBy("event_type", "bin")
 
+  /** #96 Rank-based quantile binning: NTILE(4) quartile buckets per
+    * event type with per-bin boundaries/mass — the feature-binning
+    * pass of a training pipeline. The (value, event_id) order makes
+    * the bucketing a deterministic total order in both engines.
+    * Scale note: NTILE needs the group's total order (one sorted
+    * window per key); for 100 TB features the cut points come from
+    * the mergeable quantile sketch (#79) instead and binning becomes
+    * a stateless projection — this operator is the exact-rank form
+    * for key-bounded groups. */
+  def quantileBins(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    Tables.load(spark, dir, "events")
+      .withColumn("bin", ntile(4).over(w).cast("long"))
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("n"),
+        round(min(col("value")), 6).as("lo"),
+        round(max(col("value")), 6).as("hi"),
+        Num.dsum(col("value")).as("sum_value"))
+      .orderBy("event_type", "bin")
+  }
+
   /** #40 Sketched distinct counts: HLL++ approx user count per event
     * type next to the exact count. Deterministic for a given input;
     * no DuckDB oracle (different sketch implementation) → rows-only

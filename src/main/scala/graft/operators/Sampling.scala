@@ -102,6 +102,41 @@ object Sampling {
         col("col.id").as("doc_id"))
       .orderBy("source", "rnk")
 
+  /** Expected sample size for [[ppsSample]]. */
+  val PpsK = 500L
+
+  /** #95 PPS (probability-proportional-to-size) Poisson sampling +
+    * Horvitz-Thompson totals: each order is kept with probability
+    * p_i = min(1, k·w_i/Σw) from the SAME deterministic hash-uniform
+    * as the splits — big orders are (near-)certain, small ones rare,
+    * expected sample size k — and the HT estimator Σ w_i/p_i over the
+    * kept rows sits next to the exact stratum total it estimates.
+    * This is the importance-sampling shape a pipeline uses to audit
+    * a 100 TB fact table from a bounded sample. One scan + one
+    * broadcast scalar (Σw); membership is again engine/cluster-pure
+    * (only *,/ arithmetic — no libm calls in the keep decision). */
+  def ppsSample(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    val totals = o.agg(Num.dsum(col("o_totalprice")).as("sum_w"))
+    val exact = o.groupBy("o_orderpriority")
+      .agg(Num.dsum(col("o_totalprice")).as("exact_total"))
+    o.crossJoin(broadcast(totals))
+      .withColumn("u", hashKey(col("o_orderkey")).cast("double") / 1000000007d)
+      .withColumn("p",
+        least(lit(1d), lit(PpsK).cast("double") * col("o_totalprice")
+          / col("sum_w")))
+      .filter(col("u") < col("p"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_kept"),
+        Num.dsum(col("o_totalprice")).as("sum_kept"),
+        Num.dsum(col("o_totalprice") / col("p")).as("ht_total"))
+      .join(broadcast(exact), "o_orderpriority")
+      .select(col("o_orderpriority"), col("n_kept"), col("sum_kept"),
+        col("ht_total"), col("exact_total"))
+      .orderBy("o_orderpriority")
+  }
+
   /** #45 `sample_hash`: per (event_type, split) row counts and value
     * totals — proves the assignment is total, disjoint, and
     * proportioned. One scan, one aggregate shuffle. */

@@ -111,4 +111,49 @@ object Search {
         col("dl"))
       .orderBy("rnk")
   }
+
+  /** Inverted-index pair-generation prune: terms in more documents
+    * than this are stop-terms for similarity purposes (their pair
+    * contribution is O(df²) and their idf weight is lowest). */
+  val SimDfCap = 100L
+  val SimTopPairs = 100
+
+  /** #97 TF-IDF document similarity ("related articles"): sparse
+    * cosine over tf·idf term vectors, pairs generated through the
+    * inverted index (docs sharing a term), so the join shuffles
+    * (term, doc, weight) scalars and each term contributes at most
+    * SimDfCap² pairs — never an all-pairs product. Norms keep ALL
+    * terms (exact vector length); only pair GENERATION prunes hot
+    * terms. Pair dot products are decimal-exact sums → the double
+    * score is engine-portable, and the DuckDB twin is exact. */
+  def tfidfDocsim(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val tf = termStream(docs)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = tf.join(dfT, "term").crossJoin(broadcast(n))
+      .withColumn("w", col("tf").cast("double") *
+        log(lit(1d) + col("n_docs").cast("double") / col("df").cast("double")))
+    val norms = w.groupBy("doc_id")
+      .agg(sqrt(Num.dsum(col("w") * col("w"))).as("nrm"))
+    val idx = w.filter(col("df") <= SimDfCap)
+      .select(col("doc_id"), col("term"), col("w"))
+    val pairs = idx.select(col("doc_id").as("doc_a"), col("term"),
+        col("w").as("wa"))
+      .join(idx.select(col("doc_id").as("doc_b"), col("term"),
+        col("w").as("wb")), "term")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(Num.dsum(col("wa") * col("wb")).as("dotw"))
+    pairs
+      .join(norms.select(col("doc_id").as("doc_a"), col("nrm").as("na")),
+        "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("nrm").as("nb")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("dotw") / (col("na") * col("nb")), 6).as("tfidf_sim"))
+      .orderBy(col("tfidf_sim").desc, col("doc_a"), col("doc_b"))
+      .limit(SimTopPairs)
+  }
 }
