@@ -233,4 +233,68 @@ object EventStream {
           Latest(uid, newest.latest_ts, newest.latest_price)
       }
   }
+
+  case class Anomaly(user_id: Long, ts: Timestamp, event_id: Long,
+      price: Double, n_win: Long, z: Double)
+  /** Ring of the last ≤ ZWindow (round6(v), round6(v²)) unscaled-6dp
+    * pairs — the square is rounded from the RAW value, exactly like
+    * the batch frame's `(value*value) cast decimal(28,6)` — plus the
+    * stream position guard. */
+  case class ZState(ts: Timestamp, event_id: Long,
+      window: List[(Long, Long)])
+
+  private def unscaled6(v: Double): Long =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .underlying.unscaledValue.longValueExact
+
+  /** Streaming twin of `TimeSeries.anomalyZscore` (#98): per-ticker
+    * rolling z-score over the previous ZWindow trades, emitting only
+    * the |z| > threshold rows — the live alerting form of the batch
+    * report. State per key is the bounded value ring; arithmetic
+    * mirrors the batch operator EXACTLY (values and squares rounded
+    * to 6 dp as unscaled longs — the same quantization the decimal
+    * frame sums apply — then the identical closed-form IEEE
+    * sequence), so an in-order replay flags the same event_ids the
+    * batch query does (asserted in EventStreamSpec). Late events
+    * (older than the state's position) are dropped, same contract as
+    * [[priceAlerts]]. */
+  def anomalyAlerts(spark: SparkSession, events: DataFrame): Dataset[Anomaly] = {
+    import spark.implicits._
+    val win = graft.operators.TimeSeries.ZWindow
+    val minWin = graft.operators.TimeSeries.ZMinWin
+    val thr = graft.operators.TimeSeries.ZThreshold
+    events.filter(col("event_type") === "purchase").as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[ZState]) =>
+          var st = state.getOption.getOrElse(ZState(null, -1L, Nil))
+          val out = scala.collection.mutable.ListBuffer[Anomaly]()
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val fresh = st.ts == null || e.ts.getTime > st.ts.getTime ||
+              (e.ts.getTime == st.ts.getTime && e.event_id > st.event_id)
+            if (fresh) {
+              val n = st.window.length
+              if (n >= minWin) {
+                // identical quantization + op order as the batch form:
+                // s1 = Σ round6(v), s2 = Σ round6(v²), exact in longs
+                val s1 = st.window.map(_._1).sum.toDouble / 1e6
+                val s2 = st.window.map(_._2).sum.toDouble / 1e6
+                val mean = s1 / n.toDouble
+                val varp = (s2 - s1 * s1 / n.toDouble) / (n.toDouble - 1d)
+                if (varp > 0d) {
+                  val z = (e.value - mean) / math.sqrt(varp)
+                  if (math.abs(z) > thr)
+                    out += Anomaly(uid, e.ts, e.event_id, e.value, n.toLong, z)
+                }
+              }
+              st = ZState(e.ts, e.event_id,
+                (st.window :+ ((unscaled6(e.value),
+                  unscaled6(e.value * e.value)))).takeRight(win))
+            } // else: late event, already superseded — drop
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
 }

@@ -39,6 +39,41 @@ class EventStreamSpec extends SparkTestBase {
     assert(got.count() > 0, "no windows emitted")
   }
 
+  test("streaming anomaly alerts flag exactly the batch z-score rows") {
+    // two time-ordered chunks delivered as separate micro-batches:
+    // per-key event order is preserved, so the streaming ring must
+    // reproduce the batch frame exactly
+    val dir = Files.createTempDirectory("graft_zstream").toString
+    val ev = Tables.load(spark, SfDir, "events").orderBy("ts", "event_id")
+    val cut = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    ev.filter(col("ts") < cut).coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val alerts = EventStream.anomalyAlerts(spark,
+      EventStream.readEvents(spark, dir))
+    val q = alerts.toDF().writeStream.format("memory").queryName("zalerts")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      ev.filter(col("ts") >= cut).coalesce(1)
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("zalerts")
+      .select("event_id", "z").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val batch = graft.operators.TimeSeries.anomalyZscore(spark, SfDir)
+      .filter(col("is_anomaly") === 1L)
+      .select("event_id", "z").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === batch.keySet,
+      s"streaming flags ${got.keySet.size} vs batch ${batch.keySet.size}")
+    // batch z is rounded to 6dp on output; compare at that precision
+    got.foreach { case (eid, z) =>
+      assert(math.abs(z - batch(eid)) < 1e-6, s"event $eid z mismatch")
+    }
+    assert(batch.nonEmpty, "no anomalies in the corpus — test is vacuous")
+  }
+
   test("price alerts fire only on moves past the threshold") {
     val dir = Files.createTempDirectory("graft_alerts").toString
     import java.sql.Timestamp
