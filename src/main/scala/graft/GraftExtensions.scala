@@ -140,6 +140,16 @@ object GraftFunctions {
       info("int_cosine",
         "int_cosine(a, b) - cosine of two int-code arrays via exact integer dot/norms"),
       (es: Seq[Expression]) => IntCosine(es(0), es(1))),
+    ("freq_sketch",
+      info("freq_sketch",
+        "freq_sketch(key, capacity) - aggregate: Misra-Gries heavy hitters over bigint keys -> struct(items array<struct<item,est>>, max_err); exact while distinct keys <= capacity"),
+      (es: Seq[Expression]) => FreqSketchAgg(es(0),
+        intArg(es(1), "freq_sketch", "capacity")).toAggregateExpression()),
+    ("pq_adc",
+      info("pq_adc",
+        "pq_adc(codes, lut, k) - PQ asymmetric-distance score: sum of lut[m*k+codes[m]] over the m sub-codebooks"),
+      (es: Seq[Expression]) => PqAdc(es(0), es(1),
+        intArg(es(2), "pq_adc", "k"))),
     ("dsum",
       info("dsum",
         "dsum(x) - aggregate: exact order-independent sum of doubles (rounded once to 6 dp, 128-bit accumulator) -> double"),

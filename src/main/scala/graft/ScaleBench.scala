@@ -22,7 +22,11 @@ object ScaleBench {
     "repetition_score", "corpus_stats", "contamination", "dedup_exact",
     // round 8: inverted-index shapes — one explode + hash agg, the
     // multiplied doc_ids merge in the groupBy so cost stays row-linear
-    "term_stats", "bm25_search")
+    "term_stats", "bm25_search",
+    // round 9: key-local windows/aggs and the prefix-sum packing —
+    // all row-linear; the sketch and PPS scans are single-pass
+    "anomaly_zscore", "scd2_dim", "funnel_stages", "pack_sequences",
+    "quantile_bins", "heavy_hitters", "retention_cohorts", "pps_sample")
 
   /** Join shapes where only the FACT side (lineitem) multiplies —
     * each order keeps its (now mult×) lines and every dim stays

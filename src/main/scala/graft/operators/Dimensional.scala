@@ -80,30 +80,49 @@ object Dimensional {
   /** #88 Conversion funnel: signup → first click after signup →
     * first purchase after that click, per user; one summary row per
     * stage with reach and decimal-exact mean hours-from-signup.
-    * Stage timestamps are mins under an order constraint, so the
-    * chain is two user-keyed join+agg rounds — no per-user event
-    * sorting, no window over the raw stream. */
+    * The stage chain is three conditional-min windows over ONE user
+    * partitioning (t2's predicate reads t1, t3's reads t2 — Catalyst
+    * stacks them on a single sort/shuffle), reduced to per-user stage
+    * times and one tiny 3-row summary — not a join+agg round per
+    * stage. */
   def funnelStages(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.load(spark, dir, "events")
+    val w = Window.partitionBy("user_id")
+    val perUser = Tables.load(spark, dir, "events")
       .select(col("user_id"), col("event_type"), col("ts"))
-    val s1 = ev.filter(col("event_type") === "signup")
-      .groupBy("user_id").agg(min(col("ts")).as("t1"))
-    val s2 = ev.filter(col("event_type") === "click")
-      .join(s1, "user_id").filter(col("ts") >= col("t1"))
-      .groupBy("user_id").agg(min(col("ts")).as("t2"), min(col("t1")).as("t1"))
-    val s3 = ev.filter(col("event_type") === "purchase")
-      .join(s2, "user_id").filter(col("ts") >= col("t2"))
-      .groupBy("user_id").agg(min(col("ts")).as("t3"), min(col("t1")).as("t1"))
-    def stage(df: DataFrame, name: String, tCol: String): DataFrame =
-      df.agg(count(lit(1)).as("n_users"),
-          Num.dsum((unix_micros(col(tCol)) - unix_micros(col("t1")))
-            .cast("double") / lit(3600e6)).as("sum_h"))
-        .select(lit(name).as("stage"), col("n_users"),
-          round(col("sum_h") / col("n_users").cast("double"), 6)
-            .as("avg_hours_from_signup"))
-    stage(s1, "1_signup", "t1")
-      .unionByName(stage(s2, "2_click", "t2"))
-      .unionByName(stage(s3, "3_purchase", "t3"))
+      .withColumn("t1",
+        min(when(col("event_type") === "signup", col("ts"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("ts") >= col("t1"),
+          col("ts"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ts") >= col("t2"),
+          col("ts"))).over(w))
+      .groupBy("user_id")
+      .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"),
+        min(col("t3")).as("t3"))
+    // ONE summary aggregate carries all three stages (three lazy
+    // per-stage branches would recompute the window chain each);
+    // hours sums skip the stage's non-reachers via the conditional
+    // inside the exact sum
+    def hoursFrom(tCol: String) =
+      Num.dsum(when(col(tCol).isNotNull,
+        (unix_micros(col(tCol)) - unix_micros(col("t1")))
+          .cast("double") / lit(3600e6)))
+    val summary = perUser.agg(
+      count(col("t1")).as("n1"), hoursFrom("t1").as("h1"),
+      count(col("t2")).as("n2"), hoursFrom("t2").as("h2"),
+      count(col("t3")).as("n3"), hoursFrom("t3").as("h3"))
+    summary
+      .select(explode(array(
+        struct(lit("1_signup").as("stage"), col("n1").as("n_users"),
+          col("h1").as("sum_h")),
+        struct(lit("2_click").as("stage"), col("n2").as("n_users"),
+          col("h2").as("sum_h")),
+        struct(lit("3_purchase").as("stage"), col("n3").as("n_users"),
+          col("h3").as("sum_h")))).as("s"))
+      .select(col("s.stage").as("stage"), col("s.n_users").as("n_users"),
+        round(col("s.sum_h") / col("s.n_users").cast("double"), 6)
+          .as("avg_hours_from_signup"))
       .orderBy("stage")
   }
 }

@@ -139,19 +139,43 @@ object Olap {
 
   /** #96 Rank-based quantile binning: NTILE(4) quartile buckets per
     * event type with per-bin boundaries/mass — the feature-binning
-    * pass of a training pipeline. The (value, event_id) order makes
-    * the bucketing a deterministic total order in both engines.
-    * Scale note: NTILE needs the group's total order (one sorted
-    * window per key); for 100 TB features the cut points come from
-    * the mergeable quantile sketch (#79) instead and binning becomes
-    * a stateless projection — this operator is the exact-rank form
-    * for key-bounded groups. */
+    * pass of a training pipeline. The obvious `ntile(4).over(w)`
+    * sorts an ENTIRE event type in one task (5 keys × 10^9 rows is a
+    * scale-killer), so the rank is computed distributed instead: a
+    * two-level scan over coarse value blocks — per-(type, block)
+    * windows bounded by the block's population, block bases from a
+    * tiny running sum (the pack_sequences pattern) — then the exact
+    * NTILE remainder arithmetic maps ranks to buckets. Bit-identical
+    * to the window form (ties cannot straddle blocks: equal values
+    * share a block); the DuckDB oracle keeps the plain ntile().
+    * For 100 TB features the sketch cut points (#79) remain the
+    * stateless-projection alternative. */
   def quantileBins(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("event_type").orderBy(col("value"), col("event_id"))
-    Tables.load(spark, dir, "events")
-      .withColumn("bin", ntile(4).over(w).cast("long"))
-      .groupBy("event_type", "bin")
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("blk", floor(col("value")).cast("long"))
+    val wBlk = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("blk")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wType = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type")
+    val bases = ev.groupBy("event_type", "blk")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("base", sum(col("c")).over(wBlk) - col("c"))
+      .withColumn("n", sum(col("c")).over(wType))
+      .select("event_type", "blk", "base", "n")
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type", "blk").orderBy(col("value"), col("event_id"))
+    // exact NTILE(4): size = n/4, the first n%4 buckets take size+1
+    val binned = ev.join(bases, Seq("event_type", "blk"))
+      .withColumn("rn", col("base") + row_number().over(wIn))
+      .withColumn("bin",
+        expr("""CASE WHEN rn <= (n % 4) * (n DIV 4 + 1)
+                THEN (rn - 1) DIV (n DIV 4 + 1) + 1
+                ELSE (n % 4) + (rn - (n % 4) * (n DIV 4 + 1) - 1)
+                  DIV (n DIV 4) + 1 END""").cast("long"))
+    binned.groupBy("event_type", "bin")
       .agg(count(lit(1)).as("n"),
         round(min(col("value")), 6).as("lo"),
         round(max(col("value")), 6).as("hi"),

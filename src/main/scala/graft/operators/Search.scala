@@ -132,9 +132,16 @@ object Search {
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
+    // ONE tokenize+weigh pass: the weighted postings feed FOUR lazy
+    // branches (norms + both self-join sides) — without the
+    // materialization each branch re-tokenizes the corpus (the bm25
+    // localCheckpoint rationale, ×4). Postings are (doc, term, df, w)
+    // scalars, ~tens of bytes per token instance.
     val w = tf.join(dfT, "term").crossJoin(broadcast(n))
       .withColumn("w", col("tf").cast("double") *
         log(lit(1d) + col("n_docs").cast("double") / col("df").cast("double")))
+      .select("doc_id", "term", "df", "w")
+      .localCheckpoint()
     val norms = w.groupBy("doc_id")
       .agg(sqrt(Num.dsum(col("w") * col("w"))).as("nrm"))
     val idx = w.filter(col("df") <= SimDfCap)

@@ -88,12 +88,22 @@ object TimeSeries {
   def anomalyZscore(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val f = w.rowsBetween(-ZWindow, -1)
-    val dec = "decimal(28,6)"
+    // Frame sums run on unscaled-6dp LONGS, not decimals: Spark
+    // re-aggregates the whole sliding frame per row (no retraction),
+    // so the inner op runs rows×frame times — long adds make that
+    // ~7× cheaper than BigDecimal at ×50 scale. Exactness is
+    // unchanged (|Σu| ≤ 21×10^10 ≪ 2^53, and exact-long → double →
+    // ÷1e6 is the same correctly-rounded rational as the oracle's
+    // decimal-sum → double cast).
     val scored = purchases(spark, dir)
+      // quantize ONCE per row, before the window: a frame-input
+      // expression is re-evaluated on every frame add (≈ frame-length
+      // times per row), a column reference is a long read
+      .withColumn("u1", Num.unscaled6(col("value")))
+      .withColumn("u2", Num.unscaled6(col("value") * col("value")))
       .withColumn("n_win", count(col("value")).over(f))
-      .withColumn("s1", sum(col("value").cast(dec)).over(f).cast("double"))
-      .withColumn("s2",
-        sum((col("value") * col("value")).cast(dec)).over(f).cast("double"))
+      .withColumn("s1", sum(col("u1")).over(f).cast("double") / lit(1e6))
+      .withColumn("s2", sum(col("u2")).over(f).cast("double") / lit(1e6))
       // stats emitted only with ZMinWin+ rows of history: the gate also
       // keeps every division's denominator nonzero in BOTH engines
       // (n_win-1 division by zero is IEEE ±Inf in Spark but NULL in

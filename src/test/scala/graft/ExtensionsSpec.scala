@@ -95,6 +95,27 @@ class ExtensionsSpec extends SparkTestBase {
     assert(viaSql === viaCol && viaSql === 3.625)
   }
 
+  test("round-9 SQL kernels: freq_sketch aggregate and pq_adc") {
+    GraftFunctions.register(spark)
+    Tables.load(spark, SfDir, "events").createOrReplaceTempView("ext_ev9")
+    // exact regime: sketch items = plain groupBy counts
+    val viaSql = spark.sql(
+      """SELECT it.item, it.est FROM (
+        |  SELECT explode(freq_sketch(user_id, 4096).items) AS it
+        |  FROM ext_ev9)""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = spark.table("ext_ev9").groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql === exact)
+    // pq_adc reads the right table cells; a bad code nulls the score
+    val adc = spark.sql(
+      """SELECT pq_adc(array(1, 0), array(10D, 20D, 30D, 40D), 2) AS s,
+        |  pq_adc(array(5, 0), array(10D, 20D, 30D, 40D), 2) AS bad"""
+        .stripMargin).collect()(0)
+    assert(adc.getDouble(0) === 50.0) // lut[0*2+1] + lut[1*2+0]
+    assert(adc.isNullAt(1))
+  }
+
   test("top_k SQL aggregate matches the Column API form") {
     GraftFunctions.register(spark)
     Tables.load(spark, SfDir, "orders").createOrReplaceTempView("ext_orders")
