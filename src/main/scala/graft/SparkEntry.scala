@@ -70,6 +70,8 @@ object SparkEntry {
     "anomaly_zscore" -> (TimeSeries.anomalyZscore _),
     "corr_matrix" -> (TimeSeries.corrMatrix _),
     "scd2_dim" -> (Dimensional.scd2Dim _),
+    "drawdown" -> (TimeSeries.drawdown _),
+    "ewma_smooth" -> (TimeSeries.ewmaSmooth _),
     "funnel_stages" -> (Dimensional.funnelStages _),
     "pack_sequences" -> (Packing.packSequences _),
     "grouping_sets" -> (Olap.groupingSetsAgg _),
@@ -122,6 +124,30 @@ object SparkEntry {
       |c AS (SELECT DISTINCT doc_id, sh FROM s WHERE doc_id >= 50)
       |SELECT c.doc_id, count(*) AS n_shared
       |FROM c JOIN b USING (sh) GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // EWMA twin assembled from the SAME Scala-computed weight doubles
+  // the operator folds (shortest-round-trip literals parse back to
+  // identical doubles in DuckDB), same l0..l9 fold order.
+  private val EwmaSql: String = {
+    val ws = (0 until operators.TimeSeries.EwmaLags)
+      .map(i => math.pow(operators.TimeSeries.EwmaAlpha, i))
+    val lags = ws.indices.map {
+      case 0 => "value AS l0"
+      case i => s"lag(value, $i) OVER w AS l$i"
+    }.mkString(",\n    ")
+    val num = ws.indices.map(i => s"coalesce(l$i * ${ws(i)}, 0.0)")
+      .mkString(" + ")
+    val den = ws.indices.map(i =>
+      s"(CASE WHEN l$i IS NOT NULL THEN ${ws(i)} ELSE 0.0 END)")
+      .mkString(" + ")
+    s"""WITH t AS (SELECT event_id, user_id, ts, value,
+       |    $lags
+       |  FROM events WHERE event_type = 'purchase'
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       |SELECT event_id, user_id AS ticker_id, ts, value AS price,
+       |  round(($num) / ($den), 6) AS ewma
+       |FROM t ORDER BY event_id""".stripMargin
+  }
 
   /** DuckDB oracle SQL per query (same parquet tables, same column
     * names — SURVEY.md §6). Approximate/non-SQL operators
@@ -695,6 +721,20 @@ object SparkEntry {
          |       sqrt(cast(n_days AS double) * syy - sy * sy)) END, 6)
          |    AS corr
          |FROM ag ORDER BY ticker_a, ticker_b""".stripMargin,
+    "drawdown" ->
+      """WITH t AS (SELECT user_id, ts, event_id, value,
+        |    lpad(cast(epoch_us(ts) AS varchar), 20, '0') ||
+        |      lpad(cast(event_id AS varchar), 20, '0') AS sk,
+        |    max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS peak
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT user_id AS ticker_id,
+        |  round(min((value - peak) / peak), 6) AS max_drawdown,
+        |  round(max(peak), 6) AS peak_price,
+        |  arg_max(value, sk) AS last_price,
+        |  count(*) AS n_trades
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ewma_smooth" -> EwmaSql,
     "scd2_dim" ->
       """WITH p AS (SELECT user_id, ts, event_id, value,
         |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)

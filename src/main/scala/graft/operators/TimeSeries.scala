@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
 /** Time-series analytics over the intraday stream (SURVEY.md §2
-  * #84-86): grid resampling with forward fill, rolling z-score
+  * #84-86, #99-100): grid resampling with forward fill, rolling z-score
   * anomaly flags, and a pairwise return-correlation matrix — the
   * quant views a stock dashboard layers on the reference's ticker
   * stream (/root/reference/README.md:23-24) once the raw 2-minute
@@ -126,6 +126,64 @@ object TimeSeries {
         round(col("z"), 6).as("z"),
         coalesce((abs(col("z")) > ZThreshold).cast("long"), lit(0L))
           .as("is_anomaly"))
+      .orderBy("event_id")
+  }
+
+  /** #99 Drawdown report: per-ticker running peak over the trade
+    * stream, the per-trade drawdown (value-peak)/peak, aggregated to
+    * the ticker's max drawdown / peak / last price — the risk metric
+    * every stock dashboard carries. One running-max window (O(1)
+    * state — unbounded-preceding frames keep a single accumulator,
+    * unlike the sliding frames #85 pays for) + one aggregate on the
+    * same ticker shuffle. */
+  def drawdown(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dd = purchases(spark, dir)
+      .withColumn("peak", max(col("value")).over(w))
+      .withColumn("dd", (col("value") - col("peak")) / col("peak"))
+    dd.groupBy(col("user_id").as("ticker_id"))
+      .agg(round(min(col("dd")), 6).as("max_drawdown"),
+        round(max(col("peak")), 6).as("peak_price"),
+        max_by(col("value"), struct(col("ts"), col("event_id")))
+          .as("last_price"),
+        count(lit(1)).as("n_trades"))
+      .orderBy("ticker_id")
+  }
+
+  /** EWMA decay and the (bounded) number of lags folded in. */
+  val EwmaAlpha = 0.8
+  val EwmaLags = 10
+
+  /** #100 Exponentially-weighted moving average over the last
+    * [[EwmaLags]] trades per ticker. The weights are LITERALS
+    * (α^i precomputed once — both engines parse the same shortest
+    * round-trip doubles), and the weighted sum folds in fixed lag
+    * order, so the result is engine-portable without decimal
+    * machinery: a recursive-form EWMA (state row by row) is neither
+    * expressible in a window nor portable; the bounded-lag form is
+    * both, and α^10 < 11% leaves the truncation below chart
+    * resolution. One window shuffle, O(lags) per row. */
+  def ewmaSmooth(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val weights = (0 until EwmaLags).map(i => math.pow(EwmaAlpha, i))
+    val base = purchases(spark, dir)
+    val lagged = weights.indices.foldLeft(base) { (df, i) =>
+      // l0 is the row's own value on both sides (DuckDB's lag
+      // requires a positive offset; the twin must match literally)
+      if (i == 0) df.withColumn("l0", col("value"))
+      else df.withColumn(s"l$i", lag(col("value"), i).over(w))
+    }
+    // numerator / denominator fold in fixed index order (both engines
+    // evaluate the same literal-weighted left-to-right sum)
+    val num = weights.indices.map(i =>
+      coalesce(col(s"l$i") * lit(weights(i)), lit(0d))).reduce(_ + _)
+    val den = weights.indices.map(i =>
+      when(col(s"l$i").isNotNull, lit(weights(i))).otherwise(lit(0d)))
+      .reduce(_ + _)
+    lagged.select(col("event_id"), col("user_id").as("ticker_id"),
+        col("ts"), col("value").as("price"),
+        round(num / den, 6).as("ewma"))
       .orderBy("event_id")
   }
 

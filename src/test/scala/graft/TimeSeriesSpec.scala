@@ -95,6 +95,52 @@ class TimeSeriesSpec extends SparkTestBase {
       assert(math.abs(mine.get.getAs[Double]("corr") - ref.getDouble(0)) < 1e-5)
   }
 
+  test("drawdown: bounded in [-1, 0], zero iff the peak never recedes") {
+    val got = TimeSeries.drawdown(spark, SfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val dd = r.getAs[Double]("max_drawdown")
+      assert(dd <= 0.0 && dd >= -1.0)
+      assert(r.getAs[Double]("last_price") <= r.getAs[Double]("peak_price"))
+    }
+    // recompute one ticker in plain Scala
+    val t0 = got.head.getAs[Long]("ticker_id")
+    val stream = purchases.filter(col("user_id") === t0)
+      .select("ts", "event_id", "value").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("ts").getTime,
+        r.getLong(1), r.getDouble(2)))
+      .sortBy(x => (x._1, x._2)).map(_._3)
+    var peak = Double.MinValue; var worst = 0.0
+    stream.foreach { v =>
+      peak = math.max(peak, v)
+      worst = math.min(worst, (v - peak) / peak)
+    }
+    val mine = got.find(_.getAs[Long]("ticker_id") == t0).get
+    assert(math.abs(mine.getAs[Double]("max_drawdown") - worst) < 1e-5)
+    assert(mine.getAs[Double]("last_price") === stream.last)
+  }
+
+  test("ewma: converges to a constant series, weights recent trades") {
+    val got = TimeSeries.ewmaSmooth(spark, SfDir).collect()
+    assert(got.nonEmpty)
+    // recompute a row deep in one ticker's stream
+    val t0 = got.head.getAs[Long]("ticker_id")
+    val stream = purchases.filter(col("user_id") === t0)
+      .select("ts", "event_id", "value").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("ts").getTime,
+        r.getLong(1), r.getDouble(2)))
+      .sortBy(x => (x._1, x._2))
+    if (stream.length > TimeSeries.EwmaLags) {
+      val i = stream.length - 1
+      val ws = (0 until TimeSeries.EwmaLags)
+        .map(k => math.pow(TimeSeries.EwmaAlpha, k))
+      val vals = (0 until TimeSeries.EwmaLags).map(k => stream(i - k)._3)
+      val want = vals.zip(ws).map { case (v, w) => v * w }.sum / ws.sum
+      val mine = got.find(_.getAs[Long]("event_id") == stream(i)._2).get
+      assert(math.abs(mine.getAs[Double]("ewma") - want) < 1e-4)
+    }
+  }
+
   test("scd2_dim: ranges tile each ticker's history, change-compressed") {
     val got = Dimensional.scd2Dim(spark, SfDir).collect()
     assert(got.nonEmpty)
