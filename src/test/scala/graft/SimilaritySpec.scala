@@ -44,9 +44,9 @@ class SimilaritySpec extends SparkTestBase {
       (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))).toSet
     val recall = (brute intersect pq).size.toDouble / brute.size
     info(s"ann_pq recall = $recall")
-    // 8×16 codebooks + 48-deep exact re-rank on an isotropic corpus:
-    // the ADC shortlist must recover most exact top-5 neighbors
-    assert(recall >= 0.5, s"PQ recall $recall too low (found ${pq.size})")
+    // 8×32 codebooks + 64-deep exact re-rank on an isotropic corpus
+    // (measured 0.9; 0.7 leaves noise headroom)
+    assert(recall >= 0.7, s"PQ recall $recall too low (found ${pq.size})")
     // exact re-rank: scores on shared (q, cand) pairs equal brute's
     val bruteScores = Similarity.annBrute(spark, SfDir)
       .select("q_id", "cand_id", "cos_sim")
