@@ -48,6 +48,33 @@ class FrequencySpec extends SparkTestBase {
       assert(items.contains(k), s"heavy key $k missing"))
   }
 
+  test("MG bounds hold across random streams and partitionings (seeded)") {
+    val caps = Seq(8, 32)
+    for (seed <- 1 to 3; cap <- caps) {
+      val rnd = new scala.util.Random(seed)
+      // zipf-ish: key k with weight ~ 1/k over a domain ≫ capacity
+      val rows = Seq.fill(4000)(
+        math.min(400L, (1.0 / math.max(rnd.nextDouble(), 1e-9)).toLong))
+      val nPart = 1 + rnd.nextInt(16)
+      val df = rows.toDF("k").repartition(nPart)
+      val r = df.agg(AggFunctions.freqSketch(col("k"), cap).as("sk"))
+        .select(col("sk.items").as("items"), col("sk.max_err").as("err"))
+        .collect()(0)
+      val err = r.getAs[Long]("err")
+      val items = r.getSeq[org.apache.spark.sql.Row](0)
+        .map(x => x.getAs[Long]("item") -> x.getAs[Long]("est")).toMap
+      val truth = rows.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      assert(items.size <= cap, s"seed=$seed cap=$cap overflow")
+      assert(err <= rows.length.toLong / cap, s"seed=$seed cap=$cap err=$err")
+      items.foreach { case (k, est) =>
+        assert(est <= truth(k), s"seed=$seed cap=$cap overestimated $k")
+        assert(truth(k) - est <= err, s"seed=$seed cap=$cap undercount $k")
+      }
+      truth.filter(_._2 > err).keys.foreach(k =>
+        assert(items.contains(k), s"seed=$seed cap=$cap lost heavy key $k"))
+    }
+  }
+
   test("sketch merge across many partitions stays exact under capacity") {
     // 64 partitions each seeing a slice: merge must reassemble counts
     val df = spark.range(0, 20000).repartition(64)
