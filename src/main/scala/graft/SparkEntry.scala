@@ -43,6 +43,7 @@ object SparkEntry {
     "window_tumbling" -> (Analytics.windowTumbling _),
     "semi_anti" -> (Analytics.semiAnti _),
     "asof_join" -> (AsOfJoin.clicksAsOfPurchases _),
+    "market_share" -> (Analytics.marketShare _),
     // §2.C LLM-data-pipeline operators
     "dedup_exact" -> (Dedup.exact _),
     "dedup_minhash" -> (Dedup.minhashLsh _),
@@ -303,6 +304,18 @@ object SparkEntry {
         |FROM probe p ASOF LEFT JOIN build b
         |  ON p.user_id = b.user_id AND b.ts <= p.ts
         |ORDER BY p.event_id""".stripMargin,
+    "market_share" ->
+      """WITH d AS (SELECT cast(ts AS date) AS day, user_id AS ticker_id,
+        |    count(*) AS n_trades,
+        |    cast(sum(length(props)) AS bigint) AS volume
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT day, ticker_id, n_trades, volume,
+        |  round(cast(volume AS double) /
+        |    cast(sum(volume) OVER (PARTITION BY day) AS double), 6)
+        |    AS share,
+        |  cast(row_number() OVER (PARTITION BY day
+        |    ORDER BY volume DESC, ticker_id ASC) AS bigint) AS day_rank
+        |FROM d ORDER BY day, day_rank""".stripMargin,
     "dedup_exact" ->
       """SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
         |  count(*) AS dup_count

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -126,5 +127,31 @@ object Analytics {
           .otherwise("without_urgent"))
       .groupBy("bucket", "c_mktsegment").agg(count(lit(1)).as("n_cust"))
       .orderBy("bucket", "c_mktsegment")
+  }
+
+  /** #101 Ratio-to-total window: each ticker's share of its day's
+    * trade volume plus the day rank — the market-share dashboard
+    * slice. One aggregate to (day, ticker) rows, then window sums
+    * over the AGGREGATED table (|days|×|tickers| rows — tiny relative
+    * to the stream, so the unbounded frame costs nothing at any SF).
+    * Volumes are exact longs: the share division's operands are
+    * integer-exact in both engines. */
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("ts").cast("date").as("day"),
+        col("user_id").as("ticker_id"))
+      .agg(count(lit(1)).as("n_trades"),
+        sum(length(col("props")).cast("long")).as("volume"))
+    val byDay = Window.partitionBy("day")
+    val rank = Window.partitionBy("day")
+      .orderBy(col("volume").desc, col("ticker_id").asc)
+    daily
+      .withColumn("day_volume", sum(col("volume")).over(byDay))
+      .withColumn("share", round(col("volume").cast("double") /
+        col("day_volume").cast("double"), 6))
+      .withColumn("day_rank", row_number().over(rank).cast("long"))
+      .select("day", "ticker_id", "n_trades", "volume", "share", "day_rank")
+      .orderBy("day", "day_rank")
   }
 }

@@ -39,6 +39,29 @@ class EventStreamSpec extends SparkTestBase {
     assert(got.count() > 0, "no windows emitted")
   }
 
+  test("streaming heavy-hitters sketch converges to the batch counts") {
+    // the mergeable MG aggregate runs unchanged under complete-mode
+    // streaming: partial sketches per micro-batch merge into the
+    // running state, and below capacity the result stays EXACT — the
+    // live top-tickers board from the same kernel as the batch report
+    val dir = stageEventsAsFiles()
+    val sketch = EventStream.readEvents(spark, dir)
+      .agg(graft.functions.AggFunctions
+        .freqSketch(col("user_id"), 8192).as("sk"))
+      .select(col("sk.items").as("items"), col("sk.max_err").as("err"))
+    val q = sketch.writeStream.format("memory").queryName("hh")
+      .outputMode("complete").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val r = spark.table("hh").collect()(0)
+    assert(r.getAs[Long]("err") === 0L)
+    val got = r.getSeq[org.apache.spark.sql.Row](0)
+      .map(x => x.getAs[Long]("item") -> x.getAs[Long]("est")).toMap
+    val batch = Tables.load(spark, SfDir, "events")
+      .groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === batch)
+  }
+
   test("streaming anomaly alerts flag exactly the batch z-score rows") {
     // two time-ordered chunks delivered as separate micro-batches:
     // per-key event order is preserved, so the streaming ring must
