@@ -60,16 +60,20 @@ case class PqAdc(codes: Expression, lut: Expression, k: Int)
 }
 
 object PqAdc {
-  /** Σ_m lut[m*k + codes[m]]; NaN signals a malformed code. */
+  /** Σ_m lut[m*k + codes[m]]; NaN signals a malformed code. A null
+    * element in either array is malformed too — ArrayData.getInt on a
+    * null slot silently yields 0, which would score lut[m*k+0] instead
+    * of failing loudly, so null slots are checked explicitly. */
   def compute(codes: ArrayData, lut: ArrayData, k: Int): Double = {
     val m = codes.numElements()
     val n = lut.numElements()
     var s = 0.0
     var i = 0
     while (i < m) {
+      if (codes.isNullAt(i)) return Double.NaN
       val c = codes.getInt(i)
       val idx = i * k + c
-      if (c < 0 || c >= k || idx >= n) return Double.NaN
+      if (c < 0 || c >= k || idx >= n || lut.isNullAt(idx)) return Double.NaN
       s += lut.getDouble(idx)
       i += 1
     }

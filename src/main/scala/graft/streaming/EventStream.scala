@@ -28,6 +28,17 @@ object EventStream {
   def readEvents(spark: SparkSession, inputDir: String): DataFrame =
     spark.readStream.schema(Tables.events).parquet(inputDir)
 
+  /** Event-time position at FULL microsecond precision. The events
+    * table carries microsecond timestamps (parsed with 'SSSSSS'), so
+    * ordering by `getTime` (milliseconds) would treat two events in
+    * the same millisecond as ties and could mis-order them — or worse,
+    * drop one as "late" — whenever their event_id order disagrees with
+    * their sub-millisecond order. `getTime` already includes the
+    * millis; `getNanos` re-supplies the whole fractional second, so
+    * the micro key is seconds*1e6 + nanos/1e3. */
+  private[streaming] def microTime(ts: Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000
+
   /** Watermarked tumbling-window aggregate (append-able: closed
     * windows emit exactly once). */
   def hourlyCounts(events: DataFrame): DataFrame =
@@ -81,11 +92,11 @@ object EventStream {
         (uid: Long, rows: Iterator[Ev], state: GroupState[AlertState]) =>
           var prev = state.getOption.orNull
           val out = scala.collection.mutable.ListBuffer[Alert]()
-          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            val pos = (e.ts.getTime, e.event_id)
+          rows.toSeq.sortBy(e => (microTime(e.ts), e.event_id)).foreach { e =>
+            val pos = (microTime(e.ts), e.event_id)
             if (prev == null ||
-                pos._1 > prev.ts.getTime ||
-                (pos._1 == prev.ts.getTime && pos._2 > prev.event_id)) {
+                pos._1 > microTime(prev.ts) ||
+                (pos._1 == microTime(prev.ts) && pos._2 > prev.event_id)) {
               if (prev != null && math.abs(e.value - prev.value) >= threshold)
                 out += Alert(uid, e.ts, prev.value, e.value,
                   e.value - prev.value)
@@ -228,7 +239,7 @@ object EventStream {
         (uid: Long, rows: Iterator[Ev], state: GroupState[LatestState]) =>
           val newest = (rows.map(e => LatestState(e.ts, e.value, e.event_id))
             ++ state.getOption.iterator)
-            .maxBy(s => (s.latest_ts.getTime, s.event_id))
+            .maxBy(s => (microTime(s.latest_ts), s.event_id))
           state.update(newest)
           Latest(uid, newest.latest_ts, newest.latest_price)
       }
@@ -270,9 +281,9 @@ object EventStream {
         (uid: Long, rows: Iterator[Ev], state: GroupState[ZState]) =>
           var st = state.getOption.getOrElse(ZState(null, -1L, Nil))
           val out = scala.collection.mutable.ListBuffer[Anomaly]()
-          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            val fresh = st.ts == null || e.ts.getTime > st.ts.getTime ||
-              (e.ts.getTime == st.ts.getTime && e.event_id > st.event_id)
+          rows.toSeq.sortBy(e => (microTime(e.ts), e.event_id)).foreach { e =>
+            val fresh = st.ts == null || microTime(e.ts) > microTime(st.ts) ||
+              (microTime(e.ts) == microTime(st.ts) && e.event_id > st.event_id)
             if (fresh) {
               val n = st.window.length
               if (n >= minWin) {
