@@ -125,8 +125,11 @@ object FreqSketchAgg {
       if (cur != 0L || counts.containsKey(k)) counts.put(k, cur + 1L)
       else if (counts.size < capacity) counts.put(k, 1L)
       else {
-        // batched decrement: subtract the min count m; the incoming
-        // key's virtual count 1 also absorbs min(1, m) of it
+        // batched decrement: subtract the min count m. Every retained
+        // count is ≥ 1, so m ≥ 1 and the incoming key's virtual count
+        // of 1 is always fully absorbed by the decrement — it never
+        // survives an eviction pass (its mass is accounted in
+        // `decrements` like any other evicted key's).
         var m = Long.MaxValue
         val it0 = counts.values().iterator()
         while (it0.hasNext) m = math.min(m, it0.next())
@@ -137,8 +140,6 @@ object FreqSketchAgg {
           if (nc <= 0L) it.remove() else e.setValue(nc)
         }
         decrements += m
-        // the incoming key survives iff its virtual 1 outlives m
-        if (m < 1L) counts.put(k, 1L - m)
       }
     }
 

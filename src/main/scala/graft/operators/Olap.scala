@@ -148,6 +148,14 @@ object Olap {
     * NTILE remainder arithmetic maps ranks to buckets. Bit-identical
     * to the window form (ties cannot straddle blocks: equal values
     * share a block); the DuckDB oracle keeps the plain ntile().
+    * ASSUMPTION: the value distribution spreads across many integer
+    * blocks (true for the events value domain). A (near-)constant
+    * column collapses into one block and the per-(type, blk) window
+    * degenerates back to a one-task sort — inherent to any
+    * tie-respecting block key, since ties must share a block. Under
+    * such skew, pick a finer monotonic key (e.g. floor(value · 2^k)
+    * with k from a cheap min/max pre-pass) so block population stays
+    * bounded wherever the data has spread at all.
     * For 100 TB features the sketch cut points (#79) remain the
     * stateless-projection alternative. */
   def quantileBins(spark: SparkSession, dir: String): DataFrame = {
