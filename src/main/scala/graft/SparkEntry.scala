@@ -56,6 +56,7 @@ object SparkEntry {
     "ann_ivf" -> (Similarity.annIvf _),
     "ann_quant" -> (Similarity.annQuant _),
     "ann_pq" -> (Similarity.annPq _),
+    "ann_ivfpq" -> (Similarity.annIvfPq _),
     "semantic_dedup" -> (Similarity.semanticDedup _),
     "label_centroids" -> (Similarity.labelCentroids _),
     "centroid_assign" -> (Similarity.centroidAssign _),

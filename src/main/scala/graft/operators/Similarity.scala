@@ -503,22 +503,18 @@ object Similarity {
           " cn2))), x -> x.cn2), 0D, (a, x) -> a + x)").as("rnorm2"))
   }
 
-  /** #92 PQ ANN: ADC-scored shortlist + exact re-rank, same top-5
-    * contract as [[annBrute]]. The rank scan reads M codes per
-    * candidate (no float vectors in the hot path); the float join-back
-    * touches only PqShortlist rows per query. Rows-only (k-means
-    * model); recall vs annBrute gated in SimilaritySpec. */
-  def annPq(spark: SparkSession, dir: String): DataFrame = {
+  /** Broadcast-able PQ query side: per query the flat ADC lookup
+    * table lut[m*K + cid] = q_m · c_{m,cid} (cells of centroids
+    * dropped during training read as -1e300 via the map fill — no
+    * stored code can reference them), plus the float vector and its
+    * norm for the exact re-rank. Bounded by |queries| × M×K doubles. */
+  private def pqQuerySide(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val cbn = trainedPqCodebooks(spark, dir)
       .withColumn("cn2", dot(col("cvec"), col("cvec")))
     val qs = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("vec").as("qvec"))
-    // per-query flat LUT: lut[m*K + cid] = q_m · c_{m,cid}; cells of
-    // centroids dropped during training read as -1e300 via the map
-    // fill (no stored code can reference them)
     val lut = subVectors(qs, "qvec")
-      .withColumnRenamed("q_id", "q_id")
       .join(broadcast(cbn), "m")
       .select(col("q_id"),
         (col("m") * PqK + col("cid")).as("idx"),
@@ -529,11 +525,17 @@ object Similarity {
       .select(col("q_id"),
         expr(s"transform(sequence(0, ${PqM * PqK - 1})," +
           " i -> coalesce(try_element_at(lm, i), -1e300D))").as("lut"))
-    val qside = broadcast(lut.join(
+    lut.join(
       qs.select(col("q_id"), col("qvec"),
-        sqrt(dot(col("qvec"), col("qvec"))).as("qn")), "q_id"))
-    val scored = pqEncoded(spark, dir).crossJoin(qside)
-      .filter(col("vec_id") =!= col("q_id"))
+        sqrt(dot(col("qvec"), col("qvec"))).as("qn")), "q_id")
+  }
+
+  /** ADC score → PqShortlist → exact re-rank → ranked top-5. Input:
+    * candidate rows (q_id, qvec, qn, lut, vec_id, codes, rnorm2) —
+    * the full corpus for [[annPq]], the probed cells for
+    * [[annIvfPq]]. */
+  private def pqRank(e: DataFrame, candidates: DataFrame): DataFrame = {
+    val scored = candidates
       .withColumn("approx",
         when(col("rnorm2") > 0d && col("qn") > 0d,
           graft.functions.VectorFunctions.pqAdc(col("codes"), col("lut"), PqK)
@@ -556,6 +558,71 @@ object Similarity {
         round(col("cos"), 6).as("cos_sim"))
       .orderBy("q_id", "rnk")
   }
+
+  /** #92 PQ ANN: ADC-scored shortlist + exact re-rank, same top-5
+    * contract as [[annBrute]]. The rank scan reads M codes per
+    * candidate (no float vectors in the hot path); the float join-back
+    * touches only PqShortlist rows per query. Rows-only (k-means
+    * model); recall vs annBrute gated in SimilaritySpec. */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val qside = broadcast(pqQuerySide(spark, dir))
+    pqRank(e, pqEncoded(spark, dir).crossJoin(qside)
+      .filter(col("vec_id") =!= col("q_id")))
+  }
+
+  /** The IVF∘PQ candidate set (q_id, …, codes, rnorm2): corpus codes
+    * cell-indexed by the trained IVF centroids (multi-assignment),
+    * queries probing their adaptive nprobe cells — so the ADC scan
+    * reads ~nprobe/C of the codes instead of all of them. Exposed so
+    * the spec can assert the scan fraction. */
+  private[graft] def ivfPqCandidates(spark: SparkSession,
+      dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val centroids = broadcast(trainedCentroids(spark, dir))
+    // index side: each vector's codes filed under its IvfAssign
+    // nearest cells (same assignment as annIvf — boundary vectors are
+    // findable from both sides)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cs").desc, col("c_id").asc)
+    val assigned = e.crossJoin(centroids)
+      .select(col("vec_id"), col("c_id"),
+        cosine(col("vec"), col("cvec")).as("cs"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= IvfAssign)
+      .select(col("c_id").as("cell"), col("vec_id"))
+    val cellCodes = assigned.join(pqEncoded(spark, dir), "vec_id")
+    // query side: the same adaptive cell probing as annIvf
+    val qside = broadcast(pqQuerySide(spark, dir))
+    val qw = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cs").desc, col("c_id").asc)
+    val qb = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+    val probes = qside.select(col("q_id"), col("qvec"))
+      .crossJoin(centroids)
+      .select(col("q_id"), col("c_id"),
+        cosine(col("qvec"), col("cvec")).as("cs"))
+      .withColumn("rn", row_number().over(qw))
+      .withColumn("best", max(col("cs")).over(qb))
+      .filter(col("rn") <= IvfProbe ||
+        (col("cs") >= col("best") - IvfProbeMargin &&
+          col("rn") <= IvfProbeMax))
+      .select(col("q_id"), col("c_id").as("cell"))
+    probes.join(cellCodes, "cell")
+      .filter(col("q_id") =!= col("vec_id"))
+      // multi-assignment can surface the same candidate from two
+      // probed cells — collapse before the ADC scan
+      .dropDuplicates("q_id", "vec_id")
+      .join(qside, "q_id")
+  }
+
+  /** #103 IVF∘PQ ANN (the FAISS IVFPQ composition): trained IVF cells
+    * in front of the PQ ADC scan, so at 100 TB the rank pass reads
+    * 1/nprobe of the code corpus — the missing rung between [[annPq]]
+    * (full ADC scan) and [[annIvf]] (full-vector probe). Same top-5
+    * contract; rows-only (k-means model); recall + scan-fraction
+    * gated in SimilaritySpec. */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame =
+    pqRank(emb(spark, dir), ivfPqCandidates(spark, dir))
 
   def annQuant(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)

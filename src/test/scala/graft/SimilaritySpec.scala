@@ -59,6 +59,33 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("ann_ivfpq recall vs ann_brute holds; ADC scan reads a cell-pruned fraction") {
+    val brute = Similarity.annBrute(spark, SfDir)
+      .select("q_id", "cand_id").as[(Long, Long)].collect().toSet
+    val rows = Similarity.annIvfPq(spark, SfDir).collect()
+    // same contract shape as annBrute: 5 ranked rows per query
+    rows.groupBy(_.getAs[Long]("q_id")).values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("rnk")).sorted.toSeq === (1L to 5L))
+    }
+    val got = rows.map(r =>
+      (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))).toSet
+    val recall = (brute intersect got).size.toDouble / brute.size
+    info(s"ann_ivfpq recall = $recall")
+    // IVF probing (recall 0.95-1.0 alone) composed with PQ ranking
+    // (recall 0.9 alone): the composition can only lose candidates
+    // both stages admit — 0.7 leaves noise headroom over measured
+    assert(recall >= 0.7, s"IVFPQ recall $recall too low (found ${got.size})")
+    // the point of the composition: the ADC scan reads a CELL-PRUNED
+    // candidate set, strictly smaller than the corpus × queries rows
+    // annPq's full ADC scan reads
+    val corpus = graft.sources.Tables.load(spark, SfDir, "embeddings").count()
+    val nQueries = 8L
+    val scanned = Similarity.ivfPqCandidates(spark, SfDir).count()
+    info(s"ivfpq ADC scan: $scanned of ${corpus * nQueries} full-scan rows")
+    assert(scanned < corpus * nQueries,
+      s"cell pruning scanned $scanned >= full ${corpus * nQueries}")
+  }
+
   test("pq codebooks are M dense sub-tables; codes address them") {
     val cb = Similarity.trainedPqCodebooks(spark, SfDir).collect()
     assert(cb.map(_.getAs[Int]("m")).distinct.sorted.toSeq ===
