@@ -150,6 +150,10 @@ object GraftFunctions {
         "pq_adc(codes, lut, k) - PQ asymmetric-distance score: sum of lut[m*k+codes[m]] over the m sub-codebooks"),
       (es: Seq[Expression]) => PqAdc(es(0), es(1),
         intArg(es(2), "pq_adc", "k"))),
+    ("image_meta",
+      info("image_meta",
+        "image_meta(bin) - struct(format, width, height, channels) parsed from a PNG/JPEG container header; NULL if unrecognized"),
+      (es: Seq[Expression]) => ImageMeta(es(0))),
     ("dsum",
       info("dsum",
         "dsum(x) - aggregate: exact order-independent sum of doubles (rounded once to 6 dp, 128-bit accumulator) -> double"),

@@ -1183,12 +1183,22 @@ object SparkEntry {
         |  cast(sum(cast(dup_ratio AS decimal(28,6))) AS double) /
         |    cast(count(*) AS double) AS avg_dup_ratio
         |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Multimodal twin: the Spark side builds a byte-valid PNG/JPEG
+    // container per doc (even ids PNG, odd JPEG; header sizes 33 and
+    // 30+3·channels) and PARSES the dims back out of the bytes with
+    // the ImageMeta kernel; the oracle recomputes the generator's
+    // closed form — a parser mis-reading any field hash-mismatches.
     "multimodal_meta" ->
-      """SELECT doc_id, cast(strlen(text) AS bigint) AS n_bytes,
-        |  (strlen(text) + 4095) // 4096 AS n_chunks,
-        |  16 + strlen(text) % 624 AS width,
-        |  16 + (strlen(text) * 7) % 464 AS height,
-        |  1 + strlen(text) % 3 AS channels
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |  cast(16 + strlen(text) % 624 AS bigint) AS width,
+        |  cast(16 + (strlen(text) * 7) % 464 AS bigint) AS height,
+        |  cast(1 + strlen(text) % 3 AS bigint) AS channels,
+        |  cast(strlen(text) + CASE WHEN doc_id % 2 = 0 THEN 33
+        |    ELSE 30 + 3 * (1 + strlen(text) % 3) END AS bigint) AS n_bytes,
+        |  cast((strlen(text) + CASE WHEN doc_id % 2 = 0 THEN 33
+        |    ELSE 30 + 3 * (1 + strlen(text) % 3) END + 4095) // 4096
+        |    AS bigint) AS n_chunks
         |FROM documents WHERE text IS NOT NULL
         |ORDER BY doc_id""".stripMargin
   )

@@ -6,32 +6,90 @@ import graft.sources.Tables
 
 /** Multimodal binary-column plumbing (SURVEY.md §2 #31): media
   * payloads ride through the engine as opaque `binary` columns with
-  * typed metadata; decode/feature-extract runs per-partition so a
-  * native decoder amortizes its init across a batch of rows.
+  * typed metadata. The metadata decode is REAL since round 10: the
+  * codegen [[graft.functions.expressions.ImageMeta]] kernel parses
+  * PNG/JPEG container headers (magic bytes, dimension fields, channel
+  * count) straight off the binary column inside the scan stage — no
+  * image library, no stub formula.
   *
-  * The decode step itself is a STUB (this container has no image/
-  * audio libs): `decodeStub` derives deterministic fake features from
-  * the byte length. Everything around it — the typed Dataset schema,
-  * the binary cast at the scan, the per-partition batching, the
-  * feature schema written out — is the real plumbing a decoder drops
-  * into.
+  * The test corpus has no media files, so payloads are FABRICATED
+  * here — but fabricated as byte-valid containers: [[encodePayload]]
+  * emits a spec-conformant PNG signature+IHDR (CRC included) or JPEG
+  * SOI+APP0+SOF0 header with deterministic dimensions, followed by
+  * the document text as the opaque body. The decode path never sees
+  * the generator's arithmetic — everything it reports is read back
+  * out of the bytes, and the DuckDB oracle recomputes the same fields
+  * from the generator's closed form, so a parser that mis-read a
+  * single field would hash-mismatch.
   */
 object Multimodal {
 
   case class MediaIn(doc_id: Long, payload: Array[Byte])
-  case class MediaFeat(doc_id: Long, n_bytes: Long, n_chunks: Long,
-      width: Long, height: Long, channels: Long)
 
   val ChunkBytes = 4096L
 
-  /** STUB decoder: deterministic pseudo-features of the payload size.
-    * A real decoder (libjpeg/ffmpeg/…) replaces exactly this function;
-    * the pipeline shape stays identical. */
-  def decodeStub(m: MediaIn): MediaFeat = {
-    val n = m.payload.length.toLong
-    MediaFeat(m.doc_id, n, (n + ChunkBytes - 1) / ChunkBytes,
-      width = 16 + n % 624, height = 16 + (n * 7) % 464,
-      channels = 1 + n % 3)
+  /** PNG header bytes: signature + IHDR chunk (bit depth 8, color
+    * type from the channel count, correct CRC-32 over type+data). */
+  private[graft] def pngHeader(w: Int, h: Int, channels: Int): Array[Byte] = {
+    val colorType = channels match {
+      case 1 => 0 // grayscale
+      case 2 => 4 // grayscale + alpha
+      case 3 => 2 // truecolor
+      case 4 => 6 // truecolor + alpha
+      case c => throw new IllegalArgumentException(s"channels $c")
+    }
+    val out = java.nio.ByteBuffer.allocate(33)
+    out.put(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+    out.putInt(13) // IHDR data length
+    val typeAndData = java.nio.ByteBuffer.allocate(17)
+    typeAndData.put("IHDR".getBytes("US-ASCII"))
+    typeAndData.putInt(w).putInt(h)
+    typeAndData.put(8.toByte).put(colorType.toByte) // bit depth, color
+    typeAndData.put(0.toByte).put(0.toByte).put(0.toByte) // comp/filter/interlace
+    out.put(typeAndData.array())
+    val crc = new java.util.zip.CRC32
+    crc.update(typeAndData.array())
+    out.putInt(crc.getValue.toInt)
+    out.array()
+  }
+
+  /** JPEG header bytes: SOI + JFIF APP0 + a baseline SOF0 segment
+    * carrying the dimensions and component count. */
+  private[graft] def jpegHeader(w: Int, h: Int, channels: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(30 + 3 * channels)
+    out.put(0xff.toByte).put(0xd8.toByte) // SOI
+    out.put(0xff.toByte).put(0xe0.toByte).putShort(16) // APP0, len 16
+    out.put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+    out.put(1.toByte).put(1.toByte) // version 1.1
+    out.put(0.toByte) // density units: none
+    out.putShort(1).putShort(1) // x/y density
+    out.put(0.toByte).put(0.toByte) // no thumbnail
+    out.put(0xff.toByte).put(0xc0.toByte) // SOF0 (baseline)
+    out.putShort((8 + 3 * channels).toShort)
+    out.put(8.toByte) // precision
+    out.putShort(h.toShort).putShort(w.toShort)
+    out.put(channels.toByte)
+    for (c <- 1 to channels) { // id, 1×1 sampling, quant table 0
+      out.put(c.toByte).put(0x11.toByte).put(0.toByte)
+    }
+    out.array()
+  }
+
+  /** Fabricate a container-valid payload for a document: even ids get
+    * PNG, odd ids JPEG; dimensions/channels are a closed form of the
+    * text byte length (so the DuckDB oracle can recompute them); the
+    * text bytes ride behind the header as the opaque body. */
+  private[graft] def encodePayload(docId: Long, text: Array[Byte]): Array[Byte] = {
+    val n = text.length.toLong
+    val w = (16 + n % 624).toInt
+    val h = (16 + (n * 7) % 464).toInt
+    val ch = (1 + n % 3).toInt
+    val header =
+      if (docId % 2 == 0) pngHeader(w, h, ch) else jpegHeader(w, h, ch)
+    val out = new Array[Byte](header.length + text.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(text, 0, out, header.length, text.length)
+    out
   }
 
   /** #48 Chunk/frame-sample plumbing: split each payload into fixed
@@ -55,19 +113,39 @@ object Multimodal {
           .as("chunk_len"))
       .orderBy("doc_id", "chunk_id")
 
-  /** #31 Scan → binary cast → per-partition decode → typed features.
-    * (mapPartitions is deliberate here — SURVEY.md §4 preference (d)
-    * is allowed for genuinely imperative per-batch native decode.) */
+  private def imageMeta(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.expressions.ImageMeta(
+        org.apache.spark.sql.GraftSqlBridge.expression(c)))
+
+  /** #31/#104 Scan → binary payload → codegen header decode → typed
+    * features. The fabrication step runs per-partition (mapPartitions
+    * — SURVEY.md §4 preference (d) for genuinely imperative byte
+    * assembly; in production this column arrives from storage and the
+    * operator is just the decode projection). The decode itself is
+    * the [[graft.functions.expressions.ImageMeta]] kernel reading
+    * format/width/height/channels back out of the container bytes. */
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.load(spark, dir, "documents")
-      // a null payload has nothing to decode (decodeStub would NPE on
-      // payload.length) — mirror multimodalChunks' null/empty policy
+      // a null payload has nothing to encode or decode — mirror
+      // multimodalChunks' null/empty policy
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as[MediaIn]
-      .mapPartitions(_.map(decodeStub))
+      .mapPartitions(_.map(m => MediaIn(m.doc_id,
+        encodePayload(m.doc_id, m.payload))))
       .toDF()
+      .select(col("doc_id"), imageMeta(col("payload")).as("meta"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .select(col("doc_id"),
+        col("meta.format").as("format"),
+        col("meta.width").as("width"),
+        col("meta.height").as("height"),
+        col("meta.channels").as("channels"),
+        col("n_bytes"),
+        ((col("n_bytes") + ChunkBytes - 1L) / lit(ChunkBytes)).cast("long")
+          .as("n_chunks"))
       .orderBy("doc_id")
   }
 }

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+/** Image header decode tests (SURVEY.md §2 #31/#104): the ImageMeta
+  * kernel against hand-assembled and generator-built containers, the
+  * reject paths, and the end-to-end multimodal_meta contract. */
+class ImageMetaSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def parse(b: Array[Byte]) =
+    Option(graft.functions.expressions.ImageMeta.parse(b)).map { r =>
+      (r.getUTF8String(0).toString, r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+
+  test("PNG IHDR fields round-trip through the parser") {
+    for ((ch, colorType) <- Seq((1, 0), (2, 4), (3, 2), (4, 6))) {
+      val b = Multimodal.pngHeader(640, 480, ch)
+      assert(b(25) === colorType.toByte, s"color type for $ch channels")
+      assert(parse(b) === Some(("png", 640L, 480L, ch.toLong)))
+    }
+    // palette color type (not emitted by the generator) reads 1 channel
+    val pal = Multimodal.pngHeader(33, 7, 1)
+    pal(25) = 3
+    val crc = new java.util.zip.CRC32
+    crc.update(pal, 12, 17)
+    val c = crc.getValue.toInt
+    pal(29) = (c >>> 24).toByte; pal(30) = (c >>> 16).toByte
+    pal(31) = (c >>> 8).toByte; pal(32) = c.toByte
+    assert(parse(pal) === Some(("png", 33L, 7L, 1L)))
+  }
+
+  test("JPEG SOF dimensions are found behind skippable segments") {
+    for (ch <- 1 to 4) {
+      val b = Multimodal.jpegHeader(639, 479, ch)
+      assert(parse(b) === Some(("jpeg", 639L, 479L, ch.toLong)))
+    }
+    // progressive (SOF2) and padded fill bytes also parse
+    val prog = Multimodal.jpegHeader(100, 50, 3)
+    prog(21) = 0xc2.toByte // SOF0 -> SOF2
+    assert(parse(prog) === Some(("jpeg", 100L, 50L, 3L)))
+  }
+
+  test("junk, truncated, and dimension-less payloads read NULL") {
+    assert(parse(Array.empty[Byte]) === None)
+    assert(parse("not an image at all".getBytes("UTF-8")) === None)
+    assert(parse(Multimodal.pngHeader(64, 64, 3).take(20)) === None)
+    // JPEG that hits SOS before any SOF carries no dimensions
+    val noSof = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte,
+      0xda.toByte, 0, 2)
+    assert(parse(noSof) === None)
+    // PNG whose first chunk is not IHDR is malformed
+    val bad = Multimodal.pngHeader(64, 64, 3)
+    bad(13) = 'X'
+    assert(parse(bad) === None)
+  }
+
+  test("multimodal_meta decodes what the generator encoded, for every doc") {
+    val got = Multimodal.multimodalMeta(spark, SfDir).collect()
+    assert(got.length > 0)
+    val texts = graft.sources.Tables.load(spark, SfDir, "documents")
+      .filter(col("text").isNotNull)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(got.length === texts.size)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val n = texts(id).getBytes("UTF-8").length.toLong
+      assert(r.getAs[String]("format") === (if (id % 2 == 0) "png" else "jpeg"))
+      assert(r.getAs[Long]("width") === 16 + n % 624)
+      assert(r.getAs[Long]("height") === 16 + (n * 7) % 464)
+      assert(r.getAs[Long]("channels") === 1 + n % 3)
+      val hdr = if (id % 2 == 0) 33L else 30L + 3L * (1 + n % 3)
+      assert(r.getAs[Long]("n_bytes") === n + hdr)
+    }
+  }
+
+  test("image_meta is callable from SQL and codegen handles nulls") {
+    GraftFunctions.register(spark)
+    val b = Multimodal.jpegHeader(12, 34, 3)
+    val got = Seq((1L, b), (2L, "junk".getBytes("UTF-8")), (3L, null))
+      .toDF("id", "payload")
+      .selectExpr("id", "image_meta(payload) AS m")
+      .selectExpr("id", "m.format", "m.width", "m.height", "m.channels")
+      .collect().sortBy(_.getLong(0))
+    assert(got(0).getString(1) === "jpeg")
+    assert(got(0).getLong(2) === 12L && got(0).getLong(3) === 34L)
+    assert(got(1).isNullAt(1) && got(2).isNullAt(1))
+  }
+}
