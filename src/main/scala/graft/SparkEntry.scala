@@ -21,6 +21,7 @@ object SparkEntry {
     "skew_agg" -> (Skew.skewAgg _),
     "shard_union" -> (StockOps.shardUnion _),
     "append_roundtrip" -> (StockOps.appendRoundtrip _),
+    "versioned_commits" -> (graft.sinks.VersionedTable.versionedCommits _),
     "bucketed_join" -> (graft.sinks.BucketedWarehouse.bucketedJoin _),
     "zorder_scan" -> (graft.sinks.ZOrderLayout.zorderScan _),
     "snapshot_proj" -> (StockOps.snapshotProjection _),
@@ -191,6 +192,13 @@ object SparkEntry {
          |FROM events
          |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
          |  AND ts < TIMESTAMP '2024-01-02 00:00:00'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "versioned_commits" ->
+      s"""SELECT cast(ts AS date) AS batch_date, count(*) AS n_events,
+         |  ${dsum("value")} AS sum_value
+         |FROM events
+         |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+         |  AND ts < TIMESTAMP '2024-01-03 00:00:00'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "bucketed_join" ->
       s"""SELECT o.o_orderpriority,

@@ -1,0 +1,260 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned-manifest table commits (SURVEY.md §2 #105): snapshot
+  * isolation for a parquet table under CONCURRENT writers — the
+  * multi-writer ACID guarantee the reference outsources to BigQuery's
+  * `WRITE_APPEND` (/root/reference/dags/stock_data_to_gcp.py:123-136),
+  * re-expressed as a filesystem commit log in the public
+  * Delta/Iceberg shape:
+  *
+  *  - `root/_graft_log/v<20-digit>.json` — one immutable action file
+  *    per version: the data files this commit adds and removes
+  *    (paths relative to root). The TABLE STATE at version N is the
+  *    replay of actions 1..N; data files themselves are never listed
+  *    by directory.
+  *  - Data files land under `root/data/<uuid>/` BEFORE their commit
+  *    references them — an uncommitted (or crashed) write is plain
+  *    unreferenced bytes, invisible to every reader.
+  *  - Commit = publish version R+1 by atomically CREATING the next
+  *    log file: `Files.createLink(v{R+1}, tmp)` fails if the name
+  *    exists, so of two racing writers exactly one wins the version
+  *    (the POSIX twin of an object store's if-none-match conditional
+  *    PUT). The loser re-reads the log, checks for a LOGICAL
+  *    conflict, and retries on top of the winner.
+  *  - Conflict rule: appends add fresh uuid-named files — they
+  *    commute with everything, so a losing append just re-commits.
+  *    A compaction's `removes` must all still be live; if an
+  *    intervening commit removed any of them (another compaction
+  *    won), the whole rewrite restarts from the new snapshot.
+  *  - Readers pin a snapshot: `snapshot()` resolves the latest
+  *    contiguous version once, and the DataFrame reads exactly those
+  *    files for its whole lifetime — a concurrent compaction commit
+  *    does not make a running query see half-old half-new data.
+  *    `vacuum()` deletes unreferenced files and is the only
+  *    destructive step; it must lag the longest-running reader (same
+  *    retention contract as Delta's VACUUM).
+  *
+  * At 100 TB the log stays tiny (file LISTS, not data), state replay
+  * is O(versions) driver-side metadata work, and the data path is
+  * identical to any parquet table — scans, pushdown, partitioning all
+  * unchanged. Snapshot resolution is the only listing of `_graft_log`;
+  * no data directory is ever listed on the read path.
+  */
+object VersionedTable {
+
+  private val LogDir = "_graft_log"
+
+  final case class Snapshot(version: Long, files: Seq[String]) {
+    def isEmpty: Boolean = files.isEmpty
+  }
+
+  private def logDir(root: String) = new java.io.File(root, LogDir)
+
+  private def versionFile(root: String, v: Long) =
+    new java.io.File(logDir(root), f"v$v%020d.json")
+
+  private val VersionRe = "v(\\d{20})\\.json".r
+
+  /** Quote a JSON string (paths are uuid/part names — conservative
+    * escaping anyway). */
+  private def q(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  private def unq(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
+
+  private def writeActions(f: java.io.File, adds: Seq[String],
+      removes: Seq[String]): Unit = {
+    val body = s"""{"adds":[${adds.map(q).mkString(",")}],""" +
+      s""""removes":[${removes.map(q).mkString(",")}]}"""
+    java.nio.file.Files.write(f.toPath,
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private val StrListRe = """"([^"\\]*(?:\\.[^"\\]*)*)"""".r
+
+  private def readActions(f: java.io.File): (Seq[String], Seq[String]) = {
+    val s = new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    def list(key: String): Seq[String] = {
+      val m = (s""""$key"\\s*:\\s*\\[([^\\]]*)\\]""").r.findFirstMatchIn(s)
+      m.map(g => StrListRe.findAllMatchIn(g.group(1))
+        .map(mm => unq(mm.group(1))).toSeq).getOrElse(Seq.empty)
+    }
+    (list("adds"), list("removes"))
+  }
+
+  /** Committed versions present in the log, ascending. */
+  private def versions(root: String): Seq[Long] =
+    Option(logDir(root).listFiles()).getOrElse(Array.empty).toSeq
+      .flatMap(f => f.getName match {
+        case VersionRe(v) => Some(v.toLong)
+        case _ => None
+      }).sorted
+
+  /** Resolve the current snapshot: replay the longest CONTIGUOUS
+    * version prefix (a gap can only be a listing race with a
+    * by-now-committed writer; stopping at it keeps the view a true
+    * prefix of history). Version 0 = empty table. */
+  def snapshot(root: String): Snapshot = {
+    val vs = versions(root)
+    val live = new scala.collection.mutable.LinkedHashSet[String]
+    var v = 0L
+    for (next <- vs) {
+      if (next == v + 1) {
+        val (adds, removes) = readActions(versionFile(root, next))
+        removes.foreach(live -= _)
+        adds.foreach(live += _)
+        v = next
+      }
+    }
+    Snapshot(v, live.toSeq)
+  }
+
+  /** DataFrame over a pinned snapshot (the caller's `snap` keeps
+    * serving the same files regardless of later commits). */
+  def read(spark: SparkSession, root: String, snap: Snapshot): DataFrame = {
+    require(!snap.isEmpty, s"version ${snap.version} of $root is empty")
+    spark.read.parquet(snap.files.map(f =>
+      new java.io.File(root, f).getAbsolutePath): _*)
+  }
+
+  /** Read the latest committed snapshot. */
+  def read(spark: SparkSession, root: String): DataFrame =
+    read(spark, root, snapshot(root))
+
+  /** Atomically publish version `v` with the given actions. True iff
+    * this writer won the version (hard-link creation is the
+    * linearization point — it FAILS if v was already committed). */
+  private def tryCommit(root: String, v: Long, adds: Seq[String],
+      removes: Seq[String]): Boolean = {
+    logDir(root).mkdirs()
+    val tmp = new java.io.File(logDir(root),
+      s".v$v-${java.util.UUID.randomUUID()}.tmp")
+    writeActions(tmp, adds, removes)
+    try {
+      java.nio.file.Files.createLink(versionFile(root, v).toPath, tmp.toPath)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally {
+      java.nio.file.Files.deleteIfExists(tmp.toPath)
+    }
+  }
+
+  /** Stage `df` as fresh uuid-named data files (NOT yet visible). */
+  private def stage(df: DataFrame, root: String): Seq[String] = {
+    val uuid = java.util.UUID.randomUUID().toString
+    val dir = new java.io.File(new java.io.File(root, "data"), uuid)
+    df.write.parquet(dir.getAbsolutePath)
+    Option(dir.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(f => s"data/$uuid/${f.getName}")
+      .sorted
+  }
+
+  /** Transactional append: stage the batch, then claim the next
+    * version (retrying past concurrent committers — appends commute,
+    * so no re-staging is ever needed). Returns the committed
+    * version. */
+  def append(df: DataFrame, root: String): Long = {
+    val adds = stage(df, root)
+    var v = snapshot(root).version + 1
+    while (!tryCommit(root, v, adds, Seq.empty)) {
+      v = math.max(v + 1, snapshot(root).version + 1)
+    }
+    v
+  }
+
+  /** Transactional compaction: rewrite the current snapshot into
+    * ceil(bytes/target) right-sized files and commit
+    * {adds=new, removes=old snapshot files}. If a concurrent commit
+    * REMOVED any file this rewrite read (a racing compaction won),
+    * the rewrite is stale — its output is discarded and the whole
+    * step restarts from the fresh snapshot. Concurrent APPENDs
+    * commute (their files are not in `removes`) and stay live.
+    * Returns the committed version, or -1 if the table was empty. */
+  def compact(spark: SparkSession, root: String,
+      targetBytes: Long = 128L * 1024 * 1024): Long = {
+    var committed = -1L
+    var done = false
+    while (!done) {
+      val snap = snapshot(root)
+      if (snap.isEmpty) return -1L
+      val bytes = snap.files
+        .map(f => new java.io.File(root, f).length()).sum
+      val nFiles = math.max(1, ((bytes + targetBytes - 1) / targetBytes).toInt)
+      val adds = stage(read(spark, root, snap).coalesce(nFiles), root)
+      var v = snap.version + 1
+      var stale = false
+      while (!done && !stale) {
+        if (tryCommit(root, v, adds, snap.files)) {
+          committed = v
+          done = true
+        } else {
+          // someone committed v first: if they removed any of OUR
+          // inputs, this rewrite no longer covers the table — restart
+          val newer = versions(root).filter(_ > snap.version)
+          stale = newer.exists { nv =>
+            val (_, removes) = readActions(versionFile(root, nv))
+            removes.exists(snap.files.contains)
+          }
+          if (!stale) v = math.max(v + 1, snapshot(root).version + 1)
+          else adds.foreach(f =>
+            java.nio.file.Files.deleteIfExists(
+              new java.io.File(root, f).toPath))
+        }
+      }
+    }
+    committed
+  }
+
+  /** #105 driver-gate query: two day-batches committed as versions,
+    * then a compaction commit and a vacuum — the read-back aggregate
+    * proves the whole protocol preserves exactly-once content (the
+    * oracle aggregates the same two days straight from the source).
+    * The ScalaTest suite covers what SQL can't see: concurrent
+    * writers, crash windows, pinned snapshots. */
+  def versionedCommits(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_vtable_${graft.sources.StagePath.key(dir)}").getPath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    append(graft.sources.Tables.loadEventsRange(spark, dir,
+      "2024-01-01 00:00:00", "2024-01-02 00:00:00"), root)
+    append(graft.sources.Tables.loadEventsRange(spark, dir,
+      "2024-01-02 00:00:00", "2024-01-03 00:00:00"), root)
+    compact(spark, root)
+    vacuum(root)
+    read(spark, root)
+      .groupBy(to_date(col("ts")).as("batch_date"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.operators.Num.dsum(col("value")).as("sum_value"))
+      .orderBy("batch_date")
+  }
+
+  /** Delete data files the LATEST snapshot does not list (superseded
+    * by compaction, or staged by a writer that crashed before its
+    * commit). Destructive — breaks readers pinned to older snapshots,
+    * so production gates this behind a retention window; the contract
+    * is the same as Delta VACUUM. Returns the deleted count. */
+  def vacuum(root: String): Int = {
+    val live = snapshot(root).files.toSet
+    val dataRoot = new java.io.File(root, "data")
+    var n = 0
+    for {
+      uuidDir <- Option(dataRoot.listFiles()).getOrElse(Array.empty)
+      if uuidDir.isDirectory
+      f <- Option(uuidDir.listFiles()).getOrElse(Array.empty)
+      if f.isFile && !f.getName.startsWith(".")
+      rel = s"data/${uuidDir.getName}/${f.getName}"
+      if !live.contains(rel)
+    } {
+      if (f.delete()) n += 1
+      uuidDir.delete() // succeeds only once empty — harmless otherwise
+    }
+    n
+  }
+}

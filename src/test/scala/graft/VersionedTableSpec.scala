@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sinks.VersionedTable
+
+/** Versioned-manifest commit protocol tests (SURVEY.md §2 #105):
+  * snapshot isolation, optimistic multi-writer commits, crash
+  * windows, and vacuum safety. */
+class VersionedTableSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("vtable").toString
+
+  private def batch(lo: Long, n: Long) =
+    spark.range(lo, lo + n).select(col("id"),
+      (col("id") * 2).as("val"))
+
+  test("append publishes atomically; readers see all-or-nothing") {
+    val root = freshRoot()
+    assert(VersionedTable.snapshot(root).version === 0L)
+    val v1 = VersionedTable.append(batch(0, 100), root)
+    assert(v1 === 1L)
+    assert(VersionedTable.read(spark, root).count() === 100L)
+    val v2 = VersionedTable.append(batch(100, 50), root)
+    assert(v2 === 2L)
+    assert(VersionedTable.read(spark, root).count() === 150L)
+    // ids exactly once
+    val ids = VersionedTable.read(spark, root)
+      .select("id").as[Long].collect().sorted
+    assert(ids.toSeq === (0L until 150L))
+  }
+
+  test("a pinned snapshot keeps serving its version across later commits") {
+    val root = freshRoot()
+    VersionedTable.append(batch(0, 10), root)
+    val snap = VersionedTable.snapshot(root)
+    VersionedTable.append(batch(10, 10), root)
+    VersionedTable.compact(spark, root)
+    // the pinned reader still sees exactly version 1
+    assert(VersionedTable.read(spark, root, snap)
+      .select("id").as[Long].collect().sorted.toSeq === (0L until 10L))
+    // a fresh reader sees everything
+    assert(VersionedTable.read(spark, root).count() === 20L)
+  }
+
+  test("concurrent appends all land exactly once (optimistic version race)") {
+    val root = freshRoot()
+    val writers = 8
+    val perWriter = 25L
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    try {
+      val futs = (0 until writers).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long =
+            VersionedTable.append(batch(w * perWriter, perWriter), root)
+        })
+      }
+      val vs = futs.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      // every writer won a DISTINCT version 1..writers
+      assert(vs.sorted.toSeq === (1L to writers.toLong))
+    } finally pool.shutdownNow()
+    val ids = VersionedTable.read(spark, root)
+      .select("id").as[Long].collect().sorted
+    assert(ids.toSeq === (0L until writers * perWriter),
+      "every concurrent batch exactly once")
+  }
+
+  test("compaction commutes with concurrent appends; no rows lost") {
+    val root = freshRoot()
+    (0 until 6).foreach(i => VersionedTable.append(batch(i * 10L, 10), root))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val compactF = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = VersionedTable.compact(spark, root)
+      })
+      val appendF = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = VersionedTable.append(batch(60, 10), root)
+      })
+      assert(compactF.get(120, java.util.concurrent.TimeUnit.SECONDS) > 0L)
+      appendF.get(120, java.util.concurrent.TimeUnit.SECONDS)
+    } finally pool.shutdownNow()
+    val ids = VersionedTable.read(spark, root)
+      .select("id").as[Long].collect().sorted
+    assert(ids.toSeq === (0L until 70L),
+      "concurrent append survives the compaction commit")
+  }
+
+  test("racing compactions: exactly one wins, the loser discards its rewrite") {
+    val root = freshRoot()
+    (0 until 4).foreach(i => VersionedTable.append(batch(i * 10L, 10), root))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fs = (0 until 2).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = VersionedTable.compact(spark, root)
+        })
+      }
+      fs.foreach(_.get(180, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdownNow()
+    val ids = VersionedTable.read(spark, root)
+      .select("id").as[Long].collect().sorted
+    assert(ids.toSeq === (0L until 40L), "double compaction preserves rows")
+    VersionedTable.vacuum(root)
+    assert(VersionedTable.read(spark, root)
+      .select("id").as[Long].collect().sorted.toSeq === (0L until 40L))
+  }
+
+  test("crash windows: staged-but-uncommitted data is invisible and vacuumable") {
+    val root = freshRoot()
+    VersionedTable.append(batch(0, 10), root)
+    // simulate a writer that crashed after staging, before commit:
+    // data files exist under data/<uuid>/ with no log entry
+    val orphanDir = new java.io.File(s"$root/data/crashed-writer")
+    orphanDir.mkdirs()
+    batch(100, 10).write.parquet(orphanDir.getAbsolutePath + "/x")
+    // move the part files up to look like a staged write
+    new java.io.File(orphanDir, "x").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach(f => java.nio.file.Files.move(f.toPath,
+        new java.io.File(orphanDir, f.getName).toPath))
+    assert(VersionedTable.read(spark, root).count() === 10L,
+      "orphaned stage must be invisible")
+    // simulate a crashed commit: a leftover tmp in the log dir
+    java.nio.file.Files.write(
+      new java.io.File(s"$root/_graft_log/.v9-crashed.tmp").toPath,
+      """{"adds":["data/crashed-writer/ghost.parquet"],"removes":[]}"""
+        .getBytes("UTF-8"))
+    assert(VersionedTable.snapshot(root).version === 1L,
+      "tmp files are not versions")
+    assert(VersionedTable.read(spark, root).count() === 10L)
+    val deleted = VersionedTable.vacuum(root)
+    assert(deleted > 0, "orphan data files vacuumed")
+    assert(VersionedTable.read(spark, root).count() === 10L)
+  }
+
+  test("snapshot replay stops at a version gap (prefix consistency)") {
+    val root = freshRoot()
+    VersionedTable.append(batch(0, 10), root)
+    VersionedTable.append(batch(10, 10), root)
+    // fabricate a FUTURE version with a gap (as a racing lister might
+    // observe mid-commit): v4 exists, v3 does not
+    java.nio.file.Files.write(
+      new java.io.File(s"$root/_graft_log/v${"0" * 19}4.json").toPath,
+      """{"adds":[],"removes":[]}""".getBytes("UTF-8"))
+    val snap = VersionedTable.snapshot(root)
+    assert(snap.version === 2L, "replay must stop before the gap")
+    assert(VersionedTable.read(spark, root, snap).count() === 20L)
+  }
+}
