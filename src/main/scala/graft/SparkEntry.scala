@@ -108,7 +108,8 @@ object SparkEntry {
     "contamination" -> (TextOps.contaminationCheck _),
     "contamination_bloom" -> (TextOps.contaminationBloom _),
     "corpus_stats" -> (TextOps.corpusStats _),
-    "multimodal_meta" -> (Multimodal.multimodalMeta _)
+    "multimodal_meta" -> (Multimodal.multimodalMeta _),
+    "bpe_stats" -> (Bpe.bpeStats _)
   )
 
   private val Dec = "decimal(28,6)"

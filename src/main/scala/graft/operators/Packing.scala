@@ -37,11 +37,19 @@ object Packing {
     * per doc: its token count, global token offset within its
     * source's stream, and the [seq_id, seq_end] sequence range it
     * spans (empty docs occupy their boundary sequence). */
-  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    packSequencesBy(spark, dir,
+      TextFunctions.tokenCounts(col("text")).getField("ws").cast("long"))
+
+  /** [[packSequences]] under any token metric: `nTok` is evaluated
+    * over the documents scan (whitespace kernel for the oracled
+    * query; the learned-BPE kernel via [[Bpe.bpeTokens]] for real
+    * budget metering — BpeSpec pins that path's prefix sums). The
+    * two-level scan shape is metric-independent. */
+  def packSequencesBy(spark: SparkSession, dir: String,
+      nTok: org.apache.spark.sql.Column): DataFrame = {
     val d = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("source"),
-        TextFunctions.tokenCounts(col("text")).getField("ws")
-          .cast("long").as("n_tok"))
+      .select(col("doc_id"), col("source"), nTok.as("n_tok"))
       .withColumn("blk", expr(s"doc_id DIV $BlockDocs"))
     // (1) one subtotal row per (source, block) — map-side combined
     val blocks = d.groupBy("source", "blk")
