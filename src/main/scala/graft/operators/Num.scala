@@ -33,13 +33,22 @@ object Num {
   def dsum(c: Column): Column = dsumUnscaled(unscaled6(c))
 
   /** The unscaled long of `c` rounded to 6 dp (= 10^6 × round6(c),
-    * exactly): one long-backed decimal(18,6) cast, no BigDecimal on
-    * the 128-bit sum path. ANSI: |c| ≥ 10^12 fails loudly. */
+    * exactly). Double columns — every hot caller — go through the
+    * alloc-free [[graft.functions.expressions.Unscaled6]] kernel
+    * (bit-identical to the decimal cast, BigDecimal only on
+    * undecidable ties; see its scaladoc — removing the per-row
+    * BigDecimal was round 10's q1 partial-agg fix). Anything else
+    * keeps the long-backed decimal(18,6) cast. ANSI: |c| ≥ 10^12
+    * fails loudly on both paths. */
   def unscaled6(c: Column): Column = {
     import org.apache.spark.sql.GraftSqlBridge
-    import org.apache.spark.sql.catalyst.expressions.UnscaledValue
-    GraftSqlBridge.column(
-      UnscaledValue(GraftSqlBridge.expression(c.cast("decimal(18,6)"))))
+    // the double cast is exact for every caller domain (doubles
+    // pass through; ints/longs are < 2^53) and values the fast path
+    // cannot decide — including every |x| ≥ 4.5e9 — take the kernel's
+    // exact BigDecimal branch, so the 6-dp result is the decimal
+    // cast's, bit-identical
+    GraftSqlBridge.column(graft.functions.expressions.Unscaled6(
+      GraftSqlBridge.expression(c.cast("double"))))
   }
 
   /** 128-bit exact sum of [[unscaled6]] longs → double. Bounded
