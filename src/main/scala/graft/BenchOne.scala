@@ -7,6 +7,10 @@ import org.apache.spark.sql.SparkSession
   * times, so a Bench outlier can be separated into plan cost vs
   * co-tenant noise. Usage:
   *   SPARK_GRAFT_SF_DIR=... runMain graft.BenchOne <query> [query ...]
+  * Extras for config sweeps at scale:
+  *   SPARK_GRAFT_SCALE_MULT=50   profile on the hardlink-multiplied
+  *                               corpus (ScaleBench's layout)
+  *   SPARK_GRAFT_CONF="k=v;k=v"  arbitrary session confs under test
   */
 object BenchOne {
   def main(args: Array[String]): Unit = {
@@ -17,17 +21,24 @@ object BenchOne {
       sys.env.getOrElse("SPARK_GRAFT_STAGE_FILES", "8").toInt
     val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
-    val spark = SparkSession.builder()
+    val mult = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT", "1").toInt
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // same staged layout as Bench, so numbers stay comparable
     // (SPARK_GRAFT_STAGE_FILES=0 to profile the raw single-file SF)
-    val runDir = if (stageFiles > 0) Bench.stage(spark, sfDir, stageFiles) else sfDir
+    val staged = if (stageFiles > 0) Bench.stage(spark, sfDir, stageFiles) else sfDir
+    val runDir = if (mult > 1) ScaleBench.multiply(staged, mult) else staged
     args.foreach { name =>
       val fn = SparkEntry.queries(name)
       fn(spark, runDir).collect() // warmup

@@ -267,6 +267,51 @@ object TextOps {
     * honestly. The build-probe pair serves any bounded-reference
     * membership pre-screen (seen URLs, license blocklists, index
     * presence). */
+  /** Bloom sizing for the DESIGN-REGIME benchmark below: the
+    * reference set there is millions of hashes, so the filter grows
+    * to 2^26 bits (8 MiB — still broadcastable where the raw 8-byte
+    * hash set is not) with 3 probes: FP < 1% at n = 5·10^6. */
+  val BloomBitsLarge = 1 << 26
+  val BloomHashesLarge = 3
+
+  /** #83b Decontamination in the Bloom sketch's DESIGN regime
+    * (VERDICT r9 #6): the reference set is LARGE — the even-id half
+    * of the corpus's shingles, millions of 8-byte hashes at the
+    * ScaleBench multiplier — so the exact join CANNOT broadcast it
+    * (enforced with a SHUFFLE_HASH hint, as a too-big-for-broadcast
+    * side would be at 100 TB) and must hash-shuffle every corpus
+    * shingle. With `useBloom`, corpus shingles first pass the
+    * broadcast 8 MiB filter, so the shuffle carries only true matches
+    * plus the <1% FP sliver — the cut that makes the sketch pay for
+    * its build jobs. Answer-identical either way (no false negatives;
+    * FPs die in the exact join) — asserted in BloomSpec along with
+    * the no-broadcast plan shape; ScaleBench mode `bloom` measures
+    * the two variants head-to-head and BASELINE.md records them. */
+  def contaminationAtScale(spark: SparkSession, dir: String,
+      useBloom: Boolean): DataFrame = {
+    val sh = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.shingleHashes(col("text"),
+          ShingleWidth)).as("sh"))
+    val bench = sh.filter(col("doc_id") % 2 === 0).select("sh").distinct()
+      .localCheckpoint()
+    val corpus = sh.filter(col("doc_id") % 2 === 1)
+    val candidates =
+      if (!useBloom) corpus
+      else {
+        val bloom = bench.agg(graft.functions.AggFunctions
+          .bloomAgg(col("sh"), BloomBitsLarge, BloomHashesLarge).as("bf"))
+        corpus.crossJoin(broadcast(bloom))
+          .filter(graft.functions.AggFunctions
+            .bloomMightContain(col("bf"), col("sh")))
+          .select("doc_id", "sh")
+      }
+    candidates.join(bench.hint("SHUFFLE_HASH"), "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   def contaminationBloom(spark: SparkSession, dir: String): DataFrame = {
     val sh = Tables.load(spark, dir, "documents")
       .select(col("doc_id"),

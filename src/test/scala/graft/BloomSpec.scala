@@ -64,4 +64,31 @@ class BloomSpec extends SparkTestBase {
     assert(bloom == exact, "sketch acceleration must not change answers")
     assert(exact.nonEmpty, "test corpus must have contaminated docs")
   }
+
+  test("design-regime contamination: bloom path answer-identical, no broadcast of the reference side") {
+    val exact = graft.operators.TextOps
+      .contaminationAtScale(spark, SfDir, useBloom = false)
+    val bloom = graft.operators.TextOps
+      .contaminationAtScale(spark, SfDir, useBloom = true)
+    val e = exact.as[(Long, Long)].collect().toSeq
+    val b = bloom.as[(Long, Long)].collect().toSeq
+    assert(b == e, "bloom prefilter must not change answers")
+    assert(e.nonEmpty, "the half-corpus reference must hit something")
+    // the reference-side join must be a SHUFFLE join in BOTH variants
+    // (at 100 TB that side cannot broadcast — that is the regime);
+    // the only broadcast allowed in the bloom plan is the 8 MiB filter
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    val exactPlan = planOf(exact)
+    assert(exactPlan.contains("ShuffledHashJoin"),
+      "exact variant must shuffle the reference join")
+    val bloomPlan = planOf(bloom)
+    assert(bloomPlan.contains("ShuffledHashJoin"),
+      "bloom variant's verification join must shuffle too")
+    val bcastJoins = "BroadcastHashJoin".r
+      .findAllIn(bloomPlan.replace("BroadcastNestedLoopJoin", "BNLJ"))
+      .size
+    assert(bcastJoins === 0,
+      s"reference side must never broadcast-hash-join, found $bcastJoins")
+  }
 }
