@@ -89,11 +89,15 @@ object ScaleBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val mult = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT", "10").toInt
     val mode = sys.env.getOrElse("SPARK_GRAFT_SCALE_MODE", "linear")
+    // AQE on by default (the at-scale posture); SPARK_GRAFT_AQE=false
+    // isolates its per-stage re-planning cost, which on sub-second
+    // local queries is a measurable fraction (see BASELINE.md r10)
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
