@@ -113,7 +113,11 @@ object ScaleBench {
     def consume(name: String,
         df: org.apache.spark.sql.DataFrame): Unit =
       if (WriteQueries(name))
-        df.write.mode("overwrite").parquet(s"$writeDir/$name")
+        // one output file, like the DuckDB twin's COPY TO: the ×50
+        // scd2 dimension compresses to ~20k versions, and a 32-file
+        // write would time 32 task setups + parquet footers, not the
+        // operator
+        df.coalesce(1).write.mode("overwrite").parquet(s"$writeDir/$name")
       else df.collect()
     val queries: Seq[(String, (org.apache.spark.sql.SparkSession, String)
         => org.apache.spark.sql.DataFrame)] = mode match {

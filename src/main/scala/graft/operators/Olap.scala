@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -141,17 +141,23 @@ object Olap {
     * event type with per-bin boundaries/mass — the feature-binning
     * pass of a training pipeline. The obvious `ntile(4).over(w)`
     * sorts an ENTIRE event type in one task (5 keys × 10^9 rows is a
-    * scale-killer), so the rank is computed distributed instead: a
-    * two-level scan over coarse value blocks — per-(type, block)
-    * windows bounded by the block's population, block bases from a
-    * tiny running sum (the pack_sequences pattern) — then the exact
-    * NTILE remainder arithmetic maps ranks to buckets. Bit-identical
-    * to the window form (ties cannot straddle blocks: equal values
-    * share a block); the DuckDB oracle keeps the plain ntile().
+    * scale-killer). Instead the rows never leave the scan: one
+    * map-side-combined aggregate reduces the data to coarse value
+    * blocks (count/min/max/exact sum per floor(value)), the tiny
+    * block table gets rank geometry from a running sum, and a whole
+    * block whose rank span [base+1, base+c] lands inside one bin IS
+    * that bin's pre-aggregated contribution. Only blocks straddling
+    * one of the 3 interior bin boundaries — ≤ 3 blocks per type at
+    * ANY corpus size — have their rows re-read, through a value-range
+    * predicate the parquet scan prunes row groups with, sorted per
+    * block, and ranked row-level. Bit-identical to the window form
+    * (ties cannot straddle blocks: equal values share a block, and
+    * the decimal partials re-sum exactly); the DuckDB oracle keeps
+    * the plain ntile().
     * ASSUMPTION: the value distribution spreads across many integer
     * blocks (true for the events value domain). A (near-)constant
-    * column collapses into one block and the per-(type, blk) window
-    * degenerates back to a one-task sort — inherent to any
+    * column collapses into one block that straddles every boundary,
+    * degenerating to a one-task sort — inherent to any
     * tie-respecting block key, since ties must share a block. Under
     * such skew, pick a finer monotonic key (e.g. floor(value · 2^k)
     * with k from a cheap min/max pre-pass) so block population stays
@@ -162,32 +168,104 @@ object Olap {
     val ev = Tables.load(spark, dir, "events")
       .select(col("event_type"), col("value"), col("event_id"))
       .withColumn("blk", floor(col("value")).cast("long"))
-    val wBlk = org.apache.spark.sql.expressions.Window
-      .partitionBy("event_type").orderBy("blk")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val wType = org.apache.spark.sql.expressions.Window
-      .partitionBy("event_type")
-    val bases = ev.groupBy("event_type", "blk")
-      .agg(count(lit(1)).as("c"))
-      .withColumn("base", sum(col("c")).over(wBlk) - col("c"))
-      .withColumn("n", sum(col("c")).over(wType))
-      .select("event_type", "blk", "base", "n")
-    val wIn = org.apache.spark.sql.expressions.Window
-      .partitionBy("event_type", "blk").orderBy(col("value"), col("event_id"))
-    // exact NTILE(4): size = n/4, the first n%4 buckets take size+1
-    val binned = ev.join(bases, Seq("event_type", "blk"))
-      .withColumn("rn", col("base") + row_number().over(wIn))
-      .withColumn("bin",
-        expr("""CASE WHEN rn <= (n % 4) * (n DIV 4 + 1)
-                THEN (rn - 1) DIV (n DIV 4 + 1) + 1
-                ELSE (n % 4) + (rn - (n % 4) * (n DIV 4 + 1) - 1)
-                  DIV (n DIV 4) + 1 END""").cast("long"))
-    binned.groupBy("event_type", "bin")
-      .agg(count(lit(1)).as("n"),
-        round(min(col("value")), 6).as("lo"),
-        round(max(col("value")), 6).as("hi"),
-        Num.dsum(col("value")).as("sum_value"))
+    // Phase 1 — ONE map-side-combined aggregate reduces the corpus to
+    // its block table: count, min/max, and the exact 128-bit value
+    // sum (dsumExact — a mergeable decimal(38,6) partial, so
+    // re-summing per bin later is the same exact rational as a direct
+    // row sum). The block table is bounded by the VALUE DOMAIN, not
+    // the row count (~|types|x|integer range| rows), so collecting it
+    // is the same bounded-stats move as ZOrderLayout's bounds read —
+    // the driver plans bin geometry on statistics, the way any
+    // two-phase rank engine does.
+    val blocks = ev.groupBy("event_type", "blk")
+      .agg(count(lit(1)).as("c"),
+        min(col("value")).as("blo"), max(col("value")).as("bhi"),
+        Num.dsumExact(col("value")).as("bsum"))
+      .collect()
+    // exact NTILE(4) of rank r: the first n%4 buckets take n/4+1 rows
+    def binOf(r: Long, n: Long): Long = {
+      val q = n / 4; val m = n % 4
+      if (r <= m * (q + 1)) (r - 1) / (q + 1) + 1
+      else m + (r - m * (q + 1) - 1) / q + 1
+    }
+    // Phase 2 (driver, on block stats): per-type rank geometry from a
+    // running sum over blk-sorted blocks. A block covers global ranks
+    // [base+1, base+c] — when both ends land in the same bin the
+    // whole block is one pre-aggregated bin contribution and its rows
+    // are NEVER shuffled or sorted. Only blocks straddling one of the
+    // 3 interior bin boundaries (<= 3 per type at ANY corpus size)
+    // need row-level ranks.
+    case class Blk(tpe: String, blk: Long, c: Long, blo: Double,
+      bhi: Double, bsum: java.math.BigDecimal)
+    case class Strad(tpe: String, blk: Long, base: Long, n: Long)
+    val byType = blocks.map(r => Blk(r.getString(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDecimal(5)))
+      .groupBy(_.tpe)
+    val wholeParts = scala.collection.mutable.ArrayBuffer[
+      (String, Long, Long, Double, Double, java.math.BigDecimal)]()
+    val strads = scala.collection.mutable.ArrayBuffer[Strad]()
+    byType.foreach { case (tpe, bs) =>
+      val sorted = bs.sortBy(_.blk)
+      val n = sorted.map(_.c).sum
+      var base = 0L
+      sorted.foreach { b =>
+        val binFirst = binOf(base + 1, n)
+        val binLast = binOf(base + b.c, n)
+        if (binFirst == binLast)
+          wholeParts += ((tpe, binFirst, b.c, b.blo, b.bhi, b.bsum))
+        else strads += Strad(tpe, b.blk, base, n)
+        base += b.c
+      }
+    }
+    import spark.implicits._
+    val wholeDf = wholeParts.toSeq
+      .toDF("event_type", "bin", "c", "blo", "bhi", "bsum_raw")
+      .withColumn("bsum", col("bsum_raw").cast("decimal(38,6)"))
+      .drop("bsum_raw")
+    // Phase 3 — straddle rows only, via a value-RANGE predicate the
+    // parquet scan can prune row groups with (floor(value)=blk <=>
+    // blk <= value < blk+1; blk is exact in double). Geometry joins
+    // in as a literal when-chain: no second full scan, no broadcast.
+    val rowsDf =
+      if (strads.isEmpty)
+        wholeDf.filter(lit(false))
+      else {
+        val pred = strads.map(sb =>
+            col("event_type") === lit(sb.tpe) &&
+            col("value") >= lit(sb.blk.toDouble) &&
+            col("value") < lit((sb.blk + 1).toDouble))
+          .reduce(_ || _)
+        val baseCol = coalesce(strads.map(sb =>
+            when(col("event_type") === lit(sb.tpe) &&
+              col("blk") === lit(sb.blk), lit(sb.base))).toSeq: _*)
+        val nCol = coalesce(strads.map(sb =>
+            when(col("event_type") === lit(sb.tpe) &&
+              col("blk") === lit(sb.blk), lit(sb.n))).toSeq: _*)
+        val wIn = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type", "blk")
+          .orderBy(col("value"), col("event_id"))
+        ev.filter(pred)
+          .withColumn("rn", baseCol + row_number().over(wIn))
+          .withColumn("n", nCol)
+          .withColumn("bin",
+            expr("""CASE WHEN rn <= (n % 4) * (n DIV 4 + 1)
+                    THEN (rn - 1) DIV (n DIV 4 + 1) + 1
+                    ELSE (n % 4) + (rn - (n % 4) * (n DIV 4 + 1) - 1)
+                      DIV (n DIV 4) + 1 END""").cast("long"))
+          .groupBy("event_type", "bin")
+          .agg(count(lit(1)).as("c"),
+            min(col("value")).as("blo"), max(col("value")).as("bhi"),
+            Num.dsumExact(col("value")).as("bsum"))
+      }
+    // combine block-level and boundary-row contributions: counts and
+    // decimal partials re-sum exactly, so the result is bit-identical
+    // to the oracle's plain per-row ntile aggregation
+    wholeDf.unionByName(rowsDf)
+      .groupBy("event_type", "bin")
+      .agg(sum(col("c")).as("n"),
+        round(min(col("blo")), 6).as("lo"),
+        round(max(col("bhi")), 6).as("hi"),
+        sum(col("bsum")).cast("double").as("sum_value"))
       .orderBy("event_type", "bin")
   }
 

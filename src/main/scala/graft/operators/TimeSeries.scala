@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -87,23 +87,37 @@ object TimeSeries {
     * shuffle on the ticker key. */
   def anomalyZscore(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val f = w.rowsBetween(-ZWindow, -1)
-    // Frame sums run on unscaled-6dp LONGS, not decimals: Spark
-    // re-aggregates the whole sliding frame per row (no retraction),
-    // so the inner op runs rows×frame times — long adds make that
-    // ~7× cheaper than BigDecimal at ×50 scale. Exactness is
-    // unchanged (|Σu| ≤ 21×10^10 ≪ 2^53, and exact-long → double →
+    // Sliding-frame sums as PREFIX-SUM DIFFERENCES: Spark has no
+    // aggregate retraction, so a ROWS [-20,-1] frame re-evaluates all
+    // 20 rows per output row (O(rows×frame) inner ops). A running
+    // unbounded-preceding frame keeps one accumulator (O(1)/row), and
+    // the [-W,-1] frame sum is cum(@-1) − cum(@-W-1) — two O(1) lags
+    // on the same sort. Exactness is unchanged: the sums run on
+    // unscaled-6dp LONGS (per-key cum |Σu2| ≤ rows/key × 2.3e11 ≈
+    // 3e14 at ×50 — four orders of magnitude inside Long even before
+    // ANSI would throw), the lag difference of two exact longs is the
+    // same integer as the direct frame sum, and exact-long → double →
     // ÷1e6 is the same correctly-rounded rational as the oracle's
-    // decimal-sum → double cast).
+    // decimal-sum → double cast. Identical copies of a row (the ×N
+    // hardlink corpus ties (ts, event_id)) are exchangeable under any
+    // tie-break, exactly as they were for the direct sliding frame.
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def frameSum(cum: Column): Column =
+      coalesce(lag(cum, 1).over(w), lit(0L)) -
+        coalesce(lag(cum, ZWindow + 1).over(w), lit(0L))
     val scored = purchases(spark, dir)
       // quantize ONCE per row, before the window: a frame-input
-      // expression is re-evaluated on every frame add (≈ frame-length
-      // times per row), a column reference is a long read
+      // expression is re-evaluated on every accumulator add, a column
+      // reference is a long read
       .withColumn("u1", Num.unscaled6(col("value")))
       .withColumn("u2", Num.unscaled6(col("value") * col("value")))
-      .withColumn("n_win", count(col("value")).over(f))
-      .withColumn("s1", sum(col("u1")).over(f).cast("double") / lit(1e6))
-      .withColumn("s2", sum(col("u2")).over(f).cast("double") / lit(1e6))
+      // one pass computes all three running aggregates (shared frame)
+      .withColumn("c0", count(col("value")).over(run))
+      .withColumn("c1", sum(col("u1")).over(run))
+      .withColumn("c2", sum(col("u2")).over(run))
+      .withColumn("n_win", frameSum(col("c0")))
+      .withColumn("s1", frameSum(col("c1")).cast("double") / lit(1e6))
+      .withColumn("s2", frameSum(col("c2")).cast("double") / lit(1e6))
       // stats emitted only with ZMinWin+ rows of history: the gate also
       // keeps every division's denominator nonzero in BOTH engines
       // (n_win-1 division by zero is IEEE ±Inf in Spark but NULL in
