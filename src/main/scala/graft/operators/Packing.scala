@@ -48,10 +48,26 @@ object Packing {
     * two-level scan shape is metric-independent. */
   def packSequencesBy(spark: SparkSession, dir: String,
       nTok: org.apache.spark.sql.Column): DataFrame = {
+    // ONE explicit exchange on (source, blk) feeds both the block
+    // subtotals and the per-doc offsets: without it, the groupBy's
+    // map-side partial agg makes the two subtrees' exchanges differ,
+    // so the text scan and the token kernel run TWICE — the token
+    // counting over the full text dominates everything else here, and
+    // the 3-narrow-column shuffle that buys its reuse is far cheaper
+    // at any scale.
+    // Reuse only happens if both consumers' subtrees canonicalize
+    // identically, so (a) the non-null filters the JOIN infers on its
+    // keys are declared explicitly here (both copies then carry the
+    // same conjuncts), and (b) blk is derived ABOVE the exchange —
+    // deriving it below would let the subtotal branch prune doc_id
+    // out of its copy and the two exchanges would no longer match.
     val d = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("source"), nTok.as("n_tok"))
+      .filter(col("doc_id").isNotNull && col("source").isNotNull &&
+        expr(s"(doc_id DIV $BlockDocs) IS NOT NULL"))
+      .repartition(col("source"), expr(s"doc_id DIV $BlockDocs"))
       .withColumn("blk", expr(s"doc_id DIV $BlockDocs"))
-    // (1) one subtotal row per (source, block) — map-side combined
+    // (1) one subtotal row per (source, block)
     val blocks = d.groupBy("source", "blk")
       .agg(sum(col("n_tok")).as("blk_tok"))
     // (2) exclusive running sum over the tiny per-source block table
