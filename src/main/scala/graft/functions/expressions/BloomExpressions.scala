@@ -149,8 +149,15 @@ case class BloomAgg(child: Expression, numBits: Int, numHashes: Int,
 
 /** Membership probe: `BloomMightContain(filterBinary, hash)` — true
   * iff the hash MAY be in the set (no false negatives). Codegen'd to
-  * one static call; with the filter column coming from a broadcast
-  * single-row aggregate, the bytes reference is loop-invariant. */
+  * one static call. PASS THE FILTER AS A LITERAL (finish the
+  * aggregate, then `lit(bytes)`): a literal is hoisted to one object
+  * reference in the generated class, while a filter arriving as a
+  * row COLUMN (e.g. crossJoined from a broadcast 1-row aggregate) is
+  * re-materialized by `UnsafeRow.getBinary` — an m-bit memcpy PER
+  * PROBED ROW, which turns an 8 MiB filter into a CPU wall at corpus
+  * scale. The finished-sketch-to-driver hop this implies is the same
+  * one Spark's injected runtime bloom filters make (scalar subquery
+  * → literal); the build itself stays distributed. */
 case class BloomMightContain(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = BooleanType

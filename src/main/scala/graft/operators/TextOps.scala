@@ -299,12 +299,20 @@ object TextOps {
     val candidates =
       if (!useBloom) corpus
       else {
-        val bloom = bench.agg(graft.functions.AggFunctions
+        // The filter is BUILT distributed (map-side OR partials), and
+        // only the FINISHED 8 MiB sketch lands on the driver to
+        // become a probe literal — the same finished-artifact hop
+        // Spark's own injected runtime bloom filters make (scalar
+        // subquery → literal). Probing a literal matters: codegen
+        // hoists it into one object reference, where probing a
+        // joined-in binary COLUMN re-copies the whole bitmap from the
+        // row for every corpus shingle (measured: the ×50 probe went
+        // from CPU-bound on 8 MiB/row memcpys to free).
+        val bf = bench.agg(graft.functions.AggFunctions
           .bloomAgg(col("sh"), BloomBitsLarge, BloomHashesLarge).as("bf"))
-        corpus.crossJoin(broadcast(bloom))
-          .filter(graft.functions.AggFunctions
-            .bloomMightContain(col("bf"), col("sh")))
-          .select("doc_id", "sh")
+          .head().getAs[Array[Byte]](0)
+        corpus.filter(graft.functions.AggFunctions
+          .bloomMightContain(lit(bf), col("sh")))
       }
     candidates.join(bench.hint("SHUFFLE_HASH"), "sh")
       .groupBy("doc_id")
@@ -322,13 +330,15 @@ object TextOps {
     // consumers would each re-scan and re-shingle the benchmark docs)
     val bench = sh.filter(col("doc_id") < BenchDocMax).select("sh")
       .distinct().localCheckpoint()
-    val bloom = bench.agg(graft.functions.AggFunctions
+    // finished-sketch-as-literal, not a crossJoined binary column:
+    // see contaminationAtScale — a column probe re-copies the bitmap
+    // per row
+    val bf = bench.agg(graft.functions.AggFunctions
       .bloomAgg(col("sh"), BloomBits, BloomHashes).as("bf"))
+      .head().getAs[Array[Byte]](0)
     val candidates = sh.filter(col("doc_id") >= BenchDocMax)
-      .crossJoin(broadcast(bloom))
       .filter(graft.functions.AggFunctions
-        .bloomMightContain(col("bf"), col("sh")))
-      .select("doc_id", "sh")
+        .bloomMightContain(lit(bf), col("sh")))
     candidates.join(broadcast(bench), "sh")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared"))

@@ -66,9 +66,11 @@ object VersionedTable {
     s.replace("\\\"", "\"").replace("\\\\", "\\")
 
   private def writeActions(f: java.io.File, adds: Seq[String],
-      removes: Seq[String]): Unit = {
+      removes: Seq[String], txn: Option[(String, Long)] = None): Unit = {
+    val txnPart = txn.map { case (w, e) =>
+      s""","writer":${q(w)},"epoch":$e""" }.getOrElse("")
     val body = s"""{"adds":[${adds.map(q).mkString(",")}],""" +
-      s""""removes":[${removes.map(q).mkString(",")}]}"""
+      s""""removes":[${removes.map(q).mkString(",")}]$txnPart}"""
     java.nio.file.Files.write(f.toPath,
       body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
@@ -84,6 +86,19 @@ object VersionedTable {
         .map(mm => unq(mm.group(1))).toSeq).getOrElse(Seq.empty)
     }
     (list("adds"), list("removes"))
+  }
+
+  /** The (writer, epoch) transaction tag of a committed version, if
+    * it was an [[appendOnce]] commit. */
+  private def readTxn(f: java.io.File): Option[(String, Long)] = {
+    val s = new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    for {
+      w <- """"writer"\s*:\s*"([^"\\]*(?:\\.[^"\\]*)*)"""".r
+        .findFirstMatchIn(s).map(m => unq(m.group(1)))
+      e <- """"epoch"\s*:\s*(-?\d+)""".r.findFirstMatchIn(s)
+        .map(_.group(1).toLong)
+    } yield (w, e)
   }
 
   /** Committed versions present in the log, ascending. */
@@ -129,11 +144,11 @@ object VersionedTable {
     * this writer won the version (hard-link creation is the
     * linearization point — it FAILS if v was already committed). */
   private def tryCommit(root: String, v: Long, adds: Seq[String],
-      removes: Seq[String]): Boolean = {
+      removes: Seq[String], txn: Option[(String, Long)] = None): Boolean = {
     logDir(root).mkdirs()
     val tmp = new java.io.File(logDir(root),
       s".v$v-${java.util.UUID.randomUUID()}.tmp")
-    writeActions(tmp, adds, removes)
+    writeActions(tmp, adds, removes, txn)
     try {
       java.nio.file.Files.createLink(versionFile(root, v).toPath, tmp.toPath)
       true
@@ -166,6 +181,76 @@ object VersionedTable {
       v = math.max(v + 1, snapshot(root).version + 1)
     }
     v
+  }
+
+  /** The version committed by `(writer, epoch)`, if any — scans the
+    * contiguous log prefix (driver-side metadata, O(versions)). */
+  private def committedEpoch(root: String, writer: String,
+      epoch: Long): Option[Long] =
+    versions(root).find(v =>
+      readTxn(versionFile(root, v)).contains((writer, epoch)))
+
+  /** EXACTLY-ONCE append for replayable sources: the commit carries a
+    * `(writer, epoch)` transaction tag, and a replay of an
+    * already-committed epoch (a restarted streaming query re-running
+    * its last microbatch — the foreachBatch at-least-once contract)
+    * is detected in the log and becomes a no-op, its staged files
+    * left unreferenced for [[vacuum]]. One writer never runs the same
+    * epoch concurrently with itself (Structured Streaming serializes
+    * a query's microbatches), so the check-then-commit here needs no
+    * extra fencing: a lost race on the VERSION number is re-checked
+    * against the log before every retry. Returns the committed
+    * version (the original one on replay). */
+  def appendOnce(df: DataFrame, root: String, writer: String,
+      epoch: Long): Long = {
+    committedEpoch(root, writer, epoch) match {
+      case Some(v) => v
+      case None =>
+        val adds = stage(df, root)
+        var v = snapshot(root).version + 1
+        var done = -1L
+        while (done < 0) {
+          if (tryCommit(root, v, adds, Seq.empty, Some((writer, epoch))))
+            done = v
+          else committedEpoch(root, writer, epoch) match {
+            case Some(prior) => // replayed concurrently-visible commit
+              adds.foreach(f => java.nio.file.Files.deleteIfExists(
+                new java.io.File(root, f).toPath))
+              done = prior
+            case None => v = math.max(v + 1, snapshot(root).version + 1)
+          }
+        }
+        done
+    }
+  }
+
+  /** CHANGES FEED: the rows added by append commits in
+    * `(sinceVersion, snapshot.version]` — the incremental input a
+    * downstream training-data pass reads instead of the whole table
+    * ("every document since my last checkpoint"). Rewrite commits
+    * (non-empty `removes` — compactions) move bytes, not data, so
+    * they never surface here; the feed is exactly the appended
+    * batches. Files are served from the original append commits, so
+    * the feed for a version range is valid until [[vacuum]] reclaims
+    * files a later compaction superseded — the same retention
+    * contract as the snapshot readers'. Returns an empty DataFrame
+    * (correct schema) when nothing changed. */
+  def changes(spark: SparkSession, root: String,
+      sinceVersion: Long): DataFrame = {
+    val snap = snapshot(root)
+    val added = versions(root)
+      .filter(v => v > sinceVersion && v <= snap.version)
+      .flatMap { v =>
+        val (adds, removes) = readActions(versionFile(root, v))
+        if (removes.isEmpty) adds else Seq.empty
+      }
+    if (added.isEmpty) {
+      require(!snap.isEmpty,
+        s"changes($sinceVersion) on empty table $root: no schema to serve")
+      read(spark, root, snap).limit(0)
+    } else
+      spark.read.parquet(added.map(f =>
+        new java.io.File(root, f).getAbsolutePath): _*)
   }
 
   /** Transactional compaction: rewrite the current snapshot into
@@ -229,6 +314,30 @@ object VersionedTable {
     compact(spark, root)
     vacuum(root)
     read(spark, root)
+      .groupBy(to_date(col("ts")).as("batch_date"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.operators.Num.dsum(col("value")).as("sum_value"))
+      .orderBy("batch_date")
+  }
+
+  /** #107 driver-gate query: three day-batches appended as versions
+    * with a compaction in between, then the CHANGES FEED read from
+    * the first version — the incremental-consumer contract (new data
+    * only, rewrites invisible). The oracle aggregates days 2-3
+    * straight from the source: feed content == appended batches. */
+  def versionedChanges(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_vtable_cdc_${graft.sources.StagePath.key(dir)}").getPath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val mark = append(graft.sources.Tables.loadEventsRange(spark, dir,
+      "2024-01-01 00:00:00", "2024-01-02 00:00:00"), root)
+    append(graft.sources.Tables.loadEventsRange(spark, dir,
+      "2024-01-02 00:00:00", "2024-01-03 00:00:00"), root)
+    compact(spark, root) // rewrite only: must NOT surface in the feed
+    append(graft.sources.Tables.loadEventsRange(spark, dir,
+      "2024-01-03 00:00:00", "2024-01-04 00:00:00"), root)
+    changes(spark, root, mark)
       .groupBy(to_date(col("ts")).as("batch_date"))
       .agg(count(lit(1)).as("n_events"),
         graft.operators.Num.dsum(col("value")).as("sum_value"))

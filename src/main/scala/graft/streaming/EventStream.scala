@@ -137,6 +137,27 @@ object EventStream {
       batch.withColumn("_batch_id", lit(batchId)),
       path, Seq("batch_date", "_batch_id"))
 
+  /** Streaming ingest into a VERSIONED table: each micro-batch is one
+    * `appendOnce` commit tagged (writer, epoch=batchId), so a
+    * redelivered batch is a log-detected no-op — exactly-once at the
+    * commit level, not by partition-path convention like
+    * [[writeToWarehouse]]. Because commits are snapshot-isolated, a
+    * concurrent `VersionedTable.compact`/`vacuum` on the same table
+    * is safe while the stream runs — the composition the directory-
+    * level sink cannot offer (its compactor must own the layout).
+    * `writer` must be stable across restarts (it IS the replay
+    * identity, like a checkpoint dir). */
+  def writeToVersioned(events: DataFrame, root: String, writer: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.sinks.VersionedTable.appendOnce(batch.toDF(), root, writer, id)
+        () // discard the version: foreachBatch wants Unit
+      }
+      .start()
+
   /** Streaming sessionization (#59): event-time session windows with
     * a 30-minute gap, watermark-closed — the continuous twin of
     * `Sessions.sessionize` (same gap rule; session_window's `end` is

@@ -147,4 +147,65 @@ class VersionedTableSpec extends SparkTestBase {
     assert(snap.version === 2L, "replay must stop before the gap")
     assert(VersionedTable.read(spark, root, snap).count() === 20L)
   }
+
+  test("appendOnce: a replayed epoch commits nothing new") {
+    val root = freshRoot()
+    val v1 = VersionedTable.appendOnce(batch(0, 10), root, "w1", 0L)
+    val v2 = VersionedTable.appendOnce(batch(10, 10), root, "w1", 1L)
+    assert(v1 === 1L && v2 === 2L)
+    // restart replays the last micro-batch (at-least-once contract)
+    val replayed = VersionedTable.appendOnce(batch(10, 10), root, "w1", 1L)
+    assert(replayed === v2, "replay returns the original version")
+    assert(VersionedTable.snapshot(root).version === 2L,
+      "no new version committed")
+    assert(VersionedTable.read(spark, root).count() === 20L,
+      "rows land exactly once")
+    // a DIFFERENT writer's epoch 1 is a fresh transaction
+    val other = VersionedTable.appendOnce(batch(20, 5), root, "w2", 1L)
+    assert(other === 3L)
+    assert(VersionedTable.read(spark, root).count() === 25L)
+  }
+
+  test("changes feed: appends since a version, compactions invisible") {
+    val root = freshRoot()
+    VersionedTable.append(batch(0, 10), root) // v1
+    val mark = VersionedTable.snapshot(root).version
+    VersionedTable.append(batch(10, 10), root) // v2
+    VersionedTable.compact(spark, root) // v3: rewrite, no new data
+    VersionedTable.append(batch(20, 10), root) // v4
+    val feed = VersionedTable.changes(spark, root, mark)
+    assert(feed.count() === 20L,
+      "feed is exactly the appended batches after the mark")
+    assert(feed.agg(min(col("id")), max(col("id"))).as[(Long, Long)]
+      .head() === ((10L, 29L)), "compaction rewrites never resurface")
+    assert(VersionedTable.changes(spark, root,
+      VersionedTable.snapshot(root).version).count() === 0L,
+      "caught-up reader sees an empty feed")
+  }
+
+  test("streaming writeToVersioned composes with concurrent compaction") {
+    val root = freshRoot()
+    val ckpt = java.nio.file.Files.createTempDirectory("vt_ckpt").toString
+    val inDir = java.nio.file.Files.createTempDirectory("vt_in").toString
+    batch(0, 10).write.mode("append").parquet(inDir)
+    val stream = spark.readStream
+      .schema(batch(0, 1).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+    val query = graft.streaming.EventStream.writeToVersioned(
+      stream, root, "stream-w", ckpt)
+    try {
+      query.processAllAvailable()
+      // batch compaction while the stream is live: snapshot-isolated
+      // commits mean neither writer can corrupt the other
+      VersionedTable.compact(spark, root)
+      batch(10, 10).write.mode("append").parquet(inDir)
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(VersionedTable.read(spark, root).count() === 20L,
+      "streamed rows + compaction preserve exactly-once content")
+    val txnVersions = VersionedTable.changes(spark, root, 0L)
+    assert(txnVersions.count() === 20L,
+      "the changes feed serves every streamed append, not the rewrite")
+  }
 }
