@@ -344,6 +344,41 @@ object VersionedTable {
       .orderBy("batch_date")
   }
 
+  /** #109 driver-gate query: an INCREMENTALLY MAINTAINED aggregate
+    * over the changes feed — the "don't rescan 100 TB for yesterday's
+    * rows" pattern. Two CDC pulls (pinned at call time, so each pull
+    * serves exactly the appends it saw) are reduced to MERGEABLE
+    * partials (counts + exact decimal sums) and merged; a compaction
+    * between the pulls proves rewrites contribute nothing. The oracle
+    * recomputes the same aggregate from scratch over the source —
+    * incremental == full recompute, bit-exact, because the partials
+    * re-sum exactly. */
+  def incrementalCdcAgg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_vtable_inc_${graft.sources.StagePath.key(dir)}").getPath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    append(graft.sources.Tables.loadEventsRange(spark, dir,
+      "2024-01-01 00:00:00", "2024-01-02 00:00:00"), root)
+    append(graft.sources.Tables.loadEventsRange(spark, dir,
+      "2024-01-02 00:00:00", "2024-01-03 00:00:00"), root)
+    def partial(feed: DataFrame): DataFrame = feed
+      .groupBy(to_date(col("ts")).as("batch_date"))
+      .agg(count(lit(1)).as("n"),
+        graft.operators.Num.dsumExact(col("value")).as("p"))
+    val pull1 = partial(changes(spark, root, 0L)) // file list pinned NOW
+    val mark = snapshot(root).version
+    compact(spark, root) // rewrite between the pulls: invisible to CDC
+    append(graft.sources.Tables.loadEventsRange(spark, dir,
+      "2024-01-03 00:00:00", "2024-01-04 00:00:00"), root)
+    val pull2 = partial(changes(spark, root, mark))
+    pull1.unionByName(pull2)
+      .groupBy("batch_date")
+      .agg(sum(col("n")).as("n_events"),
+        sum(col("p")).cast("double").as("sum_value"))
+      .orderBy("batch_date")
+  }
+
   /** Delete data files the LATEST snapshot does not list (superseded
     * by compaction, or staged by a writer that crashed before its
     * commit). Destructive — breaks readers pinned to older snapshots,
