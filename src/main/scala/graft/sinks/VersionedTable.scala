@@ -113,12 +113,18 @@ object VersionedTable {
     * version prefix (a gap can only be a listing race with a
     * by-now-committed writer; stopping at it keeps the view a true
     * prefix of history). Version 0 = empty table. */
-  def snapshot(root: String): Snapshot = {
+  def snapshot(root: String): Snapshot = snapshotAt(root, Long.MaxValue)
+
+  /** TIME TRAVEL: the table as of version `asOf` — replay of the
+    * contiguous log prefix capped there. Old versions stay readable
+    * until [[vacuum]] reclaims their files (the retention window IS
+    * the time-travel horizon, as in Delta/Iceberg). */
+  def snapshotAt(root: String, asOf: Long): Snapshot = {
     val vs = versions(root)
     val live = new scala.collection.mutable.LinkedHashSet[String]
     var v = 0L
     for (next <- vs) {
-      if (next == v + 1) {
+      if (next == v + 1 && next <= asOf) {
         val (adds, removes) = readActions(versionFile(root, next))
         removes.foreach(live -= _)
         adds.foreach(live += _)
@@ -318,6 +324,58 @@ object VersionedTable {
       .agg(count(lit(1)).as("n_events"),
         graft.operators.Num.dsum(col("value")).as("sum_value"))
       .orderBy("batch_date")
+  }
+
+  /** COPY-ON-WRITE DELETE: remove the rows matching `predicate` —
+    * the opt-out/right-to-be-forgotten pass a training corpus must
+    * support. One job finds the files that CONTAIN matches
+    * (`input_file_name` over the pinned snapshot, predicate pushed to
+    * the scan, so row-group stats prune untouched files before they
+    * are read); ONLY those files are rewritten without their matching
+    * rows — at 100 TB the rewrite is proportional to the files hit,
+    * not the table. Commit = {adds = rewrites, removes = touched};
+    * the conflict rule is compaction's (every removed file must still
+    * be live), retried from a fresh snapshot on loss — concurrent
+    * APPENDS commute (their rows were not in the snapshot this
+    * delete read; the semantics are snapshot-scoped, as in Delta).
+    * SQL DELETE semantics: rows where the predicate is NULL are
+    * KEPT. Returns the committed version, or -1 if nothing matched.
+    * The changes feed is an APPEND feed — deletes, like compactions,
+    * never surface there; deleted rows disappear from snapshots. */
+  def deleteWhere(spark: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions._
+    while (true) {
+      val snap = snapshot(root)
+      if (snap.isEmpty) return -1L
+      val touchedAbs = read(spark, root, snap).filter(predicate)
+        .select(input_file_name().as("f")).distinct()
+        .collect().map(_.getString(0)).toSet
+      // uuid-named rel paths are unique — suffix-match the URI forms
+      // input_file_name reports
+      val touched = snap.files.filter(f =>
+        touchedAbs.exists(_.endsWith("/" + f)))
+      if (touched.isEmpty) return -1L
+      val kept = spark.read
+        .parquet(touched.map(f =>
+          new java.io.File(root, f).getAbsolutePath): _*)
+        .filter(coalesce(predicate, lit(false)) === false)
+      val adds = stage(kept, root)
+      var v = snap.version + 1
+      var stale = false
+      while (!stale) {
+        if (tryCommit(root, v, adds, touched)) return v
+        val newer = versions(root).filter(_ > snap.version)
+        stale = newer.exists { nv =>
+          val (_, removes) = readActions(versionFile(root, nv))
+          removes.exists(touched.contains)
+        }
+        if (!stale) v = math.max(v + 1, snapshot(root).version + 1)
+        else adds.foreach(f => java.nio.file.Files.deleteIfExists(
+          new java.io.File(root, f).toPath))
+      }
+    }
+    -1L // unreachable
   }
 
   /** #107 driver-gate query: three day-batches appended as versions

@@ -183,6 +183,48 @@ class VersionedTableSpec extends SparkTestBase {
       "caught-up reader sees an empty feed")
   }
 
+  test("time travel: a version before compaction and delete reads intact") {
+    val root = freshRoot()
+    VersionedTable.append(batch(0, 10), root) // v1
+    VersionedTable.append(batch(10, 10), root) // v2
+    VersionedTable.compact(spark, root) // v3
+    VersionedTable.deleteWhere(spark, root, col("id") < 5) // v4
+    assert(VersionedTable.read(spark, root).count() === 15L)
+    val v2 = VersionedTable.snapshotAt(root, 2L)
+    assert(v2.version === 2L)
+    assert(VersionedTable.read(spark, root, v2).count() === 20L,
+      "the pre-delete version must read its full content")
+    val v1 = VersionedTable.snapshotAt(root, 1L)
+    assert(VersionedTable.read(spark, root, v1)
+      .agg(max(col("id"))).as[Long].head() === 9L)
+  }
+
+  test("copy-on-write delete rewrites only the files containing matches") {
+    val root = freshRoot()
+    VersionedTable.append(batch(0, 10).coalesce(1), root) // one file
+    VersionedTable.append(batch(10, 10).coalesce(1), root) // one file
+    val before = VersionedTable.snapshot(root)
+    // matches live only in the second file
+    val v = VersionedTable.deleteWhere(spark, root, col("id") >= 15)
+    assert(v === 3L)
+    val after = VersionedTable.snapshot(root)
+    assert(VersionedTable.read(spark, root).count() === 15L)
+    assert(VersionedTable.read(spark, root)
+      .filter(col("id") >= 15).count() === 0L)
+    val untouched = before.files.toSet.intersect(after.files.toSet)
+    assert(untouched.size === 1,
+      "the file without matches must survive byte-identical (not rewritten)")
+    // delete with no matches: no commit at all
+    assert(VersionedTable.deleteWhere(spark, root, col("id") > 999) === -1L)
+    assert(VersionedTable.snapshot(root).version === after.version)
+    // NULL predicate rows are KEPT (SQL DELETE semantics)
+    val vNull = VersionedTable.deleteWhere(spark, root,
+      when(col("id") < 3, lit(true)))
+    assert(vNull > 0)
+    assert(VersionedTable.read(spark, root).count() === 12L,
+      "only the 3 TRUE rows go; NULL-predicate rows stay")
+  }
+
   test("streaming writeToVersioned composes with concurrent compaction") {
     val root = freshRoot()
     val ckpt = java.nio.file.Files.createTempDirectory("vt_ckpt").toString
