@@ -178,16 +178,114 @@ object VersionedTable {
 
   /** Transactional append: stage the batch, then claim the next
     * version (retrying past concurrent committers — appends commute,
-    * so no re-staging is ever needed). Returns the committed
-    * version. */
-  def append(df: DataFrame, root: String): Long = {
+    * so no re-staging is ever needed). `statsCols` names numeric
+    * columns whose per-file min/max are recorded next to the staged
+    * files ([[readRange]] then skips files from metadata alone — the
+    * Delta data-skipping shape). Returns the committed version. */
+  def append(df: DataFrame, root: String,
+      statsCols: Seq[String] = Seq.empty): Long = {
     val adds = stage(df, root)
+    if (statsCols.nonEmpty) writeStats(df.sparkSession, root, adds, statsCols)
     var v = snapshot(root).version + 1
     while (!tryCommit(root, v, adds, Seq.empty)) {
       v = math.max(v + 1, snapshot(root).version + 1)
     }
     v
   }
+
+  /** Per-file [min,max] of `statsCols` (as doubles — exact for the
+    * long/double id-and-measure domains stats serve), written as ONE
+    * `_stats.json` sidecar in the staged uuid dir. The sidecar lives
+    * and dies with its data files: staged before the commit link, so
+    * a crashed write leaves only unreferenced bytes, and immutable
+    * after (uuid dirs are never rewritten). One extra scan of the
+    * JUST-WRITTEN batch — bounded by the batch, not the table. */
+  private def writeStats(spark: SparkSession, root: String,
+      adds: Seq[String], statsCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val uuidDirs = adds.map(f => f.split("/").dropRight(1).mkString("/"))
+      .distinct
+    uuidDirs.foreach { d =>
+      val dir = new java.io.File(root, d)
+      val aggs = statsCols.flatMap(c => Seq(
+        min(col(c).cast("double")).as(s"min_$c"),
+        max(col(c).cast("double")).as(s"max_$c")))
+      val rows = spark.read.parquet(dir.getAbsolutePath)
+        .groupBy(input_file_name().as("_f"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+      val body = rows.map { r =>
+        val fname = r.getString(0).split("/").last
+        val cols = statsCols.map { c =>
+          val mn = r.getAs[Any](s"min_$c")
+          val mx = r.getAs[Any](s"max_$c")
+          s"${q(c)}:[${mn},${mx}]"
+        }.mkString(",")
+        s"${q(fname)}:{$cols}"
+      }.mkString("{", ",", "}")
+      java.nio.file.Files.write(
+        new java.io.File(dir, "_stats.json").toPath,
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
+  /** The [min,max] recorded for (file, col), if its uuid dir carries
+    * a stats sidecar naming both. */
+  private def fileStats(root: String, file: String,
+      colName: String): Option[(Double, Double)] = {
+    val dir = new java.io.File(root, file).getParentFile
+    val sidecar = new java.io.File(dir, "_stats.json")
+    if (!sidecar.exists()) return None
+    val s = new String(java.nio.file.Files.readAllBytes(sidecar.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val fname = file.split("/").last
+    val fileRe = (java.util.regex.Pattern.quote(q(fname)) +
+      """\s*:\s*\{([^}]*)\}""").r
+    for {
+      block <- fileRe.findFirstMatchIn(s).map(_.group(1))
+      m <- (java.util.regex.Pattern.quote(q(colName)) +
+        """\s*:\s*\[([^,\]]+),([^\]]+)\]""").r.findFirstMatchIn(block)
+      // an all-NULL file records "null" bounds — unparseable → kept
+      mn <- m.group(1).toDoubleOption
+      mx <- m.group(2).toDoubleOption
+    } yield (mn, mx)
+  }
+
+  /** DATA-SKIPPING READ: the snapshot restricted to `lo <= col <= hi`,
+    * with files whose recorded [min,max] cannot intersect the range
+    * skipped FROM METADATA ALONE — no footer is opened for a skipped
+    * file, which at 100 TB is the difference between a metadata
+    * lookup and a million file opens. Files without stats (appended
+    * without `statsCols`, or a column the writer didn't record) are
+    * conservatively read; the residual predicate is applied either
+    * way, so pruning is a pure optimization, never a correctness
+    * dependence. NULL semantics: a NULL never satisfies the range,
+    * and min/max aggregates ignore NULLs, so an all-NULL file
+    * (stats NULL → unparseable → kept) still filters correctly. */
+  def readRange(spark: SparkSession, root: String, colName: String,
+      lo: Double, hi: Double): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val snap = snapshot(root)
+    require(!snap.isEmpty, s"readRange on empty table $root")
+    val keep = snap.files.filter(f => fileStats(root, f, colName) match {
+      case Some((mn, mx)) => mx >= lo && mn <= hi
+      case None => true
+    })
+    val df =
+      if (keep.isEmpty) read(spark, root, snap).limit(0)
+      else spark.read.parquet(keep.map(f =>
+        new java.io.File(root, f).getAbsolutePath): _*)
+    df.filter(col(colName).cast("double") >= lo &&
+      col(colName).cast("double") <= hi)
+  }
+
+  /** Files [[readRange]] would open (exposed for the pruning spec). */
+  private[graft] def rangeFiles(root: String, colName: String,
+      lo: Double, hi: Double): Seq[String] =
+    snapshot(root).files.filter(f => fileStats(root, f, colName) match {
+      case Some((mn, mx)) => mx >= lo && mn <= hi
+      case None => true
+    })
 
   /** The version committed by `(writer, epoch)`, if any — scans the
     * contiguous log prefix (driver-side metadata, O(versions)). */
@@ -449,10 +547,15 @@ object VersionedTable {
     for {
       uuidDir <- Option(dataRoot.listFiles()).getOrElse(Array.empty)
       if uuidDir.isDirectory
+      // "_"-prefixed metadata sidecars (stats) live and die with
+      // their dir's DATA files: kept while any is referenced, swept
+      // with the last one
+      dirLive = live.exists(_.startsWith(s"data/${uuidDir.getName}/"))
       f <- Option(uuidDir.listFiles()).getOrElse(Array.empty)
       if f.isFile && !f.getName.startsWith(".")
+      if !(f.getName.startsWith("_") && dirLive)
       rel = s"data/${uuidDir.getName}/${f.getName}"
-      if !live.contains(rel)
+      if f.getName.startsWith("_") || !live.contains(rel)
     } {
       if (f.delete()) n += 1
       uuidDir.delete() // succeeds only once empty — harmless otherwise

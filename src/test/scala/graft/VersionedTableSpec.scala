@@ -225,6 +225,32 @@ class VersionedTableSpec extends SparkTestBase {
       "only the 3 TRUE rows go; NULL-predicate rows stay")
   }
 
+  test("log-stats data skipping: readRange opens only intersecting files") {
+    val root = freshRoot()
+    // three single-file batches with disjoint id ranges, stats on id
+    VersionedTable.append(batch(0, 100).coalesce(1), root, Seq("id"))
+    VersionedTable.append(batch(100, 100).coalesce(1), root, Seq("id"))
+    VersionedTable.append(batch(200, 100).coalesce(1), root, Seq("id"))
+    // a statless batch is conservatively kept in every range read
+    VersionedTable.append(batch(300, 10).coalesce(1), root)
+    assert(VersionedTable.rangeFiles(root, "id", 120, 180).size === 2,
+      "one stats-matched file + the statless file")
+    val got = VersionedTable.readRange(spark, root, "id", 120, 180)
+    assert(got.count() === 61L)
+    assert(got.agg(min(col("id")), max(col("id"))).as[(Long, Long)]
+      .head() === ((120L, 180L)))
+    // pruning on an unrecorded column keeps everything (pure
+    // optimization, never a correctness dependence)
+    assert(VersionedTable.rangeFiles(root, "val", 0, 1).size === 4)
+    // stats sidecars survive vacuum while their data files are live
+    VersionedTable.compact(spark, root)
+    VersionedTable.vacuum(root)
+    assert(VersionedTable.read(spark, root).count() === 310L)
+    // compaction output carries no stats -> kept, still correct
+    assert(VersionedTable.readRange(spark, root, "id", 120, 180)
+      .count() === 61L)
+  }
+
   test("streaming writeToVersioned composes with concurrent compaction") {
     val root = freshRoot()
     val ckpt = java.nio.file.Files.createTempDirectory("vt_ckpt").toString
