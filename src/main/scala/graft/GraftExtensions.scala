@@ -154,6 +154,11 @@ object GraftFunctions {
       info("image_meta",
         "image_meta(bin) - struct(format, width, height, channels) parsed from a PNG/JPEG container header; NULL if unrecognized"),
       (es: Seq[Expression]) => ImageMeta(es(0))),
+    ("byte_histogram",
+      info("byte_histogram",
+        "byte_histogram(bin, bins) - normalized byte-value histogram as array<double> of `bins` frequencies (bins divides 256); NULL for empty input"),
+      (es: Seq[Expression]) => ByteHistogram(es(0),
+        intArg(es(1), "byte_histogram", "bins"))),
     ("dsum",
       info("dsum",
         "dsum(x) - aggregate: exact order-independent sum of doubles (rounded once to 6 dp, 128-bit accumulator) -> double"),

@@ -111,6 +111,7 @@ object SparkEntry {
     "contamination_bloom" -> (TextOps.contaminationBloom _),
     "corpus_stats" -> (TextOps.corpusStats _),
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
+    "multimodal_features" -> (Multimodal.multimodalFeatures _),
     "bpe_stats" -> (Bpe.bpeStats _)
   )
 

@@ -146,3 +146,64 @@ object ImageMeta {
     null
   }
 }
+
+/** Content-feature extraction over a binary payload (SURVEY.md §2
+  * #113): the normalized byte-value histogram — `bins` equal-width
+  * buckets of the 0-255 range as an array<double> of frequencies.
+  * This is the classic codec-free media feature (EXE/packing
+  * detectors, format classifiers, near-dup binary screens all start
+  * here): computable on ANY payload without decoding, stable under
+  * container reordering, and it drops straight into the existing
+  * vector machinery — [[CosineSim]], the LSH banders, the ANN ladder
+  * — as a dense embedding. One pass over the bytes inside the scan
+  * stage (codegen static call, no allocation beyond the output).
+  * Empty payloads yield NULL (no mass to normalize). `bins` must
+  * divide 256. */
+case class ByteHistogram(child: Expression, bins: Int)
+    extends UnaryExpression {
+  require(bins > 0 && 256 % bins == 0, s"bins $bins must divide 256")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (child.dataType == BinaryType) TypeCheckSuccess
+    else TypeCheckFailure(
+      s"byte_histogram requires binary, got ${child.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(b: Any): Any =
+    ByteHistogram.compute(b.asInstanceOf[Array[Byte]], bins)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.expressions.ByteHistogram.compute(
+       |  $c, $bins);
+       |${ev.isNull} = (${ev.value} == null);
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ByteHistogram {
+  /** Frequencies of `bins` equal byte-value buckets; null for an
+    * empty payload. */
+  def compute(b: Array[Byte], bins: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    if (b.length == 0) return null
+    val shift = Integer.numberOfTrailingZeros(256 / bins)
+    val counts = new Array[Long](bins)
+    var i = 0
+    while (i < b.length) {
+      counts((b(i) & 0xff) >>> shift) += 1L
+      i += 1
+    }
+    val out = new Array[Double](bins)
+    val n = b.length.toDouble
+    i = 0
+    while (i < bins) { out(i) = counts(i) / n; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}

@@ -148,4 +148,52 @@ object Multimodal {
           .as("n_chunks"))
       .orderBy("doc_id")
   }
+
+  private def byteHistogram(c: org.apache.spark.sql.Column, bins: Int) =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.expressions.ByteHistogram(
+        org.apache.spark.sql.GraftSqlBridge.expression(c), bins))
+
+  val FeatureBins = 64
+
+  /** #113 Feature extraction over binary payloads: the normalized
+    * byte-histogram kernel turns every payload into a 64-dim dense
+    * feature inside the scan stage — no codec, any format — and the
+    * feature drops into the repo's vector machinery unchanged. Here
+    * each payload is scored against the CORPUS CENTROID feature
+    * (bin-wise mean — a bounded driver artifact like the k-means
+    * codebooks): a content-outlier screen (corrupt/foreign payloads
+    * score low) that composes the histogram kernel with the codegen
+    * cosine. Output per doc: payload size, dominant bin + its mass,
+    * centroid cosine. Deterministic; no SQL oracle (byte access over
+    * blobs isn't SQL-expressible) → rows-only gate + kernel property
+    * spec (ImageMetaSpec). */
+  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feats = Tables.load(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaIn]
+      .mapPartitions(_.map(m => MediaIn(m.doc_id,
+        encodePayload(m.doc_id, m.payload))))
+      .toDF()
+      .select(col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        byteHistogram(col("payload"), FeatureBins).as("f"))
+    // bin-wise mean feature: |bins| cells from one aggregate — the
+    // explode is bins-bounded per doc, combined map-side
+    val centroid = feats
+      .select(posexplode(col("f")).as(Seq("bin", "v")))
+      .groupBy("bin").agg(avg(col("v")).as("m"))
+      .orderBy("bin").collect().map(_.getDouble(1))
+    feats
+      .withColumn("top_bin",
+        (expr("array_position(f, array_max(f))") - 1L).cast("long"))
+      .withColumn("top_freq", round(array_max(col("f")), 6))
+      .withColumn("centroid_cos",
+        round(graft.functions.VectorFunctions.cosine(col("f"),
+          array(centroid.map(lit(_)).toIndexedSeq: _*)), 6))
+      .select("doc_id", "n_bytes", "top_bin", "top_freq", "centroid_cos")
+      .orderBy("doc_id")
+  }
 }

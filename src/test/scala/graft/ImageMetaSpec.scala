@@ -87,4 +87,43 @@ class ImageMetaSpec extends SparkTestBase {
     assert(got(0).getLong(2) === 12L && got(0).getLong(3) === 34L)
     assert(got(1).isNullAt(1) && got(2).isNullAt(1))
   }
+
+  test("byte_histogram matches a reference fold; empty is NULL") {
+    val rnd = new scala.util.Random(11)
+    val payloads = Seq(
+      Array.fill(1000)(rnd.nextInt(256).toByte),
+      Array[Byte](0, 0, 0, -1), // bins 0 and 63
+      Array.empty[Byte])
+    def ref(b: Array[Byte], bins: Int): Array[Double] = {
+      val c = new Array[Double](bins)
+      b.foreach(x => c((x & 0xff) / (256 / bins)) += 1.0)
+      c.map(_ / b.length)
+    }
+    GraftFunctions.register(spark)
+    val got = payloads.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("id", "payload")
+      .selectExpr("id", "byte_histogram(payload, 64) AS f")
+      .collect().sortBy(_.getLong(0))
+    assert(got(0).getSeq[Double](1) === ref(payloads(0), 64).toSeq)
+    val f1 = got(1).getSeq[Double](1)
+    assert(f1(0) === 0.75 && f1(63) === 0.25 &&
+      f1.slice(1, 63).forall(_ === 0.0))
+    assert(got(2).isNullAt(1), "empty payload has no feature")
+    // frequencies always sum to 1 - the normalization invariant the
+    // cosine composition relies on
+    assert(math.abs(got(0).getSeq[Double](1).sum - 1.0) < 1e-12)
+  }
+
+  test("multimodal_features: self-consistent centroid cosine screen") {
+    val got = Multimodal.multimodalFeatures(spark, SfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val cos = r.getAs[Double]("centroid_cos")
+      assert(cos > 0.0 && cos <= 1.0,
+        s"similar text payloads must score near the centroid, got $cos")
+      assert(r.getAs[Double]("top_freq") > 0.0)
+      val tb = r.getAs[Long]("top_bin")
+      assert(tb >= 0L && tb < Multimodal.FeatureBins)
+    }
+  }
 }
