@@ -112,6 +112,7 @@ object SparkEntry {
     "corpus_stats" -> (TextOps.corpusStats _),
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
     "multimodal_features" -> (Multimodal.multimodalFeatures _),
+    "multimodal_audio" -> (Multimodal.multimodalAudio _),
     "bpe_stats" -> (Bpe.bpeStats _)
   )
 
@@ -1214,6 +1215,19 @@ object SparkEntry {
     // 30+3·channels) and PARSES the dims back out of the bytes with
     // the ImageMeta kernel; the oracle recomputes the generator's
     // closed form — a parser mis-reading any field hash-mismatches.
+    "multimodal_audio" ->
+      """SELECT doc_id,
+        |  cast(1 AS bigint) AS codec,
+        |  cast(1 + strlen(text) % 2 AS bigint) AS channels,
+        |  cast(8000 + (strlen(text) % 5) * 8000 AS bigint) AS sample_rate,
+        |  cast(16 AS bigint) AS bits,
+        |  cast(strlen(text) // ((1 + strlen(text) % 2) * 2) AS bigint)
+        |    AS n_frames,
+        |  cast((strlen(text) // ((1 + strlen(text) % 2) * 2)) * 1000
+        |    // (8000 + (strlen(text) % 5) * 8000) AS bigint) AS duration_ms,
+        |  cast(strlen(text) + 44 AS bigint) AS n_bytes
+        |FROM documents WHERE text IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,

@@ -207,3 +207,105 @@ object ByteHistogram {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }
+
+/** Audio container-header decode kernel (SURVEY.md §2 #114): parse a
+  * RIFF/WAVE payload's `fmt ` and `data` chunks — codec tag, channel
+  * count, sample rate, bits per sample, and the frame count derived
+  * from the data chunk's byte length — without an audio library,
+  * entirely inside whole-stage codegen. The sibling of [[ImageMeta]]
+  * for the audio leg of the multimodal surface.
+  *
+  * What is parsed (RIFF is a public container spec; all multi-byte
+  * fields LITTLE-endian, unlike PNG/JPEG):
+  *  - `RIFF` u32(riffSize) `WAVE`, then chunks `id[4] u32(len)
+  *    payload[len]` walked in order;
+  *  - `fmt `: audioFormat u16 (1 = PCM), channels u16, sampleRate
+  *    u32, byteRate u32, blockAlign u16, bitsPerSample u16;
+  *  - `data`: the sample bytes; frames = dataLen / (channels ×
+  *    bits/8). The data PAYLOAD is never touched — only its declared
+  *    length — so a truncated body (common in object-store sweeps)
+  *    still yields metadata.
+  *
+  * Unrecognized or truncated headers yield NULL (scan-over-mixed-
+  * media semantics, as [[ImageMeta]]). Per-row cost is a bounded
+  * chunk walk in the scan stage. */
+case class AudioMeta(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = AudioMeta.Schema
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (child.dataType == BinaryType) TypeCheckSuccess
+    else TypeCheckFailure(
+      s"audio_meta requires binary, got ${child.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(b: Any): Any =
+    AudioMeta.parse(b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.expressions.AudioMeta.parse($c);
+       |${ev.isNull} = (${ev.value} == null);
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object AudioMeta {
+  val Schema: StructType = StructType(Seq(
+    StructField("codec", LongType),
+    StructField("channels", LongType),
+    StructField("sample_rate", LongType),
+    StructField("bits", LongType),
+    StructField("n_frames", LongType)))
+
+  private def u16le(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def u32le(b: Array[Byte], i: Int): Long =
+    (u16le(b, i).toLong) | (u16le(b, i + 2).toLong << 16)
+
+  def parse(b: Array[Byte]): GenericInternalRow = {
+    if (b.length < 12) return null
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'))
+      return null
+    var codec = -1L; var ch = 0L; var rate = 0L; var bits = 0L
+    var haveFmt = false
+    var i = 12
+    while (i + 8 <= b.length) {
+      val len = u32le(b, i + 4)
+      val payload = i + 8
+      // a declared chunk length beyond the buffer is fine only for
+      // the data chunk (whose body is optional); anything else is a
+      // truncated/corrupt walk — and it must not wrap the cursor
+      if (len > b.length.toLong &&
+          !(b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' &&
+            b(i + 3) == 'a')) return null
+      if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' &&
+          b(i + 3) == ' ') {
+        if (len < 16 || payload + 16 > b.length) return null
+        codec = u16le(b, payload).toLong
+        ch = u16le(b, payload + 2).toLong
+        rate = u32le(b, payload + 4)
+        bits = u16le(b, payload + 14).toLong
+        haveFmt = true
+      } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' &&
+          b(i + 3) == 'a') {
+        // data's declared length is metadata; the body may be absent
+        if (!haveFmt || ch < 1L || bits < 8L || bits % 8L != 0L)
+          return null
+        val frames = len / (ch * (bits / 8L))
+        val r = new GenericInternalRow(5)
+        r.update(0, codec); r.update(1, ch); r.update(2, rate)
+        r.update(3, bits); r.update(4, frames)
+        return r
+      }
+      // chunks are word-aligned: odd lengths carry a pad byte
+      i = payload + len.toInt + (len.toInt & 1)
+    }
+    null
+  }
+}

@@ -149,6 +149,73 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Canonical 44-byte PCM WAV header (RIFF little-endian): fmt
+    * chunk with the given geometry + a data chunk DECLARING
+    * `dataLen` body bytes. */
+  private[graft] def wavHeader(rate: Int, channels: Int, bits: Int,
+      dataLen: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1.toShort) // PCM
+    bb.putShort(channels.toShort).putInt(rate)
+    bb.putInt(rate * channels * bits / 8) // byte rate
+    bb.putShort((channels * bits / 8).toShort) // block align
+    bb.putShort(bits.toShort)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    bb.array()
+  }
+
+  /** WAV twin of [[encodePayload]]: closed-form geometry from the
+    * text byte length (so the DuckDB oracle recomputes every field),
+    * text bytes as the PCM body. */
+  private[graft] def encodeWav(text: Array[Byte]): Array[Byte] = {
+    val n = text.length
+    val rate = 8000 + (n % 5) * 8000
+    val ch = 1 + n % 2
+    val header = wavHeader(rate, ch, 16, n)
+    val out = new Array[Byte](header.length + n)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(text, 0, out, header.length, n)
+    out
+  }
+
+  private def audioMeta(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.expressions.AudioMeta(
+        org.apache.spark.sql.GraftSqlBridge.expression(c)))
+
+  /** #114 Audio leg of the decode surface: scan → byte-valid WAV
+    * payload → codegen RIFF/fmt/data header walk → typed audio
+    * features (codec, geometry, frame count, duration). Same
+    * contract as [[multimodalMeta]]: everything reported is read
+    * back OUT OF THE BYTES, and the oracle recomputes the fields
+    * from the generator's closed form — a parser mis-reading any
+    * LE field hash-mismatches. */
+  def multimodalAudio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaIn]
+      .mapPartitions(_.map(m => MediaIn(m.doc_id, encodeWav(m.payload))))
+      .toDF()
+      .select(col("doc_id"), audioMeta(col("payload")).as("meta"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .select(col("doc_id"),
+        col("meta.codec").as("codec"),
+        col("meta.channels").as("channels"),
+        col("meta.sample_rate").as("sample_rate"),
+        col("meta.bits").as("bits"),
+        col("meta.n_frames").as("n_frames"),
+        (col("meta.n_frames") * 1000L / col("meta.sample_rate"))
+          .cast("long").as("duration_ms"),
+        col("n_bytes"))
+      .orderBy("doc_id")
+  }
+
   private def byteHistogram(c: org.apache.spark.sql.Column, bins: Int) =
     org.apache.spark.sql.GraftSqlBridge.column(
       graft.functions.expressions.ByteHistogram(

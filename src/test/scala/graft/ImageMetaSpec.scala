@@ -88,6 +88,32 @@ class ImageMetaSpec extends SparkTestBase {
     assert(got(1).isNullAt(1) && got(2).isNullAt(1))
   }
 
+  test("audio_meta parses RIFF/WAVE headers; junk and truncation are NULL") {
+    val wav = Multimodal.wavHeader(16000, 2, 16, 64000)
+    val m = graft.functions.expressions.AudioMeta.parse(wav)
+    assert(m != null)
+    assert(m.getLong(0) === 1L && m.getLong(1) === 2L)
+    assert(m.getLong(2) === 16000L && m.getLong(3) === 16L)
+    assert(m.getLong(4) === 64000L / 4L, "frames = dataLen/blockAlign")
+    // body optional: data length is metadata (truncated object-store
+    // sweeps still yield features)
+    assert(graft.functions.expressions.AudioMeta.parse(
+      wav.take(44)) != null)
+    assert(graft.functions.expressions.AudioMeta.parse(
+      "RIFFjunk".getBytes("US-ASCII")) == null)
+    assert(graft.functions.expressions.AudioMeta.parse(
+      wav.take(20)) == null, "fmt chunk cut short")
+    val viaQuery = Multimodal.multimodalAudio(spark, SfDir).collect()
+    assert(viaQuery.nonEmpty)
+    viaQuery.foreach { r =>
+      assert(r.getAs[Long]("codec") === 1L)
+      assert(r.getAs[Long]("bits") === 16L)
+      val n = r.getAs[Long]("n_bytes") - 44L
+      assert(r.getAs[Long]("channels") === 1L + n % 2L)
+      assert(r.getAs[Long]("sample_rate") === 8000L + (n % 5L) * 8000L)
+    }
+  }
+
   test("byte_histogram matches a reference fold; empty is NULL") {
     val rnd = new scala.util.Random(11)
     val payloads = Seq(
