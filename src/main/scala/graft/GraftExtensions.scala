@@ -154,6 +154,14 @@ object GraftFunctions {
       info("image_meta",
         "image_meta(bin) - struct(format, width, height, channels) parsed from a PNG/JPEG container header; NULL if unrecognized"),
       (es: Seq[Expression]) => ImageMeta(es(0))),
+    ("audio_meta",
+      info("audio_meta",
+        "audio_meta(bin) - struct(codec, channels, sample_rate, bits, n_frames) parsed from a RIFF/WAVE header; NULL if unrecognized"),
+      (es: Seq[Expression]) => AudioMeta(es(0))),
+    ("video_meta",
+      info("video_meta",
+        "video_meta(bin) - struct(brand, timescale, duration, n_tracks) parsed from an ISO-BMFF (MP4) box tree; NULL if unrecognized"),
+      (es: Seq[Expression]) => VideoMeta(es(0))),
     ("byte_histogram",
       info("byte_histogram",
         "byte_histogram(bin, bins) - normalized byte-value histogram as array<double> of `bins` frequencies (bins divides 256); NULL for empty input"),

@@ -113,6 +113,7 @@ object SparkEntry {
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
     "multimodal_features" -> (Multimodal.multimodalFeatures _),
     "multimodal_audio" -> (Multimodal.multimodalAudio _),
+    "multimodal_video" -> (Multimodal.multimodalVideo _),
     "bpe_stats" -> (Bpe.bpeStats _)
   )
 
@@ -1215,6 +1216,17 @@ object SparkEntry {
     // 30+3·channels) and PARSES the dims back out of the bytes with
     // the ImageMeta kernel; the oracle recomputes the generator's
     // closed form — a parser mis-reading any field hash-mismatches.
+    "multimodal_video" ->
+      """SELECT doc_id, 'isom' AS brand,
+        |  cast(1000 * (1 + strlen(text) % 3) AS bigint) AS timescale,
+        |  cast(strlen(text) * 7 AS bigint) AS duration,
+        |  cast(1 + strlen(text) % 2 AS bigint) AS n_tracks,
+        |  cast((strlen(text) * 7) * 1000
+        |    // (1000 * (1 + strlen(text) % 3)) AS bigint) AS duration_ms,
+        |  cast(140 + 8 * (1 + strlen(text) % 2) + strlen(text) AS bigint)
+        |    AS n_bytes
+        |FROM documents WHERE text IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
     "multimodal_audio" ->
       """SELECT doc_id,
         |  cast(1 AS bigint) AS codec,

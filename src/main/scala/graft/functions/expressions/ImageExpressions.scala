@@ -309,3 +309,122 @@ object AudioMeta {
     null
   }
 }
+
+/** Video container-header decode kernel (SURVEY.md §2 #115): parse an
+  * ISO-BMFF (MP4) payload's box tree — `ftyp` major brand, `moov` →
+  * `mvhd` timescale + duration (version 0 and 1 layouts), and the
+  * `trak` count — completing the image/audio/video decode triple
+  * next to [[ImageMeta]] and [[AudioMeta]]. Big-endian box sizes with
+  * the spec's escapes honored: size 1 → 64-bit largesize, size 0 →
+  * box extends to end of buffer. Media data (`mdat`) is never
+  * touched — the walk reads structure, so a payload truncated after
+  * `moov` still yields metadata. NULL on junk/truncated headers
+  * (scan-over-mixed-media semantics). */
+case class VideoMeta(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = VideoMeta.Schema
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (child.dataType == BinaryType) TypeCheckSuccess
+    else TypeCheckFailure(
+      s"video_meta requires binary, got ${child.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(b: Any): Any =
+    VideoMeta.parse(b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.expressions.VideoMeta.parse($c);
+       |${ev.isNull} = (${ev.value} == null);
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object VideoMeta {
+  val Schema: StructType = StructType(Seq(
+    StructField("brand", StringType),
+    StructField("timescale", LongType),
+    StructField("duration", LongType),
+    StructField("n_tracks", LongType)))
+
+  private def u32be(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+  private def u64be(b: Array[Byte], i: Int): Long =
+    (u32be(b, i) << 32) | u32be(b, i + 4)
+  private def fourcc(b: Array[Byte], i: Int, s: String): Boolean =
+    b(i) == s.charAt(0) && b(i + 1) == s.charAt(1) &&
+      b(i + 2) == s.charAt(2) && b(i + 3) == s.charAt(3)
+
+  /** The [payloadStart, payloadEnd) of the box at `i`, or null if the
+    * header is malformed/truncated. end may be clamped to b.length
+    * only for size-0 (to-EOF) boxes; a declared size overrunning the
+    * buffer is accepted solely so a truncated trailing box (mdat)
+    * does not void the walk — the STRUCTURAL boxes parsed here must
+    * be complete or the field reads below return null anyway. */
+  private def boxBounds(b: Array[Byte], i: Int): (Int, Long) = {
+    if (i + 8 > b.length) return null
+    val size = u32be(b, i)
+    if (size == 1L) {
+      if (i + 16 > b.length) return null
+      (i + 16, i + u64be(b, i + 8))
+    } else if (size == 0L) (i + 8, b.length.toLong)
+    else (i + 8, i + size)
+  }
+
+  def parse(b: Array[Byte]): GenericInternalRow = {
+    if (b.length < 12) return null
+    // first box must be ftyp per the spec
+    val first = boxBounds(b, 0)
+    if (first == null || !fourcc(b, 4, "ftyp")) return null
+    if (first._1 + 4 > b.length) return null
+    val brand = new String(b, first._1, 4, "US-ASCII")
+    var i = 0
+    while (i + 8 <= b.length) {
+      val bounds = boxBounds(b, i)
+      if (bounds == null) return null
+      val (payload, end) = bounds
+      if (end <= i) return null // malformed size: no progress
+      if (fourcc(b, i + 4, "moov")) {
+        // walk moov children for mvhd + trak
+        var timescale = -1L; var duration = -1L; var tracks = 0L
+        var j = payload
+        val moovEnd = math.min(end, b.length.toLong)
+        while (j + 8 <= moovEnd) {
+          val cb = boxBounds(b, j)
+          if (cb == null) return null
+          val (cp, ce) = cb
+          if (ce <= j || ce > moovEnd) return null
+          if (fourcc(b, j + 4, "mvhd")) {
+            if (cp + 4 > b.length) return null
+            val version = b(cp) & 0xff
+            if (version == 1) {
+              // v1: ctime u64, mtime u64, timescale u32, duration u64
+              if (cp + 32 > b.length) return null
+              timescale = u32be(b, cp + 20)
+              duration = u64be(b, cp + 24)
+            } else {
+              // v0: ctime u32, mtime u32, timescale u32, duration u32
+              if (cp + 20 > b.length) return null
+              timescale = u32be(b, cp + 12)
+              duration = u32be(b, cp + 16)
+            }
+          } else if (fourcc(b, j + 4, "trak")) tracks += 1L
+          j = ce.toInt
+        }
+        if (timescale <= 0L || duration < 0L) return null
+        val r = new GenericInternalRow(4)
+        r.update(0, UTF8String.fromString(brand))
+        r.update(1, timescale); r.update(2, duration); r.update(3, tracks)
+        return r
+      }
+      i = if (end > b.length.toLong) b.length else end.toInt
+    }
+    null
+  }
+}

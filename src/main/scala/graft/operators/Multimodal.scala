@@ -216,6 +216,70 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Minimal byte-valid ISO-BMFF header: 16-byte `ftyp` (isom), a
+    * `moov` holding a FULL 108-byte version-0 `mvhd` (fields past
+    * duration zeroed, as the spec's defaults allow) plus `nTracks`
+    * empty `trak` boxes, then an `mdat` box declaring the body. */
+  private[graft] def mp4Header(timescale: Int, duration: Long,
+      nTracks: Int, dataLen: Int): Array[Byte] = {
+    val moovSize = 8 + 108 + 8 * nTracks
+    val bb = java.nio.ByteBuffer.allocate(16 + moovSize + 8)
+    bb.putInt(16).put("ftyp".getBytes("US-ASCII"))
+    bb.put("isom".getBytes("US-ASCII")).putInt(0)
+    bb.putInt(moovSize).put("moov".getBytes("US-ASCII"))
+    bb.putInt(108).put("mvhd".getBytes("US-ASCII"))
+    bb.putInt(0) // version 0 + flags
+    bb.putInt(0).putInt(0) // ctime, mtime
+    bb.putInt(timescale).putInt(duration.toInt)
+    bb.position(bb.position() + 80) // rate..next_track: zeroed defaults
+    for (_ <- 1 to nTracks)
+      bb.putInt(8).put("trak".getBytes("US-ASCII"))
+    bb.putInt(8 + dataLen).put("mdat".getBytes("US-ASCII"))
+    bb.array()
+  }
+
+  /** MP4 twin of [[encodeWav]]: closed-form geometry from the text
+    * byte length, text bytes as the mdat body. */
+  private[graft] def encodeMp4(text: Array[Byte]): Array[Byte] = {
+    val n = text.length
+    val header = mp4Header(1000 * (1 + n % 3), n.toLong * 7L,
+      1 + n % 2, n)
+    val out = new Array[Byte](header.length + n)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(text, 0, out, header.length, n)
+    out
+  }
+
+  private def videoMeta(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.expressions.VideoMeta(
+        org.apache.spark.sql.GraftSqlBridge.expression(c)))
+
+  /** #115 Video leg of the decode surface: scan → byte-valid MP4
+    * payload → codegen box walk (`ftyp` brand, `mvhd` timescale/
+    * duration, `trak` count) → typed features. Same closed-form
+    * oracle contract as the image/audio legs. */
+  def multimodalVideo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaIn]
+      .mapPartitions(_.map(m => MediaIn(m.doc_id, encodeMp4(m.payload))))
+      .toDF()
+      .select(col("doc_id"), videoMeta(col("payload")).as("meta"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .select(col("doc_id"),
+        col("meta.brand").as("brand"),
+        col("meta.timescale").as("timescale"),
+        col("meta.duration").as("duration"),
+        col("meta.n_tracks").as("n_tracks"),
+        (col("meta.duration") * 1000L / col("meta.timescale"))
+          .cast("long").as("duration_ms"),
+        col("n_bytes"))
+      .orderBy("doc_id")
+  }
+
   private def byteHistogram(c: org.apache.spark.sql.Column, bins: Int) =
     org.apache.spark.sql.GraftSqlBridge.column(
       graft.functions.expressions.ByteHistogram(

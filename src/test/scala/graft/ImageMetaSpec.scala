@@ -114,6 +114,30 @@ class ImageMetaSpec extends SparkTestBase {
     }
   }
 
+  test("video_meta walks the MP4 box tree; junk and truncation are NULL") {
+    val mp4 = Multimodal.mp4Header(30000, 123456L, 2, 9999)
+    val m = graft.functions.expressions.VideoMeta.parse(mp4)
+    assert(m != null)
+    assert(m.getUTF8String(0).toString === "isom")
+    assert(m.getLong(1) === 30000L && m.getLong(2) === 123456L)
+    assert(m.getLong(3) === 2L)
+    // mdat body absent: structure already parsed (truncated sweeps)
+    assert(graft.functions.expressions.VideoMeta.parse(
+      mp4.take(16 + 8 + 108 + 16)) != null)
+    assert(graft.functions.expressions.VideoMeta.parse(
+      "nonsense".getBytes("US-ASCII")) == null)
+    assert(graft.functions.expressions.VideoMeta.parse(
+      mp4.take(20)) == null, "moov cut short")
+    val viaQuery = Multimodal.multimodalVideo(spark, SfDir).collect()
+    assert(viaQuery.nonEmpty)
+    viaQuery.foreach { r =>
+      assert(r.getAs[String]("brand") === "isom")
+      val n = r.getAs[Long]("n_bytes") - 140L - 8L * r.getAs[Long]("n_tracks")
+      assert(r.getAs[Long]("duration") === n * 7L)
+      assert(r.getAs[Long]("timescale") === 1000L * (1L + n % 3L))
+    }
+  }
+
   test("byte_histogram matches a reference fold; empty is NULL") {
     val rnd = new scala.util.Random(11)
     val payloads = Seq(
