@@ -364,9 +364,15 @@ object VersionedTable {
     * the rewrite is stale — its output is discarded and the whole
     * step restarts from the fresh snapshot. Concurrent APPENDs
     * commute (their files are not in `removes`) and stay live.
-    * Returns the committed version, or -1 if the table was empty. */
+    * `statsCols` re-records data-skipping stats on the rewrite —
+    * AND range-clusters the output on those columns first
+    * (repartitionByRange), so each rewritten file covers a tight
+    * value slice and [[readRange]] keeps pruning after compaction
+    * instead of falling back to read-everything. Returns the
+    * committed version, or -1 if the table was empty. */
   def compact(spark: SparkSession, root: String,
-      targetBytes: Long = 128L * 1024 * 1024): Long = {
+      targetBytes: Long = 128L * 1024 * 1024,
+      statsCols: Seq[String] = Seq.empty): Long = {
     var committed = -1L
     var done = false
     while (!done) {
@@ -375,7 +381,13 @@ object VersionedTable {
       val bytes = snap.files
         .map(f => new java.io.File(root, f).length()).sum
       val nFiles = math.max(1, ((bytes + targetBytes - 1) / targetBytes).toInt)
-      val adds = stage(read(spark, root, snap).coalesce(nFiles), root)
+      val content = read(spark, root, snap)
+      val shaped =
+        if (statsCols.isEmpty) content.coalesce(nFiles)
+        else content.repartitionByRange(nFiles,
+          statsCols.map(org.apache.spark.sql.functions.col): _*)
+      val adds = stage(shaped, root)
+      if (statsCols.nonEmpty) writeStats(spark, root, adds, statsCols)
       var v = snap.version + 1
       var stale = false
       while (!done && !stale) {

@@ -249,6 +249,16 @@ class VersionedTableSpec extends SparkTestBase {
     // compaction output carries no stats -> kept, still correct
     assert(VersionedTable.readRange(spark, root, "id", 120, 180)
       .count() === 61L)
+    // stats-aware compaction: range-clustered rewrite re-records
+    // stats, so pruning works on the compacted layout too
+    VersionedTable.compact(spark, root, targetBytes = 1024,
+      statsCols = Seq("id"))
+    VersionedTable.vacuum(root)
+    val opened = VersionedTable.rangeFiles(root, "id", 120, 180)
+    assert(opened.size < VersionedTable.snapshot(root).files.size,
+      "a range slice must skip clustered files post-compaction")
+    assert(VersionedTable.readRange(spark, root, "id", 120, 180)
+      .count() === 61L)
   }
 
   test("streaming writeToVersioned composes with concurrent compaction") {
