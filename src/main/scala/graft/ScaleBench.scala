@@ -26,7 +26,14 @@ object ScaleBench {
     // round 9: key-local windows/aggs and the prefix-sum packing —
     // all row-linear; the sketch and PPS scans are single-pass
     "anomaly_zscore", "scd2_dim", "funnel_stages", "pack_sequences",
-    "quantile_bins", "heavy_hitters", "retention_cohorts", "pps_sample")
+    "quantile_bins", "heavy_hitters", "retention_cohorts", "pps_sample",
+    // round 10: the media fabricate→decode scans and the histogram
+    // feature kernel — row-linear per payload. Their oracles
+    // recompute closed-form arithmetic rather than parsing bytes, so
+    // these rows measure Spark-side decode THROUGHPUT and stay out
+    // of the engine-vs-engine twin subset (BASELINE exclusion note).
+    "multimodal_meta", "multimodal_audio", "multimodal_video",
+    "multimodal_features")
 
   /** Join shapes where only the FACT side (lineitem) multiplies —
     * each order keeps its (now mult×) lines and every dim stays
