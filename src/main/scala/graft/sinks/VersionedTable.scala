@@ -135,10 +135,16 @@ object VersionedTable {
   }
 
   /** DataFrame over a pinned snapshot (the caller's `snap` keeps
-    * serving the same files regardless of later commits). */
+    * serving the same files regardless of later commits).
+    * SCHEMA EVOLUTION: the snapshot's schema is the UNION of its
+    * files' schemas (mergeSchema), so a batch appended with an added
+    * column widens the table and older files read the new column as
+    * NULL — the additive-evolution contract (Delta's default).
+    * Incompatible type changes fail loudly at read, as they should:
+    * the log records files, not casts. */
   def read(spark: SparkSession, root: String, snap: Snapshot): DataFrame = {
     require(!snap.isEmpty, s"version ${snap.version} of $root is empty")
-    spark.read.parquet(snap.files.map(f =>
+    spark.read.option("mergeSchema", "true").parquet(snap.files.map(f =>
       new java.io.File(root, f).getAbsolutePath): _*)
   }
 
@@ -353,7 +359,7 @@ object VersionedTable {
         s"changes($sinceVersion) on empty table $root: no schema to serve")
       read(spark, root, snap).limit(0)
     } else
-      spark.read.parquet(added.map(f =>
+      spark.read.option("mergeSchema", "true").parquet(added.map(f =>
         new java.io.File(root, f).getAbsolutePath): _*)
   }
 
@@ -466,7 +472,7 @@ object VersionedTable {
       val touched = snap.files.filter(f =>
         touchedAbs.exists(_.endsWith("/" + f)))
       if (touched.isEmpty) return -1L
-      val kept = spark.read
+      val kept = spark.read.option("mergeSchema", "true")
         .parquet(touched.map(f =>
           new java.io.File(root, f).getAbsolutePath): _*)
         .filter(coalesce(predicate, lit(false)) === false)

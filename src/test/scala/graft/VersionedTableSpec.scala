@@ -261,6 +261,24 @@ class VersionedTableSpec extends SparkTestBase {
       .count() === 61L)
   }
 
+  test("schema evolution: an added column widens the table, old rows NULL") {
+    val root = freshRoot()
+    VersionedTable.append(batch(0, 10), root)
+    VersionedTable.append(batch(10, 10)
+      .withColumn("lang", lit("en")), root)
+    val t = VersionedTable.read(spark, root)
+    assert(t.columns.sorted.toSeq === Seq("id", "lang", "val"))
+    assert(t.filter(col("lang").isNull).count() === 10L,
+      "pre-evolution rows read the new column as NULL")
+    assert(t.filter(col("lang") === "en").count() === 10L)
+    // the widened schema survives compaction and delete rewrites
+    VersionedTable.compact(spark, root)
+    VersionedTable.deleteWhere(spark, root, col("id") < 5)
+    val t2 = VersionedTable.read(spark, root)
+    assert(t2.columns.sorted.toSeq === Seq("id", "lang", "val"))
+    assert(t2.count() === 15L)
+  }
+
   test("streaming writeToVersioned composes with concurrent compaction") {
     val root = freshRoot()
     val ckpt = java.nio.file.Files.createTempDirectory("vt_ckpt").toString
