@@ -122,6 +122,9 @@ object ImageMeta {
       var m = u8(b, i + 1)
       // fill bytes: any number of FFs may pad before the marker byte
       while (m == 0xff && i + 2 < b.length) { i += 1; m = u8(b, i + 1) }
+      // the fill loop may have advanced i to the tail: re-check that a
+      // length field (i+2, i+3) is still in bounds before reading it
+      if (i + 3 >= b.length) return null
       if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) {
         i += 2 // standalone markers carry no length field
       } else if (m == 0xd9 || m == 0xda) {

@@ -1,7 +1,8 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, RuntimeReplaceable, UnaryExpression, UnscaledValue}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.types._
 
 /** Alloc-free 6-dp unscaled-long conversion: the per-row front half of
@@ -48,6 +49,23 @@ case class Unscaled6(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.expressions.Unscaled6.compute($c);")
 
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Type-routing front for [[Unscaled6]]: doubles take the alloc-free
+  * kernel; ANY other numeric keeps the long-backed
+  * `UnscaledValue(Cast(x AS DECIMAL(18,6)))` reference path. The
+  * route is picked at analysis time from the RESOLVED child type —
+  * a blanket cast-to-double here would silently round a long or
+  * decimal carrying more than ~15-17 significant digits before the
+  * 6-dp scaling ever saw it. */
+case class Unscaled6Any(child: Expression)
+    extends Expression with RuntimeReplaceable with UnaryLike[Expression] {
+  override lazy val replacement: Expression = child.dataType match {
+    case DoubleType => Unscaled6(child)
+    case _ => UnscaledValue(Cast(child, DecimalType(18, 6)))
+  }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -42,13 +42,15 @@ object Num {
     * fails loudly on both paths. */
   def unscaled6(c: Column): Column = {
     import org.apache.spark.sql.GraftSqlBridge
-    // the double cast is exact for every caller domain (doubles
-    // pass through; ints/longs are < 2^53) and values the fast path
-    // cannot decide — including every |x| ≥ 4.5e9 — take the kernel's
-    // exact BigDecimal branch, so the 6-dp result is the decimal
-    // cast's, bit-identical
-    GraftSqlBridge.column(graft.functions.expressions.Unscaled6(
-      GraftSqlBridge.expression(c.cast("double"))))
+    // type-routed at analysis time: double children take the
+    // alloc-free kernel (values the fast path cannot decide —
+    // including every |x| ≥ 4.5e9 — fall to its exact BigDecimal
+    // branch, so the 6-dp result is the decimal cast's,
+    // bit-identical); any other numeric keeps the long-backed
+    // decimal(18,6) cast, which never loses integer digits to a
+    // double round-trip
+    GraftSqlBridge.column(graft.functions.expressions.Unscaled6Any(
+      GraftSqlBridge.expression(c)))
   }
 
   /** 128-bit exact sum of [[unscaled6]] longs → double. Bounded

@@ -217,11 +217,23 @@ object Olap {
         base += b.c
       }
     }
-    import spark.implicits._
-    val wholeDf = wholeParts.toSeq
-      .toDF("event_type", "bin", "c", "blo", "bhi", "bsum_raw")
-      .withColumn("bsum", col("bsum_raw").cast("decimal(38,6)"))
-      .drop("bsum_raw")
+    // Explicit decimal(38,6) schema: the default tuple encoder would
+    // round-trip bsum through decimal(38,18), whose 20 integer digits
+    // overflow for block sums >= ~1e20 — the explicit StructType keeps
+    // the full 32 integer digits end-to-end.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val wholeSchema = StructType(Seq(
+      StructField("event_type", StringType),
+      StructField("bin", LongType, nullable = false),
+      StructField("c", LongType, nullable = false),
+      StructField("blo", DoubleType, nullable = false),
+      StructField("bhi", DoubleType, nullable = false),
+      StructField("bsum", DecimalType(38, 6))))
+    val wholeDf = spark.createDataFrame(
+      java.util.Arrays.asList(wholeParts.toSeq.map { case (t, bin, c, lo, hi, s) =>
+        Row(t, bin, c, lo, hi, s.setScale(6)): Row }: _*),
+      wholeSchema)
     // Phase 3 — straddle rows only, via a value-RANGE predicate the
     // parquet scan can prune row groups with (floor(value)=blk <=>
     // blk <= value < blk+1; blk is exact in double). Geometry joins

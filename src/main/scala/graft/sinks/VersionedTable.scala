@@ -434,7 +434,7 @@ object VersionedTable {
     append(graft.sources.Tables.loadEventsRange(spark, dir,
       "2024-01-02 00:00:00", "2024-01-03 00:00:00"), root)
     compact(spark, root)
-    vacuum(root)
+    vacuum(root, retentionMs = 0L) // single-writer table, quiesced here
     read(spark, root)
       .groupBy(to_date(col("ts")).as("batch_date"))
       .agg(count(lit(1)).as("n_events"),
@@ -553,13 +553,28 @@ object VersionedTable {
       .orderBy("batch_date")
   }
 
+  /** Default vacuum retention: 7 days, the Delta VACUUM default. Any
+    * honest writer stages and commits within this horizon, so files
+    * younger than it may belong to an in-flight commit and must not
+    * be swept. */
+  val DefaultRetentionMs: Long = 7L * 24 * 60 * 60 * 1000
+
   /** Delete data files the LATEST snapshot does not list (superseded
     * by compaction, or staged by a writer that crashed before its
-    * commit). Destructive — breaks readers pinned to older snapshots,
-    * so production gates this behind a retention window; the contract
-    * is the same as Delta VACUUM. Returns the deleted count. */
-  def vacuum(root: String): Int = {
+    * commit) AND older than `retentionMs` (mtime-based, the Delta
+    * VACUUM contract). The retention window is the correctness
+    * guard, not a convenience: every writer stages its files BEFORE
+    * publishing the commit link, so an unreferenced-but-recent file
+    * may be a live writer mid-commit — sweeping it would make the
+    * subsequent commit reference missing files. With the default
+    * window, concurrent vacuum is safe against any writer that
+    * commits within 7 days of staging. `retentionMs = 0` force-sweeps
+    * everything unreferenced (tests / known-quiesced tables ONLY).
+    * Destructive for time travel — breaks readers pinned to older
+    * snapshots. Returns the deleted count. */
+  def vacuum(root: String, retentionMs: Long = DefaultRetentionMs): Int = {
     val live = snapshot(root).files.toSet
+    val sweepBefore = System.currentTimeMillis() - retentionMs
     val dataRoot = new java.io.File(root, "data")
     var n = 0
     for {
@@ -574,6 +589,7 @@ object VersionedTable {
       if !(f.getName.startsWith("_") && dirLive)
       rel = s"data/${uuidDir.getName}/${f.getName}"
       if f.getName.startsWith("_") || !live.contains(rel)
+      if f.lastModified() < sweepBefore
     } {
       if (f.delete()) n += 1
       uuidDir.delete() // succeeds only once empty — harmless otherwise

@@ -142,9 +142,14 @@ object EventStream {
     * redelivered batch is a log-detected no-op — exactly-once at the
     * commit level, not by partition-path convention like
     * [[writeToWarehouse]]. Because commits are snapshot-isolated, a
-    * concurrent `VersionedTable.compact`/`vacuum` on the same table
-    * is safe while the stream runs — the composition the directory-
-    * level sink cannot offer (its compactor must own the layout).
+    * concurrent `VersionedTable.compact` on the same table is safe
+    * while the stream runs, and so is a RETENTION-GATED `vacuum`
+    * (the default window: the stream's staged-but-uncommitted files
+    * are always younger than it). A force vacuum (`retentionMs = 0`)
+    * is NOT safe against a running writer — it can sweep files staged
+    * for the in-flight commit; force mode is for quiesced tables
+    * only. The directory-level sink cannot offer even this (its
+    * compactor must own the layout).
     * `writer` must be stable across restarts (it IS the replay
     * identity, like a checkpoint dir). */
   def writeToVersioned(events: DataFrame, root: String, writer: String,

@@ -54,6 +54,14 @@ class ImageMetaSpec extends SparkTestBase {
     val bad = Multimodal.pngHeader(64, 64, 3)
     bad(13) = 'X'
     assert(parse(bad) === None)
+    // fill-byte run ending exactly at the buffer tail: the length
+    // field of the padded marker is out of bounds — must be NULL, not
+    // an ArrayIndexOutOfBoundsException (round-11 regression)
+    val padTail = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte,
+      0xff.toByte, 0xff.toByte, 0xc0.toByte)
+    assert(parse(padTail) === None)
+    // same shape one byte longer (only half the length field present)
+    assert(parse(padTail :+ 0x00.toByte) === None)
   }
 
   test("multimodal_meta decodes what the generator encoded, for every doc") {

@@ -68,6 +68,33 @@ class Unscaled6Spec extends SparkTestBase {
     assert(Unscaled6.compute(999999999999.9999) === ref(999999999999.9999))
   }
 
+  test("non-double inputs keep the exact decimal cast path (no double round-trip)") {
+    // 0.9999995 - 1e-18 (scale 18, exact under the default
+    // decimal(38,18) encoder): HALF_UP at 6 dp rounds DOWN (digits
+    // past the 6th are 4999…), but the nearest double is
+    // shortest-repr "0.9999995", which the double path would round
+    // UP. The analysis-time route must pick
+    // UnscaledValue(Cast(decimal(18,6))) for decimal children so no
+    // digit is lost to a double round-trip.
+    val x = new java.math.BigDecimal("0.999999499999999999")
+    assert(x.setScale(6, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact() === 999999L)
+    assert(java.math.BigDecimal.valueOf(x.doubleValue())
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact() === 1000000L,
+      "double round-trip crosses the tie — the case the route avoids")
+    val got = Seq(x).toDF("x")
+      .select(graft.operators.Num.unscaled6(col("x")).as("u"))
+      .as[Long].head()
+    assert(got === 999999L,
+      "decimal input must not round through double")
+    // doubles still take the kernel (same answer as the reference)
+    val d = Seq(1.2345675).toDF("x")
+      .select(graft.operators.Num.unscaled6(col("x")).as("u"))
+      .as[Long].head()
+    assert(d === ref(1.2345675))
+  }
+
   test("dsum over the kernel equals the decimal-cast SQL form on real data") {
     val got = graft.sources.Tables.load(spark, SfDir, "events")
       .agg(graft.operators.Num.dsum(col("value")).as("s"))

@@ -101,7 +101,7 @@ class VersionedTableSpec extends SparkTestBase {
     val ids = VersionedTable.read(spark, root)
       .select("id").as[Long].collect().sorted
     assert(ids.toSeq === (0L until 40L), "double compaction preserves rows")
-    VersionedTable.vacuum(root)
+    VersionedTable.vacuum(root, retentionMs = 0L)
     assert(VersionedTable.read(spark, root)
       .select("id").as[Long].collect().sorted.toSeq === (0L until 40L))
   }
@@ -129,7 +129,12 @@ class VersionedTableSpec extends SparkTestBase {
     assert(VersionedTable.snapshot(root).version === 1L,
       "tmp files are not versions")
     assert(VersionedTable.read(spark, root).count() === 10L)
-    val deleted = VersionedTable.vacuum(root)
+    // default retention refuses the sweep: the orphan is younger than
+    // the window, so it COULD be a live writer mid-commit
+    assert(VersionedTable.vacuum(root) === 0,
+      "fresh unreferenced files survive a retention-gated vacuum")
+    // force mode (quiesced table) reclaims it
+    val deleted = VersionedTable.vacuum(root, retentionMs = 0L)
     assert(deleted > 0, "orphan data files vacuumed")
     assert(VersionedTable.read(spark, root).count() === 10L)
   }
@@ -244,7 +249,7 @@ class VersionedTableSpec extends SparkTestBase {
     assert(VersionedTable.rangeFiles(root, "val", 0, 1).size === 4)
     // stats sidecars survive vacuum while their data files are live
     VersionedTable.compact(spark, root)
-    VersionedTable.vacuum(root)
+    VersionedTable.vacuum(root, retentionMs = 0L)
     assert(VersionedTable.read(spark, root).count() === 310L)
     // compaction output carries no stats -> kept, still correct
     assert(VersionedTable.readRange(spark, root, "id", 120, 180)
@@ -253,7 +258,7 @@ class VersionedTableSpec extends SparkTestBase {
     // stats, so pruning works on the compacted layout too
     VersionedTable.compact(spark, root, targetBytes = 1024,
       statsCols = Seq("id"))
-    VersionedTable.vacuum(root)
+    VersionedTable.vacuum(root, retentionMs = 0L)
     val opened = VersionedTable.rangeFiles(root, "id", 120, 180)
     assert(opened.size < VersionedTable.snapshot(root).files.size,
       "a range slice must skip clustered files post-compaction")
