@@ -293,6 +293,31 @@ object VersionedTable {
       case None => true
     })
 
+  /** Per-column [lo,hi] bounds provable from the TOP-LEVEL AND
+    * conjuncts of `pred`: `c >= 5 && c < 9 && f(x)` yields
+    * `c -> [5, 9]`. Sound for pruning because a conjunct false over a
+    * whole file makes the conjunction false there — unrecognized
+    * conjuncts (UDFs, ORs, arithmetic) are simply ignored, they can
+    * only narrow the match set further. Numeric literals only, the
+    * domain [[writeStats]] records (doubles are exact there). */
+  private[graft] def predicateRanges(
+      pred: org.apache.spark.sql.Column): Map[String, (Double, Double)] =
+    org.apache.spark.sql.GraftSqlBridge.predicateRanges(pred)
+
+  /** `files` minus those whose recorded stats PROVE no row can satisfy
+    * `ranges` (statless files/columns are kept — same conservative
+    * contract as [[readRange]]). */
+  private[graft] def statsCandidates(root: String, files: Seq[String],
+      ranges: Map[String, (Double, Double)]): Seq[String] =
+    files.filter { f =>
+      ranges.forall { case (c, (lo, hi)) =>
+        fileStats(root, f, c) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None => true
+        }
+      }
+    }
+
   /** The version committed by `(writer, epoch)`, if any — scans the
     * contiguous log prefix (driver-side metadata, O(versions)). */
   private def committedEpoch(root: String, writer: String,
@@ -461,10 +486,34 @@ object VersionedTable {
   def deleteWhere(spark: SparkSession, root: String,
       predicate: org.apache.spark.sql.Column): Long = {
     import org.apache.spark.sql.functions._
+    val ranges = predicateRanges(predicate)
     while (true) {
       val snap = snapshot(root)
       if (snap.isEmpty) return -1L
-      val touchedAbs = read(spark, root, snap).filter(predicate)
+      // metadata prune FIRST: files whose _stats.json [min,max] cannot
+      // satisfy the predicate's provable bounds are never opened by
+      // the discovery scan — on a range-clustered 100 TB table a
+      // narrow delete touches a handful of files, and this keeps the
+      // discovery cost (and the collected file set) proportional to
+      // the candidates, not the table
+      val candidates =
+        if (ranges.isEmpty) snap.files
+        else statsCandidates(root, snap.files, ranges)
+      if (candidates.isEmpty) return -1L
+      val pruned = spark.read.option("mergeSchema", "true")
+        .parquet(candidates.map(f =>
+          new java.io.File(root, f).getAbsolutePath): _*)
+      // schema evolution guard: a predicate column carried only by
+      // non-candidate files cannot resolve over the pruned read
+      // (classic Datasets analyze eagerly, so the failure is here,
+      // not at the action) — fall back to the full snapshot
+      val discovery =
+        try pruned.filter(predicate)
+        catch {
+          case _: org.apache.spark.sql.AnalysisException =>
+            read(spark, root, snap).filter(predicate)
+        }
+      val touchedAbs = discovery
         .select(input_file_name().as("f")).distinct()
         .collect().map(_.getString(0)).toSet
       // uuid-named rel paths are unique — suffix-match the URI forms

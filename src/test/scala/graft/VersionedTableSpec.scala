@@ -230,6 +230,39 @@ class VersionedTableSpec extends SparkTestBase {
       "only the 3 TRUE rows go; NULL-predicate rows stay")
   }
 
+  test("deleteWhere prunes discovery by log stats on a range-clustered table") {
+    val root = freshRoot()
+    // four single-file batches with disjoint id ranges, stats on id
+    (0 until 4).foreach(i =>
+      VersionedTable.append(batch(i * 100L, 100).coalesce(1), root, Seq("id")))
+    // the provable bounds of the predicate…
+    val pred = col("id") >= 250 && col("id") < 280 && col("val") =!= -1
+    val ranges = VersionedTable.predicateRanges(pred)
+    assert(ranges("id") === ((250.0, 280.0)))
+    assert(!ranges.contains("val"), "non-literal-comparable conjunct ignored")
+    // …prove exactly one candidate file before any row is read
+    val snap = VersionedTable.snapshot(root)
+    val cands = VersionedTable.statsCandidates(root, snap.files, ranges)
+    assert(cands.size === 1, s"one candidate, got ${cands.size}")
+    // and the delete rewrites only that file, leaving the rest
+    // byte-identical (they were never part of the discovery scan)
+    val v = VersionedTable.deleteWhere(spark, root, pred)
+    assert(v > 0)
+    val after = VersionedTable.snapshot(root)
+    assert(snap.files.toSet.intersect(after.files.toSet).size === 3,
+      "the three stats-pruned files must survive untouched")
+    assert(VersionedTable.read(spark, root).count() === 370L)
+    assert(VersionedTable.read(spark, root)
+      .filter(col("id") >= 250 && col("id") < 280).count() === 0L)
+    // a predicate with no provable bounds still deletes correctly
+    // (full discovery scan fallback)
+    val v2 = VersionedTable.deleteWhere(spark, root,
+      (col("id") % 100) === 99)
+    assert(v2 > v)
+    assert(VersionedTable.read(spark, root)
+      .filter(col("id") === 199).count() === 0L)
+  }
+
   test("log-stats data skipping: readRange opens only intersecting files") {
     val root = freshRoot()
     // three single-file batches with disjoint id ranges, stats on id
