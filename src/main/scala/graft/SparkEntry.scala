@@ -24,6 +24,7 @@ object SparkEntry {
     "versioned_commits" -> (graft.sinks.VersionedTable.versionedCommits _),
     "versioned_changes" -> (graft.sinks.VersionedTable.versionedChanges _),
     "cdc_incremental" -> (graft.sinks.VersionedTable.incrementalCdcAgg _),
+    "backfill_range" -> (graft.pipeline.Backfill.backfillRange _),
     "bucketed_join" -> (graft.sinks.BucketedWarehouse.bucketedJoin _),
     "zorder_scan" -> (graft.sinks.ZOrderLayout.zorderScan _),
     "snapshot_proj" -> (StockOps.snapshotProjection _),
@@ -207,6 +208,13 @@ object SparkEntry {
          |  AND ts < TIMESTAMP '2024-01-03 00:00:00'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "cdc_incremental" ->
+      s"""SELECT cast(ts AS date) AS batch_date, count(*) AS n_events,
+         |  ${dsum("value")} AS sum_value
+         |FROM events
+         |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+         |  AND ts < TIMESTAMP '2024-01-04 00:00:00'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "backfill_range" ->
       s"""SELECT cast(ts AS date) AS batch_date, count(*) AS n_events,
          |  ${dsum("value")} AS sum_value
          |FROM events

@@ -319,8 +319,10 @@ object VersionedTable {
     }
 
   /** The version committed by `(writer, epoch)`, if any — scans the
-    * contiguous log prefix (driver-side metadata, O(versions)). */
-  private def committedEpoch(root: String, writer: String,
+    * contiguous log prefix (driver-side metadata, O(versions)).
+    * Public as the "has this batch landed?" probe a scheduler uses to
+    * skip completed partitions without recomputing them. */
+  def committedEpoch(root: String, writer: String,
       epoch: Long): Option[Long] =
     versions(root).find(v =>
       readTxn(versionFile(root, v)).contains((writer, epoch)))
