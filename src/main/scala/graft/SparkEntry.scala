@@ -50,8 +50,8 @@ object SparkEntry {
     "market_share" -> (Analytics.marketShare _),
     // §2.C LLM-data-pipeline operators
     "dedup_exact" -> (Dedup.exact _),
-    "dedup_minhash" -> (Dedup.minhashLsh _),
-    "dedup_simhash" -> (Dedup.simhashNearDup _),
+    "dedup_minhash" -> (Dedup.minhashLshPortable _),
+    "dedup_simhash" -> (Dedup.simhashPortable _),
     "ngram_jaccard" -> (Dedup.ngramJaccard _),
     "cosine_pairs" -> (Similarity.cosinePairs _),
     "dedup_embed" -> (Similarity.dedupEmbed _),
@@ -357,6 +357,79 @@ object SparkEntry {
       """SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
         |  count(*) AS dup_count
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    // Portable-hash LSH (see Dedup.scala round-11 block): md5-derived
+    // 32-bit hashes + affine permutations make the WHOLE pipeline
+    // SQL-replicable, so these two near-dup operators get full
+    // hash-exact oracles instead of rows-only gates.
+    "dedup_minhash" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, list_filter(
+        |      string_split_regex(lower(trim(text)), '\\s+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest([array_to_string(list_slice(toks, i + 1, i + 2), ' ')
+        |      for i in range(len(toks) - 1)]) AS sh
+        |  FROM t WHERE len(toks) >= 2),
+        |h AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(sh), 25, 8))::UBIGINT AS BIGINT) AS h
+        |  FROM sh),
+        |mh AS (
+        |  SELECT doc_id, i,
+        |    min((h * ([${Dedup.PortableA.mkString(",")}])[i + 1]
+        |         + ([${Dedup.PortableB.mkString(",")}])[i + 1])
+        |        % ${Dedup.PortableP}) AS mh
+        |  FROM h CROSS JOIN range(${Dedup.PortableK}) r(i) GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM mh GROUP BY 1),
+        |banded AS (
+        |  SELECT doc_id, sig, band,
+        |    sig[2 * band + 1] || ',' || sig[2 * band + 2] AS key
+        |  FROM sig CROSS JOIN range(${Dedup.PortableBands}) r(band)),
+        |ok AS (SELECT * FROM (
+        |    SELECT *, count(*) OVER (PARTITION BY band, key) AS cnt
+        |    FROM banded) WHERE cnt BETWEEN 2 AND ${Dedup.BucketCap}),
+        |pairs AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+        |    x.sig AS sa, y.sig AS sb
+        |  FROM ok x JOIN ok y
+        |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+        |SELECT a, b,
+        |  list_sum([CASE WHEN sa[j + 1] = sb[j + 1] THEN 1 ELSE 0 END
+        |    for j in range(${Dedup.PortableK})]) / ${Dedup.PortableK}.0
+        |    AS est_jaccard
+        |FROM pairs
+        |ORDER BY est_jaccard DESC, a, b LIMIT ${Dedup.TopPairs}""".stripMargin,
+    "dedup_simhash" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(
+        |      string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |h AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(t.t), 25, 8))::UBIGINT AS BIGINT) AS h
+        |  FROM (SELECT doc_id, unnest(toks) AS t FROM t) t),
+        |bits AS (
+        |  SELECT doc_id, b, sum(2 * ((h >> b) & 1) - 1) AS s
+        |  FROM h CROSS JOIN range(32) r(b) GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT doc_id, CAST(sum(CASE WHEN s >= 0
+        |      THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM bits GROUP BY 1),
+        |banded AS (
+        |  SELECT doc_id, sig, band, (sig >> (band * 8)) & 255 AS key
+        |  FROM sig CROSS JOIN range(4) r(band)),
+        |ok AS (SELECT * FROM (
+        |    SELECT *, count(*) OVER (PARTITION BY band, key) AS cnt
+        |    FROM banded) WHERE cnt BETWEEN 2 AND 64),
+        |pairs AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+        |    x.sig AS sa, y.sig AS sb
+        |  FROM ok x JOIN ok y
+        |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+        |SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+        |FROM pairs
+        |ORDER BY hamming, a, b LIMIT 500""".stripMargin,
     "ngram_jaccard" ->
       """WITH d AS (
         |  SELECT doc_id, lang, source, n_chars, n_chars // 20 AS blk,

@@ -27,6 +27,20 @@ object TextFunctions {
   def simhash64(text: Column): Column =
     GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(text)))
 
+  /** Portable (md5-based, oracle-replicable) MinHash signature —
+    * see [[graft.functions.expressions.PortableMinHashSig]]. */
+  def portableMinhashSig(text: Column, k: Int): Column =
+    GraftSqlBridge.column(
+      graft.functions.expressions.PortableMinHashSig(
+        GraftSqlBridge.expression(text), k))
+
+  /** Portable 32-bit SimHash (md5-based, oracle-replicable) —
+    * see [[graft.functions.expressions.PortableSimHash32]]. */
+  def portableSimhash32(text: Column): Column =
+    GraftSqlBridge.column(
+      graft.functions.expressions.PortableSimHash32(
+        GraftSqlBridge.expression(text)))
+
   /** Agreeing positions of two equal-length signature arrays
     * (MinHash estimator numerator) — codegen'd kernel. */
   def sigAgree(a: Column, b: Column): Column =

@@ -1,0 +1,246 @@
+package graft.functions.expressions
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** PORTABLE-hash signature kernels (SURVEY.md §2 #20-21, round 11).
+  *
+  * [[MinHashSig]]/[[SimHash64]] are the 100 TB throughput path, but
+  * their seeded-XXH64 family exists in no other engine, so queries
+  * built on them can never be verified value-for-value by an
+  * independent oracle. These kernels compute signatures from a hash
+  * BOTH Spark and DuckDB evaluate natively — the md5 hex tail as a
+  * 32-bit value, `conv(substr(md5(x),25,8),16,10)` ≡
+  * `('0x'||substr(md5(x),25,8))::UBIGINT` — feeding K affine
+  * permutations (a·h+b mod p, p prime > 2^32, a < 2^30 so the
+  * product never overflows a signed 64-bit). Every downstream step
+  * (band keys, bucket caps, agreement counts, Hamming) is integer
+  * arithmetic, so the ENTIRE near-dup pipeline is hash-exact against
+  * the DuckDB oracle — the single-pass kernel form exists because
+  * the equivalent explode + wide-agg DataFrame pipeline pays ~3× in
+  * shuffle and per-row md5-hex-string/conv allocation (measured at
+  * sf0.1); PortableSignatureSpec pins kernel ≡ SQL-built signatures.
+  *
+  * Token semantics mirror the SQL form the oracle replicates:
+  * `filter(split(lower(trim(text)), '\s+'), x -> x <> '')` — SQL
+  * trim strips SPACES only, split is the Java/RE2 `\s` class, and
+  * lowercase is Spark's UTF8String lowering (ASCII-identical to
+  * DuckDB's; the testdata corpus is ASCII). */
+object PortableHash {
+  /** Smallest prime above 2^32 — the permutation modulus. */
+  val P = 4294967311L
+  val MaxK = 64
+  /** Affine multipliers < 2^30 (no signed-64 overflow with h < 2^32). */
+  val A: Array[Long] = Array.tabulate(MaxK)(i => 537116467L + 1046527L * i)
+  val B: Array[Long] = Array.tabulate(MaxK)(i => (998244353L * (i + 1)) % P)
+
+  private val md = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+  private val digestBuf = ThreadLocal.withInitial[Array[Byte]](() =>
+    new Array[Byte](16))
+
+  /** Digest bytes 12-15 big-endian = hex chars 25-32 of md5(s). */
+  def h32(s: String): Long = {
+    val d = md.get()
+    d.reset()
+    tail32(d.digest(s.getBytes(StandardCharsets.UTF_8)))
+  }
+
+  @inline private def tail32(g: Array[Byte]): Long =
+    ((g(12) & 0xffL) << 24) | ((g(13) & 0xffL) << 16) |
+      ((g(14) & 0xffL) << 8) | (g(15) & 0xffL)
+
+  /** h32 of the bytes `buf[s1,l1) ++ " " ++ buf[s2,l2)` — the
+    * 2-shingle digest without materializing the shingle string. */
+  private[expressions] def h32Shingle(buf: Array[Byte],
+      s1: Int, l1: Int, s2: Int, l2: Int): Long = {
+    val d = md.get()
+    d.reset()
+    d.update(buf, s1, l1)
+    d.update(' '.toByte)
+    d.update(buf, s2, l2)
+    val out = digestBuf.get()
+    d.digest(out, 0, 16)
+    tail32(out)
+  }
+
+  /** h32 of the bytes `buf[s,l)`. */
+  private[expressions] def h32Bytes(buf: Array[Byte], s: Int, l: Int): Long = {
+    val d = md.get()
+    d.reset()
+    d.update(buf, s, l)
+    val out = digestBuf.get()
+    d.digest(out, 0, 16)
+    tail32(out)
+  }
+
+  /** `filter(split(lower(trim(text)), '\s+'), x -> x <> '')`. */
+  def tokens(text: UTF8String): Array[String] = {
+    val t = text.toLowerCase.toString
+    var st = 0
+    var en = t.length
+    while (st < en && t.charAt(st) == ' ') st += 1
+    while (en > st && t.charAt(en - 1) == ' ') en -= 1
+    if (en == st) return Array.empty
+    t.substring(st, en).split("\\s+").filter(_.nonEmpty)
+  }
+
+  @inline private[expressions] def ws(b: Byte): Boolean =
+    b == ' ' || (b >= 9 && b <= 13) // the Java/RE2 \s class, ASCII
+
+  /** ASCII fast path: lowercased bytes + token [start,end) offsets —
+    * non-ws runs are exactly the SQL tokens (trim only strips
+    * boundary whitespace the run scan never includes). Returns null
+    * when any byte is non-ASCII (caller falls back to the string
+    * path, which carries Spark's full UTF-8 lowering). Token count
+    * is `offs.length / 2`; token i spans [offs(2i), offs(2i+1)). */
+  private[expressions] def asciiTokens(text: UTF8String): (Array[Byte], Array[Int]) = {
+    val n = text.numBytes
+    val buf = new Array[Byte](n)
+    text.writeToMemory(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET)
+    var i = 0
+    while (i < n) {
+      val b = buf(i)
+      if (b < 0) return null // non-ASCII: unicode lowercase differs
+      if (b >= 'A' && b <= 'Z') buf(i) = (b + 32).toByte
+      i += 1
+    }
+    var offs = new Array[Int](16)
+    var m = 0
+    i = 0
+    while (i < n) {
+      while (i < n && ws(buf(i))) i += 1
+      val s = i
+      while (i < n && !ws(buf(i))) i += 1
+      if (i > s) {
+        if (m == offs.length) offs = java.util.Arrays.copyOf(offs, offs.length * 2)
+        offs(m) = s
+        offs(m + 1) = i
+        m += 2
+      }
+    }
+    (buf, java.util.Arrays.copyOf(offs, m))
+  }
+}
+
+/** Portable MinHash signature: array<long> of length k; element j is
+  * the min over word 2-shingles of (A_j·h32(shingle) + B_j) mod P.
+  * Fewer than 2 tokens → empty array (no shingle, never a
+  * candidate — callers filter on size). */
+case class PortableMinHashSig(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k > 0 && k <= PortableHash.MaxK, s"k=$k out of range")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    PortableMinHashSig.compute(v.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.PortableMinHashSig.compute($c, $k);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PortableMinHashSig {
+  def compute(text: UTF8String, k: Int): ArrayData = {
+    import PortableHash._
+    val fast = asciiTokens(text)
+    if (fast != null) {
+      val (buf, offs) = fast
+      val nTok = offs.length / 2
+      if (nTok < 2) return new GenericArrayData(Array.emptyLongArray)
+      val mins = Array.fill(k)(Long.MaxValue)
+      var i = 0
+      while (i + 1 < nTok) {
+        val h = h32Shingle(buf,
+          offs(2 * i), offs(2 * i + 1) - offs(2 * i),
+          offs(2 * i + 2), offs(2 * i + 3) - offs(2 * i + 2))
+        var s = 0
+        while (s < k) {
+          val v = (A(s) * h + B(s)) % P
+          if (v < mins(s)) mins(s) = v
+          s += 1
+        }
+        i += 1
+      }
+      return new GenericArrayData(mins)
+    }
+    val tk = tokens(text)
+    if (tk.length < 2) return new GenericArrayData(Array.emptyLongArray)
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i + 2 <= tk.length) {
+      val h = h32(tk(i) + " " + tk(i + 1))
+      var s = 0
+      while (s < k) {
+        val v = (A(s) * h + B(s)) % P
+        if (v < mins(s)) mins(s) = v
+        s += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
+/** Portable 32-bit SimHash: bit b is 1 iff the ±1 votes of bit b of
+  * each token's h32 sum to ≥ 0 (duplicate tokens keep their weight).
+  * NULL when the text has no tokens — mirroring the SQL form, where
+  * a token-less doc produces no rows and drops out of the group. */
+case class PortableSimHash32(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    PortableSimHash32.compute(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("sig")
+      s"""
+         |Long $r = graft.functions.expressions.PortableSimHash32.compute($c);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.longValue(); }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PortableSimHash32 {
+  def compute(text: UTF8String): java.lang.Long = {
+    import PortableHash._
+    val counts = new Array[Int](32)
+    var nTok = 0
+    val fast = asciiTokens(text)
+    if (fast != null) {
+      val (buf, offs) = fast
+      nTok = offs.length / 2
+      var i = 0
+      while (i < nTok) {
+        vote(counts, h32Bytes(buf, offs(2 * i), offs(2 * i + 1) - offs(2 * i)))
+        i += 1
+      }
+    } else {
+      val tk = tokens(text)
+      nTok = tk.length
+      var i = 0
+      while (i < nTok) { vote(counts, h32(tk(i))); i += 1 }
+    }
+    if (nTok == 0) return null
+    var sig = 0L
+    var b = 0
+    while (b < 32) { if (counts(b) >= 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  @inline private def vote(counts: Array[Int], h: Long): Unit = {
+    var b = 0
+    while (b < 32) {
+      if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+      b += 1
+    }
+  }
+}

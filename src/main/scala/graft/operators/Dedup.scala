@@ -144,6 +144,135 @@ object Dedup {
     docs.join(drops, Seq("doc_id"), "left_anti")
   }
 
+  // ---------------------------------------------------------------
+  // PORTABLE-HASH variants (round 11): the production signatures
+  // above run on the seeded-XXH64 codegen kernels — the 100 TB
+  // throughput path — but XXH64 exists in no other engine, so those
+  // queries could only ever be rows-only at the driver gate. These
+  // variants swap ONLY the hash primitive: a 32-bit value from the
+  // md5 hex tail (md5 is native in Spark AND DuckDB) feeds the same
+  // banding/bucketing/scoring arithmetic, all of it built-in codegen
+  // functions — which makes the ENTIRE near-dup pipeline (shingling,
+  // permutation minima, band keys, bucket caps, pair scoring,
+  // ranking) hash-exact against an independent engine. Same shuffle
+  // shape and O(rows × bands) bytes as the kernel path; the md5 per
+  // shingle is the only extra per-row cost.
+  // ---------------------------------------------------------------
+
+  val PortableK = 16 // permutations
+  val PortableBands = 8 // r = 2 rows per band
+  /** Smallest prime above 2^32 — the permutation modulus. */
+  val PortableP: Long = graft.functions.expressions.PortableHash.P
+  /** Affine coefficients (single source of truth: the kernel). */
+  val PortableA: Seq[Long] =
+    graft.functions.expressions.PortableHash.A.take(PortableK).toSeq
+  val PortableB: Seq[Long] =
+    graft.functions.expressions.PortableHash.B.take(PortableK).toSeq
+
+  /** Whitespace word tokens of lower(trim(text)) — the split both
+    * engines express identically. */
+  private def portableToks(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        filter(split(lower(trim(col("text"))), "\\s+"),
+          t => t =!= "").as("toks"))
+
+  /** 32-bit portable hash of a string column: the md5 hex tail
+    * (chars 25-32) as a long — `conv(substr(md5(x),25,8),16,10)`
+    * in Spark ≡ `('0x'||substr(md5(x),25,8))::UBIGINT` in DuckDB. */
+  private def h32(c: Column): Column =
+    conv(substring(md5(c), 25, 8), 16, 10).cast("long")
+
+  /** Portable MinHash signatures — the SQL-built form: word
+    * 2-shingles → h32 → K affine permutation minima mod P, all
+    * built-in functions. This is the SEMANTIC REFERENCE the DuckDB
+    * oracle mirrors token for token; the hot path below uses the
+    * single-pass [[graft.functions.expressions.PortableMinHashSig]]
+    * kernel instead (~3× at sf0.1: no explode shuffle, no md5 hex
+    * string / conv parse per shingle), and PortableSignatureSpec
+    * pins kernel ≡ this form. */
+  private[graft] def minhashPortableSigsSql(docs: DataFrame): DataFrame = {
+    val sh = portableToks(docs)
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks)-2), i -> concat_ws(' ', toks[i], toks[i+1]))"))
+        .as("sh"))
+      .select(col("doc_id"), h32(col("sh")).as("h"))
+    val aggs = (0 until PortableK).map(i =>
+      min((col("h") * PortableA(i) + PortableB(i)) % PortableP).as(s"mh_$i"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until PortableK).map(i => col(s"mh_$i")): _*).as("sig"))
+  }
+
+  /** Portable SimHash32 — the SQL-built form (reference for the
+    * kernel-equivalence spec; see [[minhashPortableSigsSql]]). */
+  private[graft] def simhashPortableSigsSql(docs: DataFrame): DataFrame = {
+    val h = portableToks(docs)
+      .select(col("doc_id"), explode(col("toks")).as("t"))
+      .select(col("doc_id"), h32(col("t")).as("h"))
+    val sums = (0 until 32).map(b =>
+      sum(shiftrightunsigned(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1)
+        .as(s"s_$b"))
+    h.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(b =>
+          when(col(s"s_$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sig"))
+  }
+
+  /** #20 oracled: MinHash+LSH on the portable signatures — band keys
+    * are the literal r-slice values (no re-hash, so DuckDB groups on
+    * the identical key), in-bucket agreement via the arithmetic-only
+    * LongArrayAgree kernel, est_jaccard = agree/K (a power-of-two
+    * division, exact in binary in both engines). */
+  def minhashLshPortable(spark: SparkSession, dir: String): DataFrame = {
+    val withSig = Tables.load(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), graft.functions.TextFunctions
+        .portableMinhashSig(col("text"), PortableK).as("sig"))
+      .filter(size(col("sig")) === PortableK)
+    val banded = withSig
+      .select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(PortableBands - 1))).as("band"))
+      .select(col("doc_id"), col("sig"), col("band"),
+        concat_ws(",", slice(col("sig"), col("band") * 2 + 1, lit(2)))
+          .as("key"))
+    bucketPairsWith(banded, "sig")
+      .select(col("a"), col("b"),
+        TextFunctions.sigAgree(col("sig_a"), col("sig_b")).as("agree"))
+      .groupBy("a", "b").agg(max(col("agree")).as("agree"))
+      .select(col("a"), col("b"),
+        (col("agree").cast("double") / PortableK).as("est_jaccard"))
+      .orderBy(col("est_jaccard").desc, col("a"), col("b"))
+      .limit(TopPairs)
+  }
+
+  /** #21 oracled: 32-bit portable SimHash — per-token h32, per-bit
+    * balance sums (±1 votes, ties set the bit), 4×8-bit band keys,
+    * in-bucket Hamming. Signature via the single-pass
+    * [[graft.functions.expressions.PortableSimHash32]] kernel;
+    * every downstream step is integer arithmetic both engines
+    * evaluate identically. */
+  def simhashPortable(spark: SparkSession, dir: String): DataFrame = {
+    val sig = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), graft.functions.TextFunctions
+        .portableSimhash32(col("text")).as("sig"))
+      .filter(col("sig").isNotNull)
+    val banded = sig
+      .select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .select(col("doc_id"), col("sig"), col("band"),
+        expr("shiftrightunsigned(sig, band * 8) & 255").as("key"))
+    bucketPairsWith(banded, "sig")
+      .select(col("a"), col("b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int")
+          .as("hamming"))
+      .groupBy("a", "b").agg(min(col("hamming")).as("hamming"))
+      .orderBy(col("hamming").asc, col("a"), col("b"))
+      .limit(500)
+  }
+
   // SimHash parameters: 64-bit signature, 4×16-bit bands.
   val SimhashBits = 64
   val SimhashBands = 4
