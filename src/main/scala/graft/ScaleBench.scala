@@ -126,12 +126,15 @@ object ScaleBench {
         // operator
         df.coalesce(1).write.mode("overwrite").parquet(s"$writeDir/$name")
       else df.collect()
+    // optional comma-list filter for targeted perf work on a few rows
+    val only = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val queries: Seq[(String, (org.apache.spark.sql.SparkSession, String)
-        => org.apache.spark.sql.DataFrame)] = mode match {
+        => org.apache.spark.sql.DataFrame)] = (mode match {
       case "joins" => JoinQueries.map(n => n -> SparkEntry.queries(n))
       case "bloom" => BloomQueries.toSeq.sortBy(_._1)
       case _ => Queries.map(n => n -> SparkEntry.queries(n))
-    }
+    }).filter(q => only.forall(_.contains(q._1)))
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     queries.foreach { case (name, fn) =>
       try {

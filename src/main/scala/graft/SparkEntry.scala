@@ -354,7 +354,7 @@ object SparkEntry {
         |    ORDER BY volume DESC, ticker_id ASC) AS bigint) AS day_rank
         |FROM d ORDER BY day, day_rank""".stripMargin,
     "dedup_exact" ->
-      """SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         |  count(*) AS dup_count
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
     // Portable-hash LSH (see Dedup.scala round-11 block): md5-derived
@@ -692,12 +692,16 @@ object SparkEntry {
     "vwap" ->
       s"""SELECT user_id AS ticker_id, cast(ts AS date) AS day,
          |  ${dsum("value * length(props)")} /
-         |    ${dsum("cast(length(props) AS double)")} AS vwap,
+         |    cast(sum(length(props)) AS double) AS vwap,
          |  ${dsum("value")} AS sum_price,
          |  cast(sum(length(props)) AS bigint) AS total_volume,
          |  count(*) AS n_trades
          |FROM events WHERE event_type = 'purchase'
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Spark orders open/close by a (micros, event_id) struct; DuckDB
+    // v1.0's arg_min cannot take a struct key, so its twin keeps the
+    // zero-padded string form — the ORDERINGS are identical, which is
+    // all the arg_min/arg_max results depend on.
     "ohlc_bars" ->
       """WITH t AS (SELECT user_id, ts, value,
         |    lpad(cast(epoch_us(ts) AS varchar), 20, '0') ||

@@ -148,14 +148,25 @@ object StockOps {
   def vwap(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")
       .filter(col("event_type") === "purchase")
+      // project the volume once: three aggregates consume it, and an
+      // explicit column guarantees one length() eval per row
+      .select(col("user_id"), col("ts"), col("value"),
+        length(col("props")).as("len"))
       .groupBy(col("user_id").as("ticker_id"),
         to_date(col("ts")).as("day"))
       .agg(
-        (Num.dsum(col("value") * length(col("props"))) /
-          Num.dsum(length(col("props")).cast("double"))).as("vwap"),
+        Num.dsum(col("value") * col("len")).as("pv"),
         Num.dsum(col("value")).as("sum_price"),
-        sum(length(col("props")).cast("long")).as("total_volume"),
+        sum(col("len").cast("long")).as("total_volume"),
         count(lit(1)).as("n_trades"))
+      // the denominator Σlen is an exact integer, so dividing by the
+      // long sum (cast) is bit-identical to the decimal-sum form the
+      // oracle writes — one fewer decimal aggregate buffer per group.
+      // Exactness bound: Σlen per (ticker, day) < 2^53, comfortably
+      // true at any realistic fill (lengths ≤ ~1e3, rows/group ≤ ~1e9)
+      .select(col("ticker_id"), col("day"),
+        (col("pv") / col("total_volume").cast("double")).as("vwap"),
+        col("sum_price"), col("total_volume"), col("n_trades"))
       .orderBy("ticker_id", "day")
 
   /** #62 OHLC candlestick bars per ticker per day — open/close via
@@ -163,13 +174,14 @@ object StockOps {
     * order even under timestamp ties), high/low/volume as plain
     * aggregates. One shuffle on the bar key. */
   def ohlcBars(spark: SparkSession, dir: String): DataFrame = {
-    // both fields padded to 20 so NO positive long can be truncated
-    // (lpad CUTS inputs longer than len — a 13-digit event_id under a
-    // 12-pad would sort before a 12-digit one); domain: non-negative
-    // ids and post-1970 timestamps, as everywhere in this warehouse
-    val sortKey = concat(
-      lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
-      lpad(col("event_id").cast("string"), 20, "0"))
+    // numeric composite key: (micros, event_id) struct ordering is
+    // lexicographic — identical to the padded-string ordering both
+    // sides previously built, with no per-row long→string
+    // conversions, padding, or 40-byte concat garbage. Domain:
+    // non-negative ids and post-1970 timestamps, as everywhere in
+    // this warehouse.
+    val sortKey = struct(unix_micros(col("ts")).as("t"),
+      col("event_id").as("i"))
     Tables.load(spark, dir, "events")
       .filter(col("event_type") === "purchase")
       .withColumn("sk", sortKey)
