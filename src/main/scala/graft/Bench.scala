@@ -16,20 +16,28 @@ object Bench {
     * artifact that does not exist at 100 TB (millions of files).
     * ScaleProbe demonstrates the same effect by multiplying paths;
     * this stages it once so all queries read a realistic layout.
-    * Values are bit-identical to the source (events keeps its raw
-    * nanosecond longs — written as plain int64, which
-    * `Tables.eventsRaw` reads the same way). Idempotent per (dir, n);
-    * one-time cost is reported separately in the bench JSON. */
+    * Values are bit-identical to the source (events is read with its
+    * PHYSICAL schema — raw nanos longs on the legacy layout, native
+    * micros on the current one — so the copy preserves exact values
+    * and the staged dir re-detects the same layout). Idempotent per
+    * (dir, n); one-time cost is reported separately in the bench
+    * JSON. */
   def stage(spark: SparkSession, dir: String, n: Int): String = {
     val dest = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_bench_stage_${graft.sources.StagePath.key(dir)}_$n")
     val marker = new java.io.File(dest, "_STAGED")
-    if (marker.exists()) return dest.getPath
+    // freshness: a staged copy older than its source is rebuilt, not
+    // served stale — the driver regenerates /root/testdata between
+    // rounds (observed Aug 13: the events timestamp layout changed)
+    val srcMtime = graft.sources.Tables.schemas.keys
+      .map(t => new java.io.File(dir, s"$t.parquet").lastModified()).max
+    if (marker.exists() && marker.lastModified() >= srcMtime)
+      return dest.getPath
     org.apache.commons.io.FileUtils.deleteQuietly(dest)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     graft.sources.Tables.schemas.keys.foreach { name =>
       val schema =
-        if (name == "events") graft.sources.Tables.eventsRaw
+        if (name == "events")
+          graft.sources.Tables.eventsPhysicalSchema(spark, dir)
         else graft.sources.Tables.schemas(name)
       spark.read.schema(schema).parquet(s"$dir/$name.parquet")
         .repartition(n)

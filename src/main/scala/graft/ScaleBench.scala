@@ -73,7 +73,12 @@ object ScaleBench {
     val dest = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_scale_${graft.sources.StagePath.key(staged)}$tag" + s"_x$mult")
     val marker = new java.io.File(dest, "_STAGED")
-    if (marker.exists()) return dest.getPath
+    // freshness: if the staged source was rebuilt (its marker is
+    // newer), the old hardlinks still point at the REPLACED inodes —
+    // rebuild the multiplied view rather than serve stale data
+    val srcMarker = new java.io.File(staged, "_STAGED")
+    if (marker.exists() && marker.lastModified() >= srcMarker.lastModified())
+      return dest.getPath
     org.apache.commons.io.FileUtils.deleteQuietly(dest)
     new java.io.File(staged).listFiles().filter(_.isDirectory).foreach { t =>
       val out = new java.io.File(dest, t.getName)
