@@ -63,6 +63,40 @@ object ScaleBench {
     "contamination_scale_bloom" ->
       ((s, d) => graft.operators.TextOps.contaminationAtScale(s, d, true)))
 
+  /** Skew kill-test set (VERDICT r10 #7): run on a 90%-one-key events
+    * corpus AND the uniform corpus at the same multiplier, reporting
+    * the skew/uniform ratio per query. The aggregate shapes
+    * (skew_agg's explicit salting; vwap and the max-struct
+    * latest_per_key via map-side partial aggregation) must hold the
+    * slope; sessionize's per-key ordered window is the known
+    * skew-sensitive shape and is measured honestly alongside. */
+  val SkewQueries: Seq[String] =
+    Seq("skew_agg", "latest_per_key", "vwap", "sessionize")
+
+  /** Fabricate the skewed twin of the staged events table: 90% of
+    * rows re-keyed to ONE user (deterministic via event_id, not
+    * rand()), values and timestamps untouched. Only events is
+    * staged — every SkewQueries entry reads events alone. */
+  def skewStage(spark: SparkSession, staged: String): String = {
+    import org.apache.spark.sql.functions._
+    val dest = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_skewstage_${graft.sources.StagePath.key(staged)}")
+    val marker = new java.io.File(dest, "_STAGED")
+    val srcMarker = new java.io.File(staged, "_STAGED")
+    if (marker.exists() && marker.lastModified() >= srcMarker.lastModified())
+      return dest.getPath
+    org.apache.commons.io.FileUtils.deleteQuietly(dest)
+    val sch = graft.sources.Tables.eventsPhysicalSchema(spark, staged)
+    spark.read.schema(sch).parquet(s"$staged/events.parquet")
+      .withColumn("user_id",
+        when(pmod(col("event_id"), lit(10L)) < 9, lit(42L))
+          .otherwise(col("user_id")))
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$dest/events.parquet")
+    marker.createNewFile()
+    dest.getPath
+  }
+
   /** Multiply the named staged tables by hardlinking each part file
     * `mult` times under fresh names (other tables hardlink once).
     * Values are bit-identical; the corpus is `mult`× the rows at
@@ -113,6 +147,40 @@ object ScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (mode == "skew") {
+      val staged = stage(spark, sfDir)
+      val uniform = multiply(staged, mult)
+      val skewed = multiply(skewStage(spark, staged), mult)
+      val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+      def best(name: String, d: String): Double = {
+        val fn = SparkEntry.queries(name)
+        fn(spark, d).collect()
+        (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, d).collect()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      }
+      val cells = SkewQueries.map { q =>
+        val u = best(q, uniform)
+        val s = best(q, skewed)
+        System.err.println(f"[skew] $q uniform=$u%.2f skewed=$s%.2f " +
+          f"ratio=${s / u}%.2f")
+        s""""$q":{"uniform":$u,"skewed":$s,"ratio":${s / u}}"""
+      }
+      println(s"""{"metric":"skew","queries":{${cells.mkString(",")}},""" +
+        s""""mult":$mult,"sf":"$sfDir"}""")
+      spark.stop()
+      return
+    }
+    if (mode == "protocol") {
+      // table-protocol cost curve (ProtocolBench): no multiplied
+      // corpus — the variable is COMMIT count, not row count
+      ProtocolBench.run(spark, sfDir,
+        sys.env.getOrElse("SPARK_GRAFT_PROTOCOL_COMMITS", "40").toInt)
+      spark.stop()
+      return
+    }
     val runDir =
       if (mode == "joins") multiply(stage(spark, sfDir), mult, JoinFactTables)
       else multiply(stage(spark, sfDir), mult)

@@ -34,18 +34,21 @@ object StockOps {
       .drop("event_id")
 
   /** #6 Latest-value-per-key — the reference's `currentPrice`
-    * semantics (stock_data_to_gcp.py:47): one shuffle on the key,
-    * deterministic tiebreak on event_id. */
-  def latestPerKey(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("ts").desc, col("event_id").desc)
+    * semantics (stock_data_to_gcp.py:47). A max-of-struct hash
+    * aggregate, NOT a row_number window: struct comparison is
+    * field-lexicographic, so max(struct(ts, event_id, value)) is
+    * exactly "latest ts, event_id tiebreak" — with map-side partial
+    * aggregation each task collapses every key to ONE row before the
+    * shuffle, so a 90%-one-key corpus moves |keys| rows instead of
+    * sorting the hot key's stream in a single task (the window form's
+    * failure mode), and the per-key sort disappears entirely. */
+  def latestPerKey(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("user_id").as("ticker_id"), col("ts").as("latest_ts"),
-        col("value").as("latest_price"))
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
+      .select(col("user_id").as("ticker_id"), col("m.ts").as("latest_ts"),
+        col("m.value").as("latest_price"))
       .orderBy("ticker_id")
-  }
 
   /** #7 Financial-ratio table (financial_ratio_to_gcp.py:43-47):
     * per-key derived ratios. Decimal-exact sums; double divisions. */
@@ -250,11 +253,12 @@ object StockOps {
     * key BEFORE the join (map-side-friendly window), so the join
     * moves one row per key, not per event. */
   def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("ts").desc, col("event_id").desc)
+    // same max-of-struct collapse as latestPerKey: skew-immune
+    // map-side partials, no per-key sort
     def latest(df: DataFrame) = df
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("user_id"), col("ts"), col("value"))
+      .groupBy("user_id")
+      .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
+      .select(col("user_id"), col("m.ts").as("ts"), col("m.value").as("value"))
     // Both sides load through the raw-nanos range reader so the time
     // window prunes at the parquet scan (not above the micros
     // projection) — the base is a bounded history, the update one day.
