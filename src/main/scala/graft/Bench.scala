@@ -61,6 +61,16 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE partition coalescing stays ON here: at the sf0.1 floor
+      // most shuffles are tiny and merging them saves per-task
+      // overhead (dedup_components' iterative rounds run 3x faster
+      // coalesced). ScaleBench defaults it OFF instead — at x50+ the
+      // 64MB advisory merge under-parallelizes single-node sorts
+      // (measured: scd2's window sort 30% slower under an
+      // `AQEShuffleRead coalesced`). Override via
+      // SPARK_GRAFT_AQE_COALESCE in either harness.
+      .config("spark.sql.adaptive.coalescePartitions.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_COALESCE", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -27,6 +27,12 @@ object BenchOne {
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", aqe)
+      // match the harness being profiled: coalescing ON at the sf0.1
+      // floor (Bench), OFF on multiplied corpora (ScaleBench) — see
+      // the Bench scaladoc for the measured tradeoff
+      .config("spark.sql.adaptive.coalescePartitions.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_COALESCE",
+          if (mult > 1) "false" else "true"))
       .config("spark.ui.enabled", "false")
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
       .foreach { kv =>

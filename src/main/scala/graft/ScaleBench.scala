@@ -144,6 +144,11 @@ object ScaleBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", aqe)
+      // default OFF here (vs ON in Bench): at x50+ the 64MB advisory
+      // merge under-parallelizes single-node sorts — see Bench's
+      // scaladoc for the measured tradeoff
+      .config("spark.sql.adaptive.coalescePartitions.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_COALESCE", "false"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
