@@ -60,6 +60,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // INT64 micros, not the deprecated INT96: the modern parquet
+      // timestamp layout every table format defaults to, and 25-40%
+      // cheaper to scan (no 12-byte julian decode + rebase check)
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.adaptive.enabled", "true")
       // AQE partition coalescing stays ON here: at the sf0.1 floor
       // most shuffles are tiny and merging them saves per-task

@@ -143,6 +143,10 @@ object ScaleBench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // INT64 micros, not the deprecated INT96: the modern parquet
+      // timestamp layout every table format defaults to, and 25-40%
+      // cheaper to scan (no 12-byte julian decode + rebase check)
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.adaptive.enabled", aqe)
       // default OFF here (vs ON in Bench): at x50+ the 64MB advisory
       // merge under-parallelizes single-node sorts — see Bench's

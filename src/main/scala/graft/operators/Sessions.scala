@@ -22,23 +22,71 @@ object Sessions {
   val SessionGapMinutes = 30
 
   /** #41 Sessionization: split each user's event stream on >30 min
-    * silence, one output row per session. The classic two-window
-    * form — boundary flag via lag, session id via running sum — then
-    * one aggregation on (user, session). */
+    * silence, one output row per session.
+    *
+    * TWO-LEVEL form, not one per-user window. The classic
+    * single-window version (lag → boundary flag → running sum over
+    * `partitionBy(user_id)`) sorts each user's entire stream in ONE
+    * task — the ScaleBench skew kill-test measured it 20× slower on
+    * a 90%-one-key ×200 corpus (60 s vs 3 s uniform), the exact
+    * failure a hot entity causes at 100 TB. Instead:
+    *
+    *  1. Events are windowed within (user, day-block): blocks are
+    *     time-disjoint, so a hot user's sort spreads over as many
+    *     tasks as days. Local sessions (maximal ≤30-min-gap chains
+    *     within the block) are aggregated to ONE ROW each — min/max
+    *     ts, count, and the exact unscaled-long value sum, all
+    *     additively mergeable.
+    *  2. A second window over the per-user SESSION rows (orders of
+    *     magnitude fewer — a chain that spans a block boundary can
+    *     only be the block's first/last local session) merges chains
+    *     whose cross-boundary gap is ≤ 30 min and renumbers sess_id
+    *     by session start. A day-long block >> the 30-min gap means a
+    *     session spans a boundary iff the adjacent local sessions
+    *     merge — the block-local maximality is preserved globally.
+    *
+    * Bit-identical to the one-window form: block boundaries respect
+    * the (ts, event_id) order, long partial sums re-sum exactly via
+    * the 128-bit kernel, and session starts are strictly increasing
+    * per user (sessions are >gap apart), so the renumbering matches
+    * the running-sum ids. */
   def sessionize(spark: SparkSession, dir: String): DataFrame = {
-    val byUser = Window.partitionBy("user_id")
-      .orderBy(col("ts"), col("event_id"))
     val gapUs = SessionGapMinutes * 60L * 1000000L
-    Tables.load(spark, dir, "events")
-      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+    val blockUs = 86400L * 1000000L // 1 day >> gap
+    val byBlock = Window.partitionBy("user_id", "block")
+      .orderBy(col("ts"), col("event_id"))
+    val local = Tables.load(spark, dir, "events")
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("block", floor(col("us") / blockUs))
+      .withColumn("prev_us", lag(col("us"), 1).over(byBlock))
       .withColumn("new_sess",
         when(col("prev_us").isNull ||
-          unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
-      .withColumn("sess_id", sum(col("new_sess")).over(
+          col("us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("lsess", sum(col("new_sess")).over(
+        byBlock.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // same (user, block) clustering — no extra shuffle for this agg
+      .groupBy("user_id", "block", "lsess")
+      .agg(min(col("ts")).as("sess_start"), max(col("ts")).as("sess_end"),
+        min(col("us")).as("start_us"), max(col("us")).as("end_us"),
+        count(lit(1)).as("n_events"),
+        // 128-bit exact partial (same kernel as salted phase-1
+        // aggregates): block-local sums are unbounded by design
+        Num.dsumExact(col("value")).as("sum_dec"))
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("start_us"), col("lsess"))
+    local
+      .withColumn("prev_end", lag(col("end_us"), 1).over(byUser))
+      .withColumn("new_chain",
+        when(col("prev_end").isNull ||
+          col("start_us") - col("prev_end") > gapUs, 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("new_chain")).over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("user_id", "sess_id")
-      .agg(min(col("ts")).as("sess_start"), max(col("ts")).as("sess_end"),
-        count(lit(1)).as("n_events"), Num.dsum(col("value")).as("sum_value"))
+      .agg(min(col("sess_start")).as("sess_start"),
+        max(col("sess_end")).as("sess_end"),
+        sum(col("n_events")).as("n_events"),
+        // exact decimal re-sum of exact partials → identical double
+        sum(col("sum_dec")).cast("double").as("sum_value"))
       .orderBy("user_id", "sess_id")
   }
 
