@@ -65,14 +65,13 @@ object Bench {
       // cheaper to scan (no 12-byte julian decode + rebase check)
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.adaptive.enabled", "true")
-      // AQE partition coalescing stays ON here: at the sf0.1 floor
-      // most shuffles are tiny and merging them saves per-task
-      // overhead (dedup_components' iterative rounds run 3x faster
-      // coalesced). ScaleBench defaults it OFF instead — at x50+ the
-      // 64MB advisory merge under-parallelizes single-node sorts
-      // (measured: scd2's window sort 30% slower under an
-      // `AQEShuffleRead coalesced`). Override via
-      // SPARK_GRAFT_AQE_COALESCE in either harness.
+      // AQE partition coalescing ON: at the sf0.1 floor most shuffles
+      // are tiny and merging them saves per-task overhead
+      // (dedup_components' iterative rounds run 3x faster coalesced),
+      // and the x100 A/B over the INT64-micros staged layout shows it
+      // winning most scale shapes too (only scd2's window sort
+      // prefers OFF). SPARK_GRAFT_AQE_COALESCE overrides for
+      // per-query studies.
       .config("spark.sql.adaptive.coalescePartitions.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE_COALESCE", "true"))
       .config("spark.ui.enabled", "false")

@@ -31,12 +31,10 @@ object BenchOne {
       // cheaper to scan (no 12-byte julian decode + rebase check)
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.adaptive.enabled", aqe)
-      // match the harness being profiled: coalescing ON at the sf0.1
-      // floor (Bench), OFF on multiplied corpora (ScaleBench) — see
-      // the Bench scaladoc for the measured tradeoff
+      // ON in both tiers (see Bench/ScaleBench scaladocs for the
+      // measured A/B); SPARK_GRAFT_AQE_COALESCE for per-query studies
       .config("spark.sql.adaptive.coalescePartitions.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_COALESCE",
-          if (mult > 1) "false" else "true"))
+        sys.env.getOrElse("SPARK_GRAFT_AQE_COALESCE", "true"))
       .config("spark.ui.enabled", "false")
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
       .foreach { kv =>

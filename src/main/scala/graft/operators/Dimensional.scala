@@ -22,16 +22,51 @@ object Dimensional {
     * stream to its CHANGE points (drop no-op updates — the defining
     * SCD2 move), then version the survivors with
     * [effective_from, effective_to) validity ranges; the open row is
-    * `is_current`. Two windows over the same (user, ts, event_id)
-    * order — Catalyst shares one sort/shuffle. */
+    * `is_current`.
+    *
+    * TWO-LEVEL change detection (round 11), like [[Sessions
+    * .sessionize]]: a single per-user window sorts a hot ticker's
+    * whole stream in one task, so the lag-compare runs within
+    * (user, day-block) instead — a hot key's sort spreads over as
+    * many tasks as days. Cross-boundary correctness comes from a
+    * SENTINEL row: each block's last value (a max-of-struct partial
+    * aggregate, skew-immune) is forwarded via a tiny per-user window
+    * over block summaries into the user's NEXT PRESENT block (day
+    * gaps are handled — the summary lag, not block+1 arithmetic,
+    * picks the successor), where it sorts first (us = Long.MinValue)
+    * and serves as the first row's lag(value). Block-first rows then
+    * compare against exactly the value a global window would have
+    * seen, so the surviving change set is identical. Version
+    * numbering + effective_to run on the CHANGE rows only — orders of
+    * magnitude fewer than events (no-op updates dominate a price
+    * stream), keeping the one remaining per-user window small. */
   def scd2Dim(spark: SparkSession, dir: String): DataFrame = {
-    val byUser = Window.partitionBy("user_id")
-      .orderBy(col("ts"), col("event_id"))
-    val changes = Tables.load(spark, dir, "events")
+    val blockUs = 86400L * 1000000L // 1 day
+    val ev = Tables.load(spark, dir, "events")
       .filter(col("event_type") === "purchase")
-      .withColumn("prev_value", lag(col("value"), 1).over(byUser))
-      .filter(col("prev_value").isNull ||
-        col("value") =!= col("prev_value"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("block", floor(col("us") / blockUs))
+    // one row per (user, block): the block's last value — partial
+    // aggregation collapses hot keys map-side
+    val summaries = ev.groupBy("user_id", "block")
+      .agg(max(struct(col("us"), col("event_id"), col("value"))).as("m"))
+      .select(col("user_id"), col("block"), col("m.value").as("last_value"))
+    val byBlockSeq = Window.partitionBy("user_id").orderBy(col("block"))
+    val sentinels = summaries
+      .withColumn("prev_last", lag(col("last_value"), 1).over(byBlockSeq))
+      .filter(col("prev_last").isNotNull)
+      .select(col("user_id"), lit(null).cast("timestamp").as("ts"),
+        lit(Long.MinValue).as("event_id"), col("prev_last").as("value"),
+        lit(Long.MinValue).as("us"), col("block"),
+        lit(true).as("sentinel"))
+    val byBlock = Window.partitionBy("user_id", "block")
+      .orderBy(col("us"), col("event_id"))
+    val changes = ev.withColumn("sentinel", lit(false))
+      .unionByName(sentinels)
+      .withColumn("prev_value", lag(col("value"), 1).over(byBlock))
+      .filter(!col("sentinel") && (col("prev_value").isNull ||
+        col("value") =!= col("prev_value")))
     val byChange = Window.partitionBy("user_id")
       .orderBy(col("ts"), col("event_id"))
     changes
