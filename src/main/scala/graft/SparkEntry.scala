@@ -18,6 +18,7 @@ object SparkEntry {
     "ingest_typed" -> (StockOps.ingestTyped _),
     "csv_ingest" -> (graft.sources.CsvIngest.csvIngestQuery _),
     "json_ingest" -> (graft.sources.JsonIngest.jsonIngestQuery _),
+    "acquire_fetch" -> (graft.sources.Acquire.acquireFetch _),
     "skew_agg" -> (Skew.skewAgg _),
     "shard_union" -> (StockOps.shardUnion _),
     "append_roundtrip" -> (StockOps.appendRoundtrip _),
@@ -58,6 +59,7 @@ object SparkEntry {
     "ann_brute" -> (Similarity.annBrute _),
     "ann_lsh" -> (Similarity.annLsh _),
     "ann_ivf" -> (Similarity.annIvf _),
+    "ann_ivf_exact" -> (Similarity.annIvfExact _),
     "ann_quant" -> (Similarity.annQuant _),
     "ann_pq" -> (Similarity.annPq _),
     "ann_ivfpq" -> (Similarity.annIvfPq _),
@@ -120,6 +122,24 @@ object SparkEntry {
 
   private val Dec = "decimal(28,6)"
   private def dsum(x: String) = s"cast(sum(cast($x as $Dec)) as double)"
+
+  /** Exact cosine top-5 per query vector — the oracle for BOTH
+    * `ann_brute` and `ann_ivf_exact` (exhaustive IVF degenerates to
+    * brute force; see Similarity.annIvfExact). */
+  private val AnnExactTopkSql =
+    """WITH e AS (SELECT vec_id, cast(embedding AS double[]) AS v
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT q.q_id, e.vec_id AS cand_id,
+      |    list_cosine_similarity(q.qv, e.v) AS cos
+      |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+      |ranked AS (
+      |  SELECT q_id, cand_id, cos, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY cos DESC, cand_id ASC) AS rnk FROM scored)
+      |SELECT q_id, cast(rnk AS bigint) AS rnk, cand_id,
+      |  round(cos, 6) AS cos_sim
+      |FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 
   private val ContaminationSql =
     """WITH t AS (SELECT doc_id,
@@ -186,6 +206,21 @@ object SparkEntry {
          |WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
          |  AND ts < TIMESTAMP '2024-01-03 00:00:00'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Closed-form twin of Acquire.arithmeticFake under maxRetries=2:
+    // key k fails k%4 times transiently (k%4==3 exhausts the 3-call
+    // budget → quarantined), a success returns 100+(k%7)*13 bytes.
+    // The Spark side EXECUTES the retry/rate-limit/quarantine loop;
+    // the oracle recomputes the contract it must land on.
+    "acquire_fetch" ->
+      """WITH w AS (SELECT DISTINCT user_id AS key FROM events),
+        |f AS (SELECT key, key % 4 AS nf FROM w)
+        |SELECT key,
+        |  CASE WHEN nf <= 2 THEN 'ok' ELSE 'failed' END AS status,
+        |  cast(CASE WHEN nf <= 2 THEN nf + 1 ELSE 3 END AS bigint)
+        |    AS attempts,
+        |  CASE WHEN nf <= 2 THEN cast(100 + (key % 7) * 13 AS bigint)
+        |    ELSE NULL END AS payload_len
+        |FROM f ORDER BY key""".stripMargin,
     "skew_agg" ->
       s"""SELECT event_type, count(*) AS n_events,
          |  ${dsum("value")} AS sum_value
@@ -489,20 +524,10 @@ object SparkEntry {
         |  cast(sum(cast(cs AS decimal(28,6))) AS double) /
         |    cast(count(*) AS double) AS avg_cos
         |FROM ranked WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "ann_brute" ->
-      """WITH e AS (SELECT vec_id, cast(embedding AS double[]) AS v
-        |  FROM embeddings),
-        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
-        |scored AS (
-        |  SELECT q.q_id, e.vec_id AS cand_id,
-        |    list_cosine_similarity(q.qv, e.v) AS cos
-        |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
-        |ranked AS (
-        |  SELECT q_id, cand_id, cos, row_number() OVER (PARTITION BY q_id
-        |    ORDER BY cos DESC, cand_id ASC) AS rnk FROM scored)
-        |SELECT q_id, cast(rnk AS bigint) AS rnk, cand_id,
-        |  round(cos, 6) AS cos_sim
-        |FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "ann_brute" -> AnnExactTopkSql,
+    // Exhaustive IVF ≡ brute force (every cell probed, exact re-rank)
+    // — same oracle, proving the IVF machinery lossless end-to-end.
+    "ann_ivf_exact" -> AnnExactTopkSql,
     // Int8-quantized ANN: integer dot/norms are exact in both engines,
     // so unlike the float ANN variants this one is fully oracled.
     // Quantization twin: s = ma/127, q_i = floor(v_i/s + 0.5) — the

@@ -265,6 +265,19 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** #35 exhaustive configuration: probe EVERY cell. With all C cells
+    * probed, each indexed vector is a candidate regardless of its
+    * cell assignment, and the exact cosine re-rank makes the result
+    * identical to [[annBrute]] — which is what turns the IVF
+    * machinery (assignment window, probe join, dedup, re-rank) into a
+    * hash-verifiable query: `ann_ivf_exact` shares ann_brute's DuckDB
+    * oracle verbatim. The production `ann_ivf` keeps its tuned
+    * nprobe &lt; C recall/cost trade (rows-only + recall spec); this row
+    * proves the machinery it rides is lossless. */
+  def annIvfExact(spark: SparkSession, dir: String): DataFrame =
+    annIvfWith(spark, dir, assign = 1, probe = IvfCells, margin = 0.0,
+      probeMax = IvfCells)
+
   /** #72 Per-label embedding centroids (prototype vectors — class
     * means for classifier init / nearest-centroid labeling / drift
     * monitoring). Long form (label, pos, m): one decimal-exact mean
