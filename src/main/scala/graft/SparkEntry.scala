@@ -60,6 +60,8 @@ object SparkEntry {
     "ann_lsh" -> (Similarity.annLsh _),
     "ann_ivf" -> (Similarity.annIvf _),
     "ann_ivf_exact" -> (Similarity.annIvfExact _),
+    "ann_indexed" -> (Similarity.annIndexed _),
+    "ann_filtered" -> (Similarity.annFiltered _),
     "ann_quant" -> (Similarity.annQuant _),
     "ann_pq" -> (Similarity.annPq _),
     "ann_ivfpq" -> (Similarity.annIvfPq _),
@@ -528,6 +530,26 @@ object SparkEntry {
     // Exhaustive IVF ≡ brute force (every cell probed, exact re-rank)
     // — same oracle, proving the IVF machinery lossless end-to-end.
     "ann_ivf_exact" -> AnnExactTopkSql,
+    // Exhaustive probe of the PERSISTED index — same oracle again:
+    // a lost/corrupted/truncated posting surfaces as a hash mismatch.
+    "ann_indexed" -> AnnExactTopkSql,
+    // Filtered ANN: exact within the label-constrained candidate set.
+    "ann_filtered" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    cast(embedding AS double[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv, label AS q_label
+        |  FROM e WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.q_id, e.vec_id AS cand_id,
+        |    list_cosine_similarity(q.qv, e.v) AS cos
+        |  FROM e JOIN q ON e.label = q.q_label
+        |    AND e.vec_id <> q.q_id),
+        |ranked AS (
+        |  SELECT q_id, cand_id, cos, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cos DESC, cand_id ASC) AS rnk FROM scored)
+        |SELECT q_id, cast(rnk AS bigint) AS rnk, cand_id,
+        |  round(cos, 6) AS cos_sim
+        |FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     // Int8-quantized ANN: integer dot/norms are exact in both engines,
     // so unlike the float ANN variants this one is fully oracled.
     // Quantization twin: s = ma/127, q_i = floor(v_i/s + 0.5) — the

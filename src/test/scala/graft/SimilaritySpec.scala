@@ -192,6 +192,47 @@ class SimilaritySpec extends SparkTestBase {
     assert(got.forall(r => r.getLong(0) < r.getLong(1)), "pairs not a<b")
   }
 
+  test("exhaustive IVF configurations equal brute force exactly") {
+    val brute = Similarity.annBrute(spark, SfDir).collect().toSeq
+    // in-memory exhaustive probe (ann_ivf_exact)
+    assert(Similarity.annIvfExact(spark, SfDir).collect().toSeq === brute)
+    // persisted-index exhaustive probe (ann_indexed): build → parquet
+    // → read → probe must round-trip losslessly
+    assert(Similarity.annIndexed(spark, SfDir).collect().toSeq === brute)
+  }
+
+  test("persisted-index tuned probe is bit-identical to the in-memory path") {
+    val mem = Similarity.annIvf(spark, SfDir).collect().toSeq
+    val disk = Similarity.annIvfIndexedTuned(spark, SfDir).collect().toSeq
+    assert(disk === mem)
+  }
+
+  test("filtered ANN: same-label neighbors, exact within the filtered set") {
+    val raw = graft.sources.Tables.load(spark, SfDir, "embeddings")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toVector))
+    def cos(a: Vector[Double], b: Vector[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    val want = raw.filter(_._1 < 8).sortBy(_._1).flatMap { case (q, ql, qv) =>
+      raw.filter(c => c._2 == ql && c._1 != q)
+        .map(c => (c._1, cos(qv, c._3)))
+        .sortBy { case (id, s) => (-s, id) }
+        .take(5).zipWithIndex
+        .map { case ((id, _), i) => (q, (i + 1).toLong, id) }
+    }.toSeq
+    val got = Similarity.annFiltered(spark, SfDir)
+      .select("q_id", "rnk", "cand_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === want)
+    // and every returned candidate really shares the query's label
+    val labels = raw.map(t => t._1 -> t._2).toMap
+    assert(got.forall { case (q, _, c) => labels(q) == labels(c) })
+  }
+
   test("lsh plans join on bucket keys, not cross products") {
     for (df <- Seq(Similarity.annLsh(spark, SfDir),
         Similarity.dedupEmbed(spark, SfDir))) {
