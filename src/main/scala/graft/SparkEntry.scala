@@ -117,6 +117,7 @@ object SparkEntry {
     "corpus_stats" -> (TextOps.corpusStats _),
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
     "multimodal_features" -> (Multimodal.multimodalFeatures _),
+    "multimodal_features_text" -> (Multimodal.multimodalFeaturesText _),
     "multimodal_audio" -> (Multimodal.multimodalAudio _),
     "multimodal_video" -> (Multimodal.multimodalVideo _),
     "bpe_stats" -> (Bpe.bpeStats _)
@@ -1384,6 +1385,40 @@ object SparkEntry {
         |    ELSE 30 + 3 * (1 + strlen(text) % 3) END + 4095) // 4096
         |    AS bigint) AS n_chunks
         |FROM documents WHERE text IS NOT NULL
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    // ByteHistogram portable twin: DuckDB rebuilds each doc's 64-bin
+    // byte histogram (bin = byte >> 2) from the raw UTF-8 bytes, the
+    // decimal-exact bin-mean centroid (the dsum/davg contract), and
+    // the cosine outlier score — hash-verifying the feature kernel.
+    "multimodal_features_text" ->
+      """WITH nz AS (SELECT doc_id, encode(text) AS eb,
+        |    octet_length(encode(text)) AS n
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND octet_length(encode(text)) > 0),
+        |by AS (SELECT doc_id, n,
+        |    unnest([cast(concat('0x', substr(hex(eb), 2*i+1, 2)) AS int)
+        |      // 4 for i in range(n)]) AS bin
+        |  FROM nz),
+        |hist AS (SELECT doc_id, n, bin, count(*) AS c
+        |  FROM by GROUP BY 1, 2, 3),
+        |grid AS (SELECT doc_id, n, j AS bin
+        |  FROM nz CROSS JOIN range(64) t(j)),
+        |densec AS (SELECT g.doc_id, g.n, g.bin,
+        |    coalesce(h.c, 0) AS c
+        |  FROM grid g LEFT JOIN hist h
+        |    ON g.doc_id = h.doc_id AND g.bin = h.bin),
+        |f AS (SELECT doc_id, n,
+        |    list(cast(c AS double) / n ORDER BY bin) AS fv
+        |  FROM densec GROUP BY doc_id, n),
+        |cent AS (SELECT bin,
+        |    cast(sum(cast(cast(c AS double) / n AS decimal(28,6)))
+        |      AS double) / count(*) AS m
+        |  FROM densec GROUP BY bin),
+        |cv AS (SELECT list(m ORDER BY bin) AS cvec FROM cent)
+        |SELECT doc_id, cast(n AS bigint) AS n_bytes,
+        |  cast(list_position(fv, list_max(fv)) - 1 AS bigint) AS top_bin,
+        |  round(list_max(fv), 6) AS top_freq,
+        |  round(list_cosine_similarity(fv, cvec), 6) AS centroid_cos
+        |FROM f, cv ORDER BY doc_id""".stripMargin
   )
 }

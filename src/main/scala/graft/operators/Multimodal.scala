@@ -327,4 +327,38 @@ object Multimodal {
       .select("doc_id", "n_bytes", "top_bin", "top_freq", "centroid_cos")
       .orderBy("doc_id")
   }
+
+  /** #113 portable twin: the same ByteHistogram→centroid→cosine
+    * pipeline over the RAW text bytes (no fabricated container — its
+    * PNG/JPEG headers embed a CRC32 no SQL oracle can recompute).
+    * Dropping the header makes every byte SQL-reachable, so DuckDB
+    * rebuilds the 64-bin histograms, the decimal-exact bin-mean
+    * centroid (the [[graft.operators.Num.davg]] contract), and the
+    * cosine — hash-verifying the feature kernel and the outlier
+    * screen end-to-end. `multimodal_features` keeps the container
+    * fabrication (rows-only + kernel property spec); this row is its
+    * exactness gate, the round-11 portable-signature pattern. */
+  def multimodalFeaturesText(spark: SparkSession, dir: String): DataFrame = {
+    val feats = Tables.load(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        byteHistogram(col("payload"), FeatureBins).as("f"))
+      .filter(col("f").isNotNull) // empty payloads have no histogram
+    val centroid = feats
+      .select(posexplode(col("f")).as(Seq("bin", "v")))
+      .groupBy("bin")
+      .agg(graft.operators.Num.davg(col("v")).as("m"))
+      .orderBy("bin").collect().map(_.getDouble(1))
+    feats
+      .withColumn("top_bin",
+        (expr("array_position(f, array_max(f))") - 1L).cast("long"))
+      .withColumn("top_freq", round(array_max(col("f")), 6))
+      .withColumn("centroid_cos",
+        round(graft.functions.VectorFunctions.cosine(col("f"),
+          array(centroid.map(lit(_)).toIndexedSeq: _*)), 6))
+      .select("doc_id", "n_bytes", "top_bin", "top_freq", "centroid_cos")
+      .orderBy("doc_id")
+  }
 }
