@@ -33,7 +33,16 @@ object ScaleBench {
     // these rows measure Spark-side decode THROUGHPUT and stay out
     // of the engine-vs-engine twin subset (BASELINE exclusion note).
     "multimodal_meta", "multimodal_audio", "multimodal_video",
-    "multimodal_features")
+    "multimodal_features",
+    // round 12: training-export scans — mixture_sample is two
+    // row-linear passes (count + filter); corpus_shuffle is the
+    // shard write itself (output grows with the multiplier, so like
+    // scd2_dim it measures the export path, not the engine twin).
+    // cluster_split stays OUT: hardlink multiplication duplicates
+    // doc_ids, so the near-dup edge set grows quadratically inside
+    // duplicate groups — an artifact of the multiplied corpus, not
+    // of the operator.
+    "mixture_sample", "corpus_shuffle")
 
   /** Join shapes where only the FACT side (lineitem) multiplies —
     * each order keeps its (now mult×) lines and every dim stays

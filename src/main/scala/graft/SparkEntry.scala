@@ -61,6 +61,7 @@ object SparkEntry {
     "ann_ivf" -> (Similarity.annIvf _),
     "ann_ivf_exact" -> (Similarity.annIvfExact _),
     "ann_indexed" -> (Similarity.annIndexed _),
+    "ann_append" -> (Similarity.annAppend _),
     "ann_filtered" -> (Similarity.annFiltered _),
     "ann_quant" -> (Similarity.annQuant _),
     "ann_pq" -> (Similarity.annPq _),
@@ -120,7 +121,11 @@ object SparkEntry {
     "multimodal_features_text" -> (Multimodal.multimodalFeaturesText _),
     "multimodal_audio" -> (Multimodal.multimodalAudio _),
     "multimodal_video" -> (Multimodal.multimodalVideo _),
-    "bpe_stats" -> (Bpe.bpeStats _)
+    "bpe_stats" -> (Bpe.bpeStats _),
+    // §2.L training-set export (round 12)
+    "cluster_split" -> (TrainExport.clusterSplit _),
+    "corpus_shuffle" -> (TrainExport.corpusShuffle _),
+    "mixture_sample" -> (TrainExport.mixtureSample _)
   )
 
   private val Dec = "decimal(28,6)"
@@ -143,6 +148,38 @@ object SparkEntry {
       |SELECT q_id, cast(rnk AS bigint) AS rnk, cand_id,
       |  round(cos, 6) AS cos_sim
       |FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
+  /** The near-dup connected-components fixed point (blocked
+    * trigram-Jaccard edges ≥ 0.5, min-label recursive closure) up to
+    * `c(id, comp)` — shared by the `dedup_components` oracle and the
+    * `cluster_split` oracle, which assigns train/val/test on top of
+    * the SAME component ids. */
+  private val NearDupComponentsCte =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, lang, source, n_chars, n_chars // 20 AS blk,
+      |    list_distinct(list_transform(
+      |      range(greatest(length(lower(text)) - 2, 0)),
+      |      i -> substr(lower(text), cast(i + 1 AS int), 3))) AS grams
+      |  FROM documents),
+      |p AS (SELECT x.doc_id AS a, y.doc_id AS b,
+      |    CASE WHEN len(x.grams) + len(y.grams)
+      |              - len(list_intersect(x.grams, y.grams)) > 0
+      |      THEN cast(len(list_intersect(x.grams, y.grams)) AS double)
+      |        / cast(len(x.grams) + len(y.grams)
+      |               - len(list_intersect(x.grams, y.grams)) AS double)
+      |      ELSE 0.0 END AS jac
+      |  FROM d x JOIN d y ON x.lang = y.lang AND x.source = y.source
+      |    AND abs(x.blk - y.blk) <= 1 AND x.doc_id < y.doc_id
+      |    AND abs(x.n_chars - y.n_chars) <= 20),
+      |e AS (SELECT a, b FROM p WHERE jac >= 0.5),
+      |sym AS (SELECT a AS src, b AS dst FROM e
+      |  UNION ALL SELECT b AS src, a AS dst FROM e),
+      |r AS (
+      |  SELECT doc_id AS id, doc_id AS comp FROM documents
+      |  UNION
+      |  SELECT s.dst AS id, r.comp AS comp
+      |  FROM r JOIN sym s ON s.src = r.id WHERE r.comp < s.dst),
+      |c AS (SELECT id, min(comp) AS comp FROM r GROUP BY id)""".stripMargin
 
   private val ContaminationSql =
     """WITH t AS (SELECT doc_id,
@@ -534,6 +571,10 @@ object SparkEntry {
     // Exhaustive probe of the PERSISTED index — same oracle again:
     // a lost/corrupted/truncated posting surfaces as a hash mismatch.
     "ann_indexed" -> AnnExactTopkSql,
+    // Append-without-retrain: exhaustive probe over base+appended
+    // postings degenerates to brute force over the full corpus, so
+    // the shared exact-top-k oracle hash-verifies the append path.
+    "ann_append" -> AnnExactTopkSql,
     // Filtered ANN: exact within the label-constrained candidate set.
     "ann_filtered" ->
       """WITH e AS (SELECT vec_id, label,
@@ -581,37 +622,25 @@ object SparkEntry {
     // component minimum must reach every member (comp < dst prunes the
     // non-min label floods), the same fixed point the Spark loop finds.
     "dedup_components" ->
-      """WITH RECURSIVE d AS (
-        |  SELECT doc_id, lang, source, n_chars, n_chars // 20 AS blk,
-        |    list_distinct(list_transform(
-        |      range(greatest(length(lower(text)) - 2, 0)),
-        |      i -> substr(lower(text), cast(i + 1 AS int), 3))) AS grams
-        |  FROM documents),
-        |p AS (SELECT x.doc_id AS a, y.doc_id AS b,
-        |    CASE WHEN len(x.grams) + len(y.grams)
-        |              - len(list_intersect(x.grams, y.grams)) > 0
-        |      THEN cast(len(list_intersect(x.grams, y.grams)) AS double)
-        |        / cast(len(x.grams) + len(y.grams)
-        |               - len(list_intersect(x.grams, y.grams)) AS double)
-        |      ELSE 0.0 END AS jac
-        |  FROM d x JOIN d y ON x.lang = y.lang AND x.source = y.source
-        |    AND abs(x.blk - y.blk) <= 1 AND x.doc_id < y.doc_id
-        |    AND abs(x.n_chars - y.n_chars) <= 20),
-        |e AS (SELECT a, b FROM p WHERE jac >= 0.5),
-        |sym AS (SELECT a AS src, b AS dst FROM e
-        |  UNION ALL SELECT b AS src, a AS dst FROM e),
-        |r AS (
-        |  SELECT doc_id AS id, doc_id AS comp FROM documents
-        |  UNION
-        |  SELECT s.dst AS id, r.comp AS comp
-        |  FROM r JOIN sym s ON s.src = r.id WHERE r.comp < s.dst),
-        |c AS (SELECT id, min(comp) AS comp FROM r GROUP BY id),
+      s"""$NearDupComponentsCte,
         |sz AS (SELECT comp, count(*) AS comp_size FROM c GROUP BY comp)
         |SELECT c.id AS doc_id, c.comp AS comp_id, sz.comp_size,
         |  cast(CASE WHEN c.id = c.comp THEN 1 ELSE 0 END AS bigint)
         |    AS is_canonical
         |FROM c JOIN sz ON c.comp = sz.comp
         |ORDER BY doc_id""".stripMargin,
+    // Leakage-safe split twin: the SAME components fixed point, then
+    // the split is sample_hash's Knuth arithmetic on the COMPONENT id
+    // — every member of a dup cluster shares its component's split.
+    "cluster_split" ->
+      s"""$NearDupComponentsCte
+        |SELECT c.id AS doc_id, c.comp AS comp_id,
+        |  CASE WHEN (c.comp % 1000000007) * 2654435761 % 1000 < 800
+        |      THEN 'train'
+        |    WHEN (c.comp % 1000000007) * 2654435761 % 1000 < 900
+        |      THEN 'val'
+        |    ELSE 'test' END AS split
+        |FROM c ORDER BY doc_id""".stripMargin,
     // Incremental dedup twin: same blocked pair generation as
     // ngram_jaccard but index×batch sides (index = existing corpus +
     // earlier batch docs); best match realized as row_number
@@ -1419,6 +1448,50 @@ object SparkEntry {
         |  cast(list_position(fv, list_max(fv)) - 1 AS bigint) AS top_bin,
         |  round(list_max(fv), 6) AS top_freq,
         |  round(list_cosine_similarity(fv, cvec), 6) AS centroid_cos
-        |FROM f, cv ORDER BY doc_id""".stripMargin
+        |FROM f, cv ORDER BY doc_id""".stripMargin,
+    // Shuffle-export twin: the closed form of what the shards must
+    // contain — seeded md5-affine permutation key, key-mod shard,
+    // within-shard rank — recomputed from the source table. The
+    // Spark side aggregates the WRITTEN files, so a hash match
+    // certifies the write→read round trip (ordering included, via
+    // the position-weighted checksum).
+    "corpus_shuffle" ->
+      """WITH s AS (SELECT doc_id, n_chars,
+        |    CAST(('0x' || substr(md5('42:' || doc_id), 25, 8))::UBIGINT
+        |      AS BIGINT) AS skey
+        |  FROM documents),
+        |p AS (SELECT doc_id, n_chars, skey, skey % 8 AS shard,
+        |    row_number() OVER (PARTITION BY skey % 8
+        |      ORDER BY skey, doc_id) AS pos
+        |  FROM s)
+        |SELECT shard, count(*) AS n_docs,
+        |  cast(sum(n_chars) AS bigint) AS sum_chars,
+        |  cast(sum(pos * (doc_id % 1000003)) AS bigint) AS ord_checksum
+        |FROM p GROUP BY shard ORDER BY shard""".stripMargin,
+    // Mixture twin: same integer-threshold construction — sqrt(n)
+    // rounded to 6 dp BEFORE the exact decimal sum (partition-order
+    // independence on the Spark side; same digits here), rate formula
+    // in the same operation order, floor to the same 1e-6 grid, and
+    // membership as integer-vs-integer compare.
+    "mixture_sample" ->
+      """WITH pl AS (SELECT lang, count(*) AS n_lang,
+        |    cast(round(sqrt(cast(count(*) AS double)), 6)
+        |      AS decimal(18,6)) AS w_raw
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT cast(sum(n_lang) AS bigint) AS n_total,
+        |    cast(sum(w_raw) AS double) AS w_sum FROM pl),
+        |rates AS (SELECT lang, n_lang,
+        |    cast(floor(least(1.0,
+        |      floor(cast(n_total AS double) * 0.5)
+        |        * cast(w_raw AS double) / w_sum
+        |        / cast(n_lang AS double)) * 1000000.0) AS bigint) AS thr
+        |  FROM pl CROSS JOIN tot)
+        |SELECT d.lang, max(r.n_lang) AS n_lang, max(r.thr) AS thr,
+        |  count(*) AS n_kept,
+        |  cast(sum(d.doc_id) AS bigint) AS kept_checksum
+        |FROM documents d JOIN rates r ON d.lang = r.lang
+        |WHERE (d.doc_id % 1000000007) * 2246822519 % 1000000007
+        |    % 1000000 < r.thr
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
   )
 }

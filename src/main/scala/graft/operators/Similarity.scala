@@ -27,7 +27,7 @@ object Similarity {
   val EmbBucketCap = 512
   val Dim = 64
 
-  private def emb(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("vec"), col("label"))
 
@@ -197,11 +197,13 @@ object Similarity {
   private def modelKey(dir: String): String =
     dir + "@" + new java.io.File(dir, "embeddings.parquet").lastModified
 
-  /** Deterministic seed sample + Lloyd refinement, cached per corpus. */
-  def trainedCentroids(spark: SparkSession, dir: String,
-      iters: Int = IvfKmeansIters): DataFrame = {
-    val cached = centroidCache.computeIfAbsent(modelKey(dir) + "#" + iters, _ => {
-      val e = emb(spark, dir)
+  /** Deterministic seed sample + Lloyd refinement over an arbitrary
+    * training slice, cached under `key` (the slice form exists for
+    * the append path, whose centroids must be trained on the BASE
+    * corpus only — the whole point of append-without-retrain). */
+  private[graft] def trainCentroidsOf(spark: SparkSession, e: DataFrame,
+      key: String, iters: Int): DataFrame = {
+    val cached = centroidCache.computeIfAbsent(key, _ => {
       val seed = e
         .select(col("vec_id").as("c_id"), col("vec").as("cvec"),
           hash(col("vec_id")).as("h"))
@@ -217,6 +219,12 @@ object Similarity {
     cached.toDF("c_id", "cvec")
   }
 
+  /** Deterministic seed sample + Lloyd refinement, cached per corpus. */
+  def trainedCentroids(spark: SparkSession, dir: String,
+      iters: Int = IvfKmeansIters): DataFrame =
+    trainCentroidsOf(spark, emb(spark, dir),
+      modelKey(dir) + "#" + iters, iters)
+
   def annIvf(spark: SparkSession, dir: String): DataFrame =
     annIvfWith(spark, dir, IvfAssign, IvfProbe, IvfProbeMargin, IvfProbeMax)
 
@@ -224,7 +232,7 @@ object Similarity {
     * nearest cells (broadcast centroid argmax — the only cross
     * product is rows × C). Output is the persistable posting layout
     * `(cell, vec_id, vec)`. */
-  private def ivfAssignCells(e: DataFrame, centroids: DataFrame,
+  private[graft] def ivfAssignCells(e: DataFrame, centroids: DataFrame,
       assign: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("cs").desc, col("c_id").asc)
@@ -250,7 +258,7 @@ object Similarity {
   /** The query half of IVF over any posting set (freshly assigned or
     * read back from a persisted index): probe each query's cells,
     * dedup multi-assigned candidates, exact-cosine re-rank. */
-  private def ivfSearch(e: DataFrame, centroids: DataFrame,
+  private[graft] def ivfSearch(e: DataFrame, centroids: DataFrame,
       assigned: DataFrame, probe: Int, margin: Double,
       probeMax: Int): DataFrame = {
     val qw = org.apache.spark.sql.expressions.Window
@@ -321,9 +329,9 @@ object Similarity {
   /** Corpus-keyed scratch location for the `ann_indexed` query's
     * index (a derived artifact, rebuilt when the corpus regenerates
     * — same mtime-guard pattern as Bench.stage). */
-  private def indexRoot(dir: String): String = {
+  private def indexRoot(dir: String, tag: String = ""): String = {
     val root = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_ivf_index_${graft.sources.StagePath.key(dir)}")
+      s"graft_ivf_index${tag}_${graft.sources.StagePath.key(dir)}")
     val marker = new java.io.File(root, "_BUILT")
     val srcMtime =
       new java.io.File(dir, "embeddings.parquet").lastModified
@@ -365,6 +373,54 @@ object Similarity {
     val postings = spark.read.parquet(s"$root/postings.parquet")
     ivfSearch(emb(spark, dir), centroids, postings, probe, margin,
       probeMax)
+  }
+
+  /** Every third vector is "new" in the append scenario. */
+  val AppendMod = 3L
+
+  /** #124 Incremental index append — the daily life of a production
+    * vector index: the corpus grows, and re-training + re-building
+    * the whole index per batch is a non-starter at 100 TB. Here the
+    * index is BUILT on the base corpus only (vec_id % 3 ≠ 0 — its
+    * centroids never see the new batch), then the batch (vec_id % 3
+    * = 0) is assigned to the FROZEN centroid set and appended to the
+    * postings table with `mode(append)` — existing posting files are
+    * untouched (asserted in SimilaritySpec), the commit adds only
+    * the new batch's cell-partitioned files, exactly how a versioned
+    * table grows.
+    *
+    * Correctness gate: the exhaustive probe over the MERGED postings
+    * must equal brute force over the FULL corpus — shared
+    * AnnExactTopkSql oracle — so a lost appended row, a base file
+    * clobbered by the append, or a drifted centroid assignment all
+    * surface as a hash mismatch. (Recall of the tuned probe over an
+    * appended index is the spec's business; this query certifies the
+    * append MACHINERY is lossless.) */
+  def annAppend(spark: SparkSession, dir: String): DataFrame = {
+    val root = indexRoot(dir, "_append")
+    val marker = new java.io.File(root, "_BUILT")
+    if (marker.lastModified() == 0L) {
+      val e = emb(spark, dir)
+      val base = e.filter(pmod(col("vec_id"), lit(AppendMod)) =!= 0L)
+      val batch = e.filter(pmod(col("vec_id"), lit(AppendMod)) === 0L)
+      val centroids = broadcast(trainCentroidsOf(spark, base,
+        modelKey(dir) + "#append", IvfKmeansIters))
+      centroids.write.mode("overwrite")
+        .parquet(s"$root/centroids.parquet")
+      ivfAssignCells(base, centroids, IvfAssign)
+        .repartition(col("cell"))
+        .write.mode("overwrite").parquet(s"$root/postings.parquet")
+      // the append: frozen centroids, new rows only, additive commit
+      ivfAssignCells(batch, centroids, IvfAssign)
+        .repartition(col("cell"))
+        .write.mode("append").parquet(s"$root/postings.parquet")
+      marker.setLastModified(System.currentTimeMillis())
+    }
+    val centroids =
+      broadcast(spark.read.parquet(s"$root/centroids.parquet"))
+    val postings = spark.read.parquet(s"$root/postings.parquet")
+    ivfSearch(emb(spark, dir), centroids, postings, IvfCells, 0.0,
+      IvfCells)
   }
 
   /** #120 Filtered (hybrid) ANN: top-k under a metadata predicate —

@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Training-set export operators (SURVEY.md §2 L) — the last mile of
+  * a 100 TB curation pipeline, where a cleaned corpus becomes the
+  * artifact a training job actually consumes: leakage-safe splits,
+  * a rebalanced source mix, and deterministically shuffled shards.
+  *
+  * Everything here is a pure function of row identity (Knuth
+  * multiplicative hashes / md5-affine keys — the same portable-hash
+  * toolkit as [[Sampling]] and the LSH oracles), never of an RNG
+  * stream or partition layout: the exported dataset is bit-identical
+  * on every run, engine, and cluster size, which is what makes a
+  * training run reproducible and an oracle comparison possible.
+  */
+object TrainExport {
+
+  // ---------------------------------------------------------------
+  // #121 leakage-safe cluster split
+  // ---------------------------------------------------------------
+
+  /** #121 Leakage-safe train/val/test split: assignment at near-dup
+    * CLUSTER granularity, not document granularity. A naive per-doc
+    * hash split leaks—two near-duplicate documents land in train and
+    * test and the eval set is contaminated (the decontamination
+    * problem, self-inflicted). Here the unit of assignment is the
+    * connected component of the near-dup graph
+    * ([[Components.dedupComponents]]'s fixed point), and the split is
+    * a pure hash of the component id, so EVERY member of a dup
+    * cluster — and therefore every pair of near-duplicates — shares
+    * one split by construction.
+    *
+    * Scale: the components fixed point is the O(rounds × |E|)
+    * min-label propagation already audited at #75; the split label
+    * adds a per-row projection on top. No new shuffle beyond the
+    * component computation itself. */
+  def clusterSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val edges = Dedup.ngramJaccardPairs(docs)
+      .filter(col("jac") >= Components.EdgeThreshold)
+      .select("a", "b")
+    val nodes = docs.select(col("doc_id").as("id"))
+    Components.connectedComponents(nodes, edges)
+      .select(col("id").as("doc_id"), col("comp").as("comp_id"),
+        Sampling.splitLabel(col("comp")).as("split"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------
+  // #122 deterministic corpus shuffle + shard export
+  // ---------------------------------------------------------------
+
+  val ShuffleSeed = 42L
+  val NumShards = 8
+
+  /** Seeded pseudorandom permutation key: md5 of "seed:id", tail 8
+    * hex chars as a long — the engine-portable 32-bit hash the LSH
+    * oracles established (`conv(substr(md5(x),25,8),16,10)` in Spark
+    * ≡ `('0x'||substr(md5(x),25,8))::UBIGINT` in DuckDB). Changing
+    * the seed yields an independent permutation; the same seed
+    * yields the same corpus order everywhere. */
+  private def shuffleKey(id: Column, seed: Long): Column =
+    conv(substring(md5(concat_ws(":", lit(seed), id)), 25, 8), 16, 10)
+      .cast("long")
+
+  /** Scratch root for the exported shards (a derived artifact,
+    * rewritten on every call — the write IS the operator). */
+  private def shardRoot(dir: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_shuffle_${graft.sources.StagePath.key(dir)}").getPath
+
+  /** #122 Deterministic corpus shuffle + balanced shard export, with
+    * the round trip verified: a training job wants the corpus in
+    * pseudorandom order (no crawl/source runs — a locality-ordered
+    * corpus biases every gradient step early in an epoch) and cut
+    * into shards a dataloader can stream independently.
+    *
+    *  - order: the seeded md5-affine [[shuffleKey]] — a reproducible
+    *    permutation, NOT `rand()` (partition-layout dependent) and
+    *    NOT `repartition` round-robin (cluster-size dependent);
+    *  - shard = key mod [[NumShards]]: hash-balanced, and a doc's
+    *    shard is a pure function of (seed, doc_id);
+    *  - position within shard: row_number over the key order —
+    *    computed BEFORE the write and persisted into the files, so
+    *    the on-disk shards carry their own ordering contract;
+    *  - layout: `partitionBy(shard)` directory tree (one directory
+    *    per shard, the same partitioned-table layout AppendSink
+    *    uses), rows within each shard file sorted by key.
+    *
+    * The returned summary is computed FROM THE WRITTEN FILES — shard
+    * sizes, exact char totals, and a position-weighted checksum
+    * Σ pos·(doc_id mod 1000003) that any reordering, loss, or
+    * duplication of rows breaks. The DuckDB oracle recomputes the
+    * closed form from the source table, so a hash match certifies
+    * the whole write→read round trip, ordering included.
+    *
+    * Scale: one window per shard (parallel across shards — there is
+    * no global row_number), one partitioned write. At 100 TB the
+    * shard count rises with the corpus (shards of ~1 GB), the shape
+    * is unchanged. */
+  def corpusShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val root = shardRoot(dir)
+    val perShard = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("skey"), col("doc_id"))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        shuffleKey(col("doc_id"), ShuffleSeed).as("skey"))
+      .withColumn("shard", pmod(col("skey"), lit(NumShards.toLong)))
+      .withColumn("pos", row_number().over(perShard).cast("long"))
+      .repartition(col("shard"))
+      // (shard, skey): satisfies the dynamic-partition writer's
+      // required shard sort (which it would otherwise re-add, with
+      // no stability guarantee over skey) AND fixes the in-file key
+      // order by construction
+      .sortWithinPartitions("shard", "skey")
+      .write.mode("overwrite").partitionBy("shard").parquet(root)
+    spark.read.parquet(root)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("pos") * pmod(col("doc_id"), lit(1000003L)))
+          .as("ord_checksum"))
+      .orderBy("shard")
+  }
+
+  // ---------------------------------------------------------------
+  // #123 temperature-weighted language mix
+  // ---------------------------------------------------------------
+
+  /** Mix target: half the corpus. */
+  val MixFraction = 0.5
+  /** Membership-threshold resolution (rates quantized to 1e-6). */
+  val MixScale = 1000000L
+
+  /** Decorrelated full-width sampling key reduced to [0, MixScale) —
+    * [[Sampling.sampleBucket]]'s multiplier (NOT the split hash's:
+    * mixing must compose independently with train/val/test
+    * assignment), full 1e9+7 width first so the mod-1e6 reduction
+    * stays uniform. */
+  private def mixKey(id: Column): Column =
+    pmod(pmod(pmod(id, lit(1000000007L)) * lit(2246822519L),
+      lit(1000000007L)), lit(MixScale))
+
+  /** #123 Temperature-weighted language mixing (α = 0.5): the
+    * standard multilingual-pretraining rebalance — sampling weights
+    * w_l ∝ n_l^α flatten the head (English downsampled hardest)
+    * while preserving rank, and the realized mix hits a target
+    * budget of [[MixFraction]]·N documents in expectation.
+    *
+    * Determinism contract: the per-language keep rate collapses to
+    * an INTEGER threshold in [0, 1e6] — `floor(min(1, T·w_l/n_l)
+    * ·1e6)` — compared against the integer [[mixKey]], so membership
+    * never tests raw floating point. The only float inputs are
+    * sqrt(n) (IEEE-correctly-rounded in both engines) rounded to 6
+    * dp BEFORE the exact decimal(18,6) sum (partition-order
+    * independent, the [[Num]] discipline), so the threshold — and
+    * therefore the kept set — is bit-identical in Spark and DuckDB.
+    *
+    * Scale: two scans (one to count languages — a |langs|-row
+    * broadcast model — one to filter) and a per-language summary
+    * aggregate; membership is a per-row projection. */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val perLang = docs.groupBy("lang")
+      .agg(count(lit(1)).as("n_lang"),
+        round(sqrt(count(lit(1)).cast("double")), 6)
+          .cast("decimal(18,6)").as("w_raw"))
+    val totals = perLang.agg(
+      sum(col("n_lang")).as("n_total"),
+      sum(col("w_raw")).cast("double").as("w_sum"))
+    val rates = perLang.crossJoin(broadcast(totals))
+      .select(col("lang"), col("n_lang"),
+        floor(least(lit(1.0),
+          floor(col("n_total").cast("double") * lit(MixFraction))
+            * col("w_raw").cast("double") / col("w_sum")
+            / col("n_lang").cast("double"))
+          * lit(MixScale.toDouble)).as("thr"))
+    docs.join(broadcast(rates), "lang")
+      .filter(mixKey(col("doc_id")) < col("thr"))
+      .groupBy(col("lang"))
+      .agg(max(col("n_lang")).as("n_lang"), max(col("thr")).as("thr"),
+        count(lit(1)).as("n_kept"),
+        sum(col("doc_id")).as("kept_checksum"))
+      .orderBy("lang")
+  }
+}
