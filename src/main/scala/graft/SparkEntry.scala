@@ -125,7 +125,9 @@ object SparkEntry {
     // §2.L training-set export (round 12)
     "cluster_split" -> (TrainExport.clusterSplit _),
     "corpus_shuffle" -> (TrainExport.corpusShuffle _),
-    "mixture_sample" -> (TrainExport.mixtureSample _)
+    "mixture_sample" -> (TrainExport.mixtureSample _),
+    "curation_audit" -> (Curation.curationAudit _),
+    "quality_filter" -> (Curation.qualityFilter _)
   )
 
   private val Dec = "decimal(28,6)"
@@ -1492,6 +1494,60 @@ object SparkEntry {
         |FROM documents d JOIN rates r ON d.lang = r.lang
         |WHERE (d.doc_id % 1000000007) * 2246822519 % 1000000007
         |    % 1000000 < r.thr
-        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    // Audit twin: the curation_pipeline CTE chain per doc, with the
+    // verdict = first failing stage in pipeline order.
+    "curation_audit" ->
+      """WITH t AS (SELECT doc_id, source, text,
+        |    cast(len(string_split_regex(lower(trim(text)), '\s+'))
+        |      AS bigint) AS n_tok,
+        |    CASE
+        |      WHEN regexp_matches(lower(text), '[\x{4e00}-\x{9fff}]')
+        |        THEN 'zh'
+        |      WHEN regexp_matches(lower(text),
+        |        '(^|\s)(the|a|and|of|to|in|is)(\s|$)') THEN 'en'
+        |      WHEN regexp_matches(lower(text),
+        |        '(^|\s)(el|la|los|de|que|y|en)(\s|$)') THEN 'es'
+        |      ELSE 'und' END AS pred_lang
+        |  FROM documents),
+        |g AS (SELECT * FROM t
+        |  WHERE n_tok >= 20 AND pred_lang IN ('en', 'es')),
+        |k AS (SELECT text, min(doc_id) AS keep_id FROM g GROUP BY text),
+        |d AS (SELECT g.doc_id, g.source FROM g
+        |  JOIN k ON g.text = k.text AND g.doc_id = k.keep_id),
+        |c AS (SELECT doc_id FROM (SELECT doc_id, row_number() OVER (
+        |      PARTITION BY source
+        |      ORDER BY (doc_id % 1000000007) * 2654435761 % 1000000007 ASC,
+        |        doc_id ASC) AS rnk
+        |    FROM d) WHERE rnk <= 20),
+        |d2 AS (SELECT doc_id FROM d)
+        |SELECT t.doc_id, t.source, t.n_tok, t.pred_lang,
+        |  CASE WHEN t.n_tok < 20 THEN 'quality'
+        |    WHEN t.pred_lang NOT IN ('en', 'es') THEN 'language'
+        |    WHEN d2.doc_id IS NULL THEN 'duplicate'
+        |    WHEN c.doc_id IS NULL THEN 'source_cap'
+        |    ELSE 'kept' END AS verdict
+        |FROM t LEFT JOIN d2 USING (doc_id) LEFT JOIN c USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+    // Percentile-gate twin: the SINGLE-window global rank — the
+    // Spark side's two-level (block-local + broadcast offsets) rank
+    // must equal it exactly, which is what the hash verifies.
+    "quality_filter" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    round(cast(len(list_filter(toks, x -> x IN ('the','a','and',
+        |      'of','to','in','is','el','la','los','de','que','y','en')))
+        |      AS double) / cast(len(toks) AS double), 6) AS score
+        |  FROM (SELECT doc_id, lang,
+        |      string_split_regex(lower(trim(text)), '\s+') AS toks
+        |    FROM documents)),
+        |r AS (SELECT doc_id, lang, score,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY score DESC, doc_id ASC) AS rnk,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM t)
+        |SELECT doc_id, lang, score, cast(rnk AS bigint) AS rnk,
+        |  cast(CASE WHEN rnk <= (3 * n + 4) // 5 THEN 1 ELSE 0 END
+        |    AS bigint) AS kept
+        |FROM r ORDER BY doc_id""".stripMargin
   )
 }

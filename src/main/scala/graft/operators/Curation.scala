@@ -67,4 +67,111 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
       .orderBy("source", "split")
   }
+
+  /** #125 Curation audit — per-document drop lineage: for EVERY
+    * document, which pipeline stage removed it (or `kept`). The
+    * operational counterpart of [[curationPipeline]]'s release
+    * accounting: "why is my document not in the training set?" is
+    * the first question a data owner asks, and at 100 TB you cannot
+    * answer it by re-running the pipeline with print statements. The
+    * verdict is the FIRST failing stage in pipeline order —
+    * `quality` (token gate) → `language` → `duplicate` (not the
+    * min-id keeper of its content-hash group) → `source_cap` (lost
+    * the per-source deterministic-hash lottery) → `kept`, so the
+    * audit composes exactly with the pipeline's own keep set: the
+    * `kept` rows here ARE its release. Fully oracled per doc.
+    *
+    * Scale: identical shape to the pipeline itself (one scan to
+    * scalars, hash-keyed dedup, bounded-heap cap) plus two id-keyed
+    * left joins of keep-markers back to the metadata table. */
+  def curationAudit(spark: SparkSession, dir: String): DataFrame = {
+    val meta = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextFunctions.tokenCounts(col("text")).getField("ws")
+          .cast("long").as("n_tok"),
+        TextFunctions.langId(col("text")).as("pred_lang"),
+        sha2(col("text"), 256).as("h"))
+      .localCheckpoint()
+    val gated = meta.filter(col("n_tok") >= MinTokens &&
+      col("pred_lang").isin(Langs: _*))
+    val deduped = gated
+      .join(gated.groupBy("h").agg(min(col("doc_id")).as("keep_id")), "h")
+      .filter(col("doc_id") === col("keep_id"))
+    val dupOk = deduped.select(col("doc_id"), lit(1L).as("dup_ok"))
+    val capOk = deduped.groupBy(col("source"))
+      .agg(graft.functions.AggFunctions.topK(
+        -Sampling.hashKey(col("doc_id")).cast("double"), col("doc_id"),
+        Sampling.GroupCapN).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t.id").as("doc_id"), lit(1L).as("cap_ok"))
+    meta.join(dupOk, Seq("doc_id"), "left")
+      .join(capOk, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        col("pred_lang"),
+        when(col("n_tok") < MinTokens, "quality")
+          .when(!col("pred_lang").isin(Langs: _*), "language")
+          .when(col("dup_ok").isNull, "duplicate")
+          .when(col("cap_ok").isNull, "source_cap")
+          .otherwise("kept").as("verdict"))
+      .orderBy("doc_id")
+  }
+
+  /** Keep the top `ceil(3n/5)` (60%) of each language by quality. */
+  val QualityKeepNum = 3L
+  val QualityKeepDen = 5L
+  /** Score-block granularity for the two-level rank (score ∈ [0,1]
+    * → 21 blocks at 0.05 width). */
+  val QualityScoreBlocks = 20
+
+  /** #126 Per-language quality-percentile gate: keep the top 60% of
+    * each language by stopword-ratio score — the relative-quality
+    * curation move ("keep the best X% per language", FineWeb-style)
+    * as opposed to [[curationPipeline]]'s absolute token gate.
+    *
+    * Exact-rank semantics without the naive plan's failure mode: a
+    * `row_number() OVER (PARTITION BY lang ...)` sorts an entire
+    * language in one task — the hot-partition shape that made
+    * one-window sessionize 20× slower under skew, and English IS the
+    * hot key of every multilingual corpus. Instead the rank is
+    * two-level (the pack_sequences / quantile_bins decomposition):
+    * local row_number inside each (lang, score-block) — bounded
+    * windows, parallel across blocks — plus broadcast cumulative
+    * block offsets (langs × 21 rows). `floor` is monotone in score,
+    * so offset + local rank ≡ the global (score DESC, doc_id ASC)
+    * rank, and the DuckDB oracle verifies exactly that equivalence
+    * with its single-window form. Keep count is integer arithmetic
+    * (`floor((3n+4)/5)` = ceil(0.6n)) — no float membership test. */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val blocked = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.qualityStruct(col("text")).as("s"))
+      .select(col("doc_id"), col("lang"),
+        round(col("s").getField("n_stop").cast("double") /
+          col("s").getField("n_tok").cast("double"), 6).as("score"))
+      .withColumn("blk",
+        floor(col("score") * QualityScoreBlocks).cast("long"))
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "blk")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val local = blocked
+      .withColumn("lrnk", row_number().over(wLocal).cast("long"))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("blk").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val wN = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    val offsets = blocked.groupBy("lang", "blk")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .withColumn("n", sum(col("c")).over(wN))
+      .select("lang", "blk", "off", "n")
+    local.join(broadcast(offsets), Seq("lang", "blk"))
+      .select(col("doc_id"), col("lang"), col("score"),
+        (col("off") + col("lrnk")).as("rnk"), col("n"))
+      .select(col("doc_id"), col("lang"), col("score"), col("rnk"),
+        when(col("rnk") <= floor((lit(QualityKeepNum) * col("n") +
+            (QualityKeepDen - 1L)) / lit(QualityKeepDen.toDouble))
+          .cast("long"), 1L).otherwise(0L).as("kept"))
+      .orderBy("doc_id")
+  }
 }
