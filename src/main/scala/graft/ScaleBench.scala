@@ -42,7 +42,11 @@ object ScaleBench {
     // doc_ids, so the near-dup edge set grows quadratically inside
     // duplicate groups — an artifact of the multiplied corpus, not
     // of the operator.
-    "mixture_sample", "corpus_shuffle")
+    "mixture_sample", "corpus_shuffle",
+    // round 12: per-doc audit (scan→scalars + hash dedup + bounded
+    // cap, then two id-keyed joins) and the two-level percentile
+    // rank — both row-linear in documents
+    "curation_audit", "quality_filter")
 
   /** Join shapes where only the FACT side (lineitem) multiplies —
     * each order keeps its (now mult×) lines and every dim stays

@@ -1513,7 +1513,7 @@ object SparkEntry {
         |g AS (SELECT * FROM t
         |  WHERE n_tok >= 20 AND pred_lang IN ('en', 'es')),
         |k AS (SELECT text, min(doc_id) AS keep_id FROM g GROUP BY text),
-        |d AS (SELECT g.doc_id, g.source FROM g
+        |d AS (SELECT DISTINCT g.doc_id, g.source FROM g
         |  JOIN k ON g.text = k.text AND g.doc_id = k.keep_id),
         |c AS (SELECT doc_id FROM (SELECT doc_id, row_number() OVER (
         |      PARTITION BY source

@@ -94,16 +94,23 @@ object Curation {
       .localCheckpoint()
     val gated = meta.filter(col("n_tok") >= MinTokens &&
       col("pred_lang").isin(Langs: _*))
-    val deduped = gated
-      .join(gated.groupBy("h").agg(min(col("doc_id")).as("keep_id")), "h")
-      .filter(col("doc_id") === col("keep_id"))
-    val dupOk = deduped.select(col("doc_id"), lit(1L).as("dup_ok"))
+    // keep-markers are ID SETS, unique by construction: dup_ok comes
+    // straight off the per-hash min (one row per distinct content),
+    // cap_ok is deduplicated after the bounded-heap explode. Marker
+    // uniqueness is a correctness requirement of the left joins below
+    // — a marker with duplicate ids would multiply audit rows (and
+    // under a pathological id-duplicated corpus, quadratically)
+    val dupKeeps = gated.groupBy("h").agg(min(col("doc_id")).as("keep_id"))
+    val dupOk = dupKeeps
+      .select(col("keep_id").as("doc_id"), lit(1L).as("dup_ok"))
+    val deduped = gated.join(dupOk.select("doc_id"), "doc_id")
     val capOk = deduped.groupBy(col("source"))
       .agg(graft.functions.AggFunctions.topK(
         -Sampling.hashKey(col("doc_id")).cast("double"), col("doc_id"),
         Sampling.GroupCapN).as("top"))
       .select(explode(col("top")).as("t"))
       .select(col("t.id").as("doc_id"), lit(1L).as("cap_ok"))
+      .dropDuplicates("doc_id")
     meta.join(dupOk, Seq("doc_id"), "left")
       .join(capOk, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"), col("n_tok"),
