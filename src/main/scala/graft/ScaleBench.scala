@@ -84,12 +84,16 @@ object ScaleBench {
     * slope; sessionize's per-key ordered window is the known
     * skew-sensitive shape and is measured honestly alongside. */
   val SkewQueries: Seq[String] =
-    Seq("skew_agg", "latest_per_key", "vwap", "sessionize", "scd2_dim")
+    Seq("skew_agg", "latest_per_key", "vwap", "sessionize", "scd2_dim",
+      // round 12: the two-level percentile rank over a 90%-one-LANG
+      // corpus — English is the hot key this operator was shaped for
+      "quality_filter")
 
-  /** Fabricate the skewed twin of the staged events table: 90% of
-    * rows re-keyed to ONE user (deterministic via event_id, not
-    * rand()), values and timestamps untouched. Only events is
-    * staged — every SkewQueries entry reads events alone. */
+  /** Fabricate the skewed twin of the staged corpus: 90% of event
+    * rows re-keyed to ONE user and 90% of documents re-labeled to
+    * ONE language (deterministic via ids, not rand()); values,
+    * timestamps and text untouched. Events and documents are the
+    * only tables SkewQueries read. */
   def skewStage(spark: SparkSession, staged: String): String = {
     import org.apache.spark.sql.functions._
     val dest = new java.io.File(sys.props("java.io.tmpdir"),
@@ -106,6 +110,12 @@ object ScaleBench {
           .otherwise(col("user_id")))
       .repartition(8)
       .write.mode("overwrite").parquet(s"$dest/events.parquet")
+    spark.read.parquet(s"$staged/documents.parquet")
+      .withColumn("lang",
+        when(pmod(col("doc_id"), lit(10L)) < 9, lit("en"))
+          .otherwise(col("lang")))
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$dest/documents.parquet")
     marker.createNewFile()
     dest.getPath
   }

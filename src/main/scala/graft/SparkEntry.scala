@@ -127,7 +127,8 @@ object SparkEntry {
     "corpus_shuffle" -> (TrainExport.corpusShuffle _),
     "mixture_sample" -> (TrainExport.mixtureSample _),
     "curation_audit" -> (Curation.curationAudit _),
-    "quality_filter" -> (Curation.qualityFilter _)
+    "quality_filter" -> (Curation.qualityFilter _),
+    "gap_report" -> (TimeSeries.gapReport _)
   )
 
   private val Dec = "decimal(28,6)"
@@ -1548,6 +1549,23 @@ object SparkEntry {
         |SELECT doc_id, lang, score, cast(rnk AS bigint) AS rnk,
         |  cast(CASE WHEN rnk <= (3 * n + 4) // 5 THEN 1 ELSE 0 END
         |    AS bigint) AS kept
-        |FROM r ORDER BY doc_id""".stripMargin
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // Gap-report twin: same minute pre-aggregate, same lag-window
+    // dark-run arithmetic (leading/internal/trailing).
+    "gap_report" ->
+      """WITH m AS (SELECT user_id AS ticker_id, cast(ts AS date) AS day,
+        |    cast(hour(ts) * 60 + minute(ts) AS bigint) AS mi,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2, 3),
+        |g AS (SELECT ticker_id, day, mi, n,
+        |    mi - lag(mi) OVER (PARTITION BY ticker_id, day
+        |      ORDER BY mi) - 1 AS gap
+        |  FROM m)
+        |SELECT ticker_id, day, cast(sum(n) AS bigint) AS n_events,
+        |  count(*) AS n_minutes,
+        |  round(count(*) / 1440.0, 6) AS coverage,
+        |  cast(greatest(coalesce(max(gap), 0), min(mi),
+        |    1439 - max(mi)) AS bigint) AS max_gap_min
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -241,4 +241,37 @@ object TimeSeries {
             (sqrt(vx) * sqrt(vy))), 6).as("corr"))
       .orderBy("ticker_a", "ticker_b")
   }
+
+  /** #127 Feed-completeness gap report — the monitoring counterpart
+    * of [[resampleFfill]]: instead of FILLING the minute grid, it
+    * MEASURES each (ticker, day)'s hole structure, which is what an
+    * ingest-operations team alerts on ("ticker 12's feed went dark
+    * for 3 hours on Tuesday"). Per (ticker, day): event count,
+    * distinct observed minutes, coverage against the 1440-minute
+    * grid, and the longest dark run in minutes — leading (before the
+    * first event), internal (between consecutive observed minutes),
+    * and trailing (after the last event) gaps all count.
+    *
+    * Scale: one scan → per-minute pre-aggregate (map-side combined,
+    * ≤1440 rows per ticker-day), then a lag window whose partitions
+    * are BOUNDED at 1440 rows by construction — no hot-key exposure
+    * regardless of how skewed the event stream is, the same
+    * bounded-window discipline as the two-level rewrites. */
+  def gapReport(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.load(spark, dir, "events")
+      .groupBy(col("user_id").as("ticker_id"),
+        to_date(col("ts")).as("day"),
+        (hour(col("ts")) * 60 + minute(col("ts"))).cast("long").as("mi"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("ticker_id", "day").orderBy("mi")
+    m.withColumn("gap", col("mi") - lag(col("mi"), 1).over(w) - 1L)
+      .groupBy("ticker_id", "day")
+      .agg(sum(col("n")).as("n_events"),
+        count(lit(1)).as("n_minutes"),
+        round(count(lit(1)) / lit(1440.0), 6).as("coverage"),
+        greatest(coalesce(max(col("gap")), lit(0L)), min(col("mi")),
+          lit(1439L) - max(col("mi"))).as("max_gap_min"))
+      .orderBy("ticker_id", "day")
+  }
 }

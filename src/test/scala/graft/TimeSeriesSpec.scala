@@ -225,4 +225,30 @@ class TimeSeriesSpec extends SparkTestBase {
     // grand total present exactly once
     assert(got.filter(col("grp_id") === 3).count() === 1)
   }
+
+  test("gap_report: dark-run arithmetic matches a plain-Scala " +
+    "reference on the collected minute sets") {
+    val got = TimeSeries.gapReport(spark, SfDir).collect()
+      .map(r => ((r.getLong(0), r.getDate(1).toString),
+        (r.getLong(2), r.getLong(3), r.getLong(5)))).toMap
+    val minutes = Tables.load(spark, SfDir, "events")
+      .select(col("user_id"),
+        to_date(col("ts")).cast("string").as("day"),
+        (hour(col("ts")) * 60 + minute(col("ts"))).cast("long").as("mi"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(got.keySet === minutes.keySet)
+    minutes.foreach { case (k, ms) =>
+      val (nEvents, nMinutes, maxGap) = got(k)
+      assert(nEvents === ms.size.toLong)
+      val distinct = ms.distinct.sorted
+      assert(nMinutes === distinct.size.toLong)
+      val internal = distinct.sliding(2)
+        .collect { case Seq(a, b) => b - a - 1 }.foldLeft(0L)(math.max)
+      val expected = math.max(internal,
+        math.max(distinct.head, 1439L - distinct.last))
+      assert(maxGap === expected, s"key $k")
+    }
+  }
 }
