@@ -128,7 +128,9 @@ object SparkEntry {
     "mixture_sample" -> (TrainExport.mixtureSample _),
     "curation_audit" -> (Curation.curationAudit _),
     "quality_filter" -> (Curation.qualityFilter _),
-    "gap_report" -> (TimeSeries.gapReport _)
+    "gap_report" -> (TimeSeries.gapReport _),
+    "asof_tolerance" -> (AsOfJoin.clicksAsOfFresh _),
+    "realized_vol" -> (StockOps.realizedVol _)
   )
 
   private val Dec = "decimal(28,6)"
@@ -1566,6 +1568,45 @@ object SparkEntry {
         |  round(count(*) / 1440.0, 6) AS coverage,
         |  cast(greatest(coalesce(max(gap), 0), min(mi),
         |    1439 - max(mi)) AS bigint) AS max_gap_min
-        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Bounded-staleness twin: native ASOF picks the freshest ≤-ts
+    // match, the CASE nulls it when older than the bound (any older
+    // match is staler still); age is exact integer micros.
+    "asof_tolerance" ->
+      """WITH probe AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |build AS (
+        |  SELECT user_id, ts, max(value) AS bval FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, p.ts,
+        |  CASE WHEN b.ts IS NOT NULL
+        |      AND epoch_us(p.ts) - epoch_us(b.ts) <= 1800000000
+        |    THEN b.bval END AS asof_value,
+        |  CASE WHEN b.ts IS NOT NULL
+        |      AND epoch_us(p.ts) - epoch_us(b.ts) <= 1800000000
+        |    THEN (epoch_us(p.ts) - epoch_us(b.ts)) // 1000000
+        |    END AS age_s
+        |FROM probe p ASOF LEFT JOIN build b
+        |  ON p.user_id = b.user_id AND b.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin,
+    // Realized-vol twin: same minute-close bars (row_number desc ≡
+    // max-of-struct), same integer micro-return quantization, exact
+    // decimal sum of squares, one terminal round.
+    "realized_vol" ->
+      """WITH b AS (SELECT ticker_id, day, mi, value AS c FROM (
+        |    SELECT user_id AS ticker_id, cast(ts AS date) AS day,
+        |      cast(hour(ts) * 60 + minute(ts) AS bigint) AS mi, value,
+        |      row_number() OVER (PARTITION BY user_id, cast(ts AS date),
+        |        hour(ts) * 60 + minute(ts)
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'purchase') WHERE rn = 1),
+        |r AS (SELECT ticker_id, day, mi, c,
+        |    cast(round((c - lag(c) OVER w) / lag(c) OVER w * 1000000.0,
+        |      0) AS bigint) AS k
+        |  FROM b WINDOW w AS (PARTITION BY ticker_id, day ORDER BY mi))
+        |SELECT ticker_id, day, count(k) AS n_rets,
+        |  round(sqrt(cast(sum(cast(k AS decimal(19,0)) * k) AS double))
+        |    / 1000000.0, 6) AS rv
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -87,4 +87,38 @@ object AsOfJoin {
       .select("event_id", "user_id", "ts", "asof_value")
       .orderBy("event_id")
   }
+
+  /** Staleness bound for [[clicksAsOfFresh]]: 30 minutes. */
+  val ToleranceS = 1800L
+
+  /** #128 Bounded-staleness as-of join: the market-data contract is
+    * not "the latest price EVER" but "the latest price, and only if
+    * it is recent enough to act on" — a quote that is hours old is
+    * worse than no quote (the reference's `currentPrice` consumers
+    * assume feed freshness implicitly; this makes the bound
+    * explicit). Built as a pure COMPOSITION over [[asOf]]: the build
+    * side carries its own timestamp as one more payload column, and
+    * the tolerance check is a per-row projection afterwards — the
+    * merge-sort machinery (and its cost shape) is reused verbatim,
+    * no new operator physics. The freshest match older than the
+    * bound nulls out (any older match is staler still, so null is
+    * the correct verdict, not a fallback search). Age is exact
+    * integer micros arithmetic, no float comparisons. */
+  def clicksAsOfFresh(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val probe = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val build = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("asof_value"),
+        col("ts").as("asof_ts"))
+    val ageUs = unix_micros(col("ts")) - unix_micros(col("asof_ts"))
+    val fresh = col("asof_ts").isNotNull &&
+      ageUs <= lit(ToleranceS * 1000000L)
+    asOf(probe, build, "user_id", "ts", Seq("asof_value", "asof_ts"),
+      buildOrder = Seq(col("asof_value")))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(fresh, col("asof_value")).as("asof_value"),
+        when(fresh, (ageUs / lit(1000000L)).cast("long")).as("age_s"))
+      .orderBy("event_id")
+  }
 }

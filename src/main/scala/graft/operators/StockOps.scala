@@ -322,4 +322,41 @@ object StockOps {
       .agg(count(lit(1)).as("n_events"), Num.dsum(col("value")).as("sum_value"))
       .orderBy("batch_date")
   }
+
+  /** #129 Realized volatility per (ticker, day) from minute-bar
+    * closes — the risk metric a market-data warehouse serves next to
+    * OHLC. Semantics chosen for cross-engine exactness: SIMPLE
+    * returns (pure arithmetic — log returns would hinge on libm's
+    * last ulp), quantized to integer MICRO-RETURNS
+    * k = round(r·10⁶), so the sum of squares is EXACT integer/
+    * decimal arithmetic — partition-order independent, like every
+    * aggregate here — and rv = √(Σk²)/10⁶ rounds once at the end.
+    *
+    * Scale: minute-close pre-aggregate is a max-of-struct hash agg
+    * (map-side combined, skew-immune — the latestPerKey shape); the
+    * return lag window partitions are bounded at 1440 rows by
+    * construction. k² rides decimal(38,0) so a 10⁴× price move
+    * cannot overflow a long. */
+  def realizedVol(spark: SparkSession, dir: String): DataFrame = {
+    val bars = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("ticker_id"),
+        to_date(col("ts")).as("day"),
+        (hour(col("ts")) * 60 + minute(col("ts"))).cast("long").as("mi"))
+      .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
+      .select(col("ticker_id"), col("day"), col("mi"),
+        col("m.value").as("c"))
+    val w = Window.partitionBy("ticker_id", "day").orderBy("mi")
+    val prev = lag(col("c"), 1).over(w)
+    val k = round((col("c") - prev) / prev * lit(1000000.0), 0)
+      .cast("long")
+    bars.withColumn("k", k)
+      .groupBy("ticker_id", "day")
+      .agg(count(col("k")).as("n_rets"),
+        sum(col("k").cast("decimal(19,0)") * col("k")).as("sk2"))
+      .select(col("ticker_id"), col("day"), col("n_rets"),
+        round(sqrt(col("sk2").cast("double")) / lit(1000000.0), 6)
+          .as("rv"))
+      .orderBy("ticker_id", "day")
+  }
 }
