@@ -46,7 +46,11 @@ object ScaleBench {
     // round 12: per-doc audit (scan→scalars + hash dedup + bounded
     // cap, then two id-keyed joins) and the two-level percentile
     // rank — both row-linear in documents
-    "curation_audit", "quality_filter")
+    "curation_audit", "quality_filter",
+    // round 12: bounded-window (≤1440 rows/partition) market metrics
+    // — row-linear like the other events scans — and the as-of pair
+    // (union-merge sort across 1500 keys; ~40k rows/key at ×100)
+    "gap_report", "realized_vol", "asof_join", "asof_tolerance")
 
   /** Join shapes where only the FACT side (lineitem) multiplies —
     * each order keeps its (now mult×) lines and every dim stays

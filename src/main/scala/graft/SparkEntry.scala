@@ -1601,7 +1601,8 @@ object SparkEntry {
         |        ORDER BY ts DESC, event_id DESC) AS rn
         |    FROM events WHERE event_type = 'purchase') WHERE rn = 1),
         |r AS (SELECT ticker_id, day, mi, c,
-        |    cast(round((c - lag(c) OVER w) / lag(c) OVER w * 1000000.0,
+        |    cast(round((c - nullif(lag(c) OVER w, 0))
+        |      / nullif(lag(c) OVER w, 0) * 1000000.0,
         |      0) AS bigint) AS k
         |  FROM b WINDOW w AS (PARTITION BY ticker_id, day ORDER BY mi))
         |SELECT ticker_id, day, count(k) AS n_rets,

@@ -347,7 +347,10 @@ object StockOps {
       .select(col("ticker_id"), col("day"), col("mi"),
         col("m.value").as("c"))
     val w = Window.partitionBy("ticker_id", "day").orderBy("mi")
-    val prev = lag(col("c"), 1).over(w)
+    // NULLIF guard: a return FROM a zero price is undefined — the bar
+    // drops out of the sum (ANSI division would throw; silently
+    // producing ±Inf would poison the whole day's rv)
+    val prev = nullif(lag(col("c"), 1).over(w), lit(0.0))
     val k = round((col("c") - prev) / prev * lit(1000000.0), 0)
       .cast("long")
     bars.withColumn("k", k)

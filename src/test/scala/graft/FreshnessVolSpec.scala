@@ -58,7 +58,7 @@ class FreshnessVolSpec extends SparkTestBase {
       val closes = rows.groupBy(_._1).toSeq.sortBy(_._1).map {
         case (_, grp) => grp.maxBy(t => (t._2, t._3))._4
       }
-      val ks = closes.sliding(2).collect { case Seq(a, b) =>
+      val ks = closes.sliding(2).collect { case Seq(a, b) if a != 0.0 =>
         math.round((b - a) / a * 1000000.0)
       }.toSeq
       val (nRets, rv) = got(key)
