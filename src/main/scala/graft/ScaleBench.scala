@@ -50,7 +50,8 @@ object ScaleBench {
     // round 12: bounded-window (≤1440 rows/partition) market metrics
     // — row-linear like the other events scans — and the as-of pair
     // (union-merge sort across 1500 keys; ~40k rows/key at ×100)
-    "gap_report", "realized_vol", "asof_join", "asof_tolerance")
+    "gap_report", "realized_vol", "asof_join", "asof_tolerance",
+    "balance_buckets")
 
   /** Join shapes where only the FACT side (lineitem) multiplies —
     * each order keeps its (now mult×) lines and every dim stays

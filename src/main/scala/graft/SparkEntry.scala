@@ -130,7 +130,8 @@ object SparkEntry {
     "quality_filter" -> (Curation.qualityFilter _),
     "gap_report" -> (TimeSeries.gapReport _),
     "asof_tolerance" -> (AsOfJoin.clicksAsOfFresh _),
-    "realized_vol" -> (StockOps.realizedVol _)
+    "realized_vol" -> (StockOps.realizedVol _),
+    "balance_buckets" -> (TrainExport.balanceBuckets _)
   )
 
   private val Dec = "decimal(28,6)"
@@ -1608,6 +1609,26 @@ object SparkEntry {
         |SELECT ticker_id, day, count(k) AS n_rets,
         |  round(sqrt(cast(sum(cast(k AS decimal(19,0)) * k) AS double))
         |    / 1000000.0, 6) AS rv
-        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Bucketing twin: single global window rank + the same snake
+    // arithmetic — verifies the two-level rank AND the schedule.
+    "balance_buckets" ->
+      """WITH t AS (SELECT doc_id,
+        |    cast(len(string_split_regex(lower(trim(text)), '\s+'))
+        |      AS bigint) AS n_tok
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_tok,
+        |    row_number() OVER (ORDER BY n_tok DESC, doc_id ASC) - 1
+        |      AS rnk
+        |  FROM t),
+        |b AS (SELECT doc_id, n_tok, rnk,
+        |    CASE WHEN rnk % 32 < 16 THEN rnk % 32
+        |      ELSE 31 - rnk % 32 END AS bucket
+        |  FROM r)
+        |SELECT bucket, count(*) AS n_docs,
+        |  cast(sum(n_tok) AS bigint) AS sum_tokens,
+        |  cast(max(n_tok) AS bigint) AS max_doc_tokens,
+        |  cast(sum(rnk * (doc_id % 1000003)) AS bigint) AS sched_checksum
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
   )
 }

@@ -186,4 +186,66 @@ object TrainExport {
         sum(col("doc_id")).as("kept_checksum"))
       .orderBy("lang")
   }
+
+  // ---------------------------------------------------------------
+  // #130 balanced token bucketing
+  // ---------------------------------------------------------------
+
+  /** Number of inference workers to balance across. */
+  val NumBuckets = 16L
+
+  /** #130 Balanced token bucketing — batch-inference scheduling: B
+    * workers each get a document set whose TOKEN total is near-equal,
+    * so no worker straggles (wall-clock = the max bucket, not the
+    * mean). Distinct from [[Packing.packSequences]], which
+    * concatenates docs into fixed-budget sequences; this partitions
+    * the corpus into B near-equal-cost piles.
+    *
+    * Assignment is LPT-shaped and deterministic: docs ranked by
+    * (token count DESC, doc_id ASC), bucket = snake order over the
+    * rank (rank mod 2B folded back), which bounds any two buckets'
+    * token totals to within one document of each other per 2B-doc
+    * round — the classic round-robin-with-reversal schedule,
+    * expressible as pure arithmetic on the rank (no sequential
+    * greedy state, so it distributes).
+    *
+    * The global rank rides the same two-level decomposition as
+    * [[Curation.qualityFilter]]: block-local row_number (blocks =
+    * token-count ranges, bounded windows) + broadcast cumulative
+    * offsets — no single task sorts the corpus. Output is the
+    * per-bucket schedule summary; the DuckDB oracle recomputes it
+    * with a single global window, verifying the decomposition AND
+    * the snake arithmetic. */
+  def balanceBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val t = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.tokenCounts(col("text")).getField("ws")
+          .cast("long").as("n_tok"))
+      .withColumn("blk", floor(col("n_tok") / lit(32L)).cast("long"))
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy("blk").orderBy(col("n_tok").desc, col("doc_id").asc)
+    val local = t.withColumn("lrnk", row_number().over(wLocal).cast("long"))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy(col("blk").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val offsets = t.groupBy("blk").agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .select("blk", "off")
+    val ranked = local.join(broadcast(offsets), "blk")
+      .withColumn("rnk", col("off") + col("lrnk") - 1L) // 0-based
+    // snake: fold rank mod 2B back onto [0, B): 0..B-1 then B-1..0
+    val m = pmod(col("rnk"), lit(2L * NumBuckets))
+    val bucket = when(m < NumBuckets, m)
+      .otherwise(lit(2L * NumBuckets) - 1L - m)
+    ranked.withColumn("bucket", bucket)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("sum_tokens"),
+        max(col("n_tok")).as("max_doc_tokens"),
+        sum(col("rnk") * pmod(col("doc_id"), lit(1000003L)))
+          .as("sched_checksum"))
+      .orderBy("bucket")
+  }
 }

@@ -89,4 +89,21 @@ class TrainExportSpec extends SparkTestBase {
     val again = TrainExport.mixtureSample(spark, SfDir).collect()
     assert(out.toSeq === again.toSeq)
   }
+
+  test("balance_buckets: buckets partition the corpus and token " +
+    "totals are near-equal (snake schedule)") {
+    val docs = Tables.load(spark, SfDir, "documents")
+    val out = TrainExport.balanceBuckets(spark, SfDir).collect()
+    assert(out.length === TrainExport.NumBuckets)
+    assert(out.map(_.getLong(1)).sum === docs.count())
+    // balance: every bucket's token total within max-doc-tokens of
+    // every other (the snake bound per 2B-doc round, telescoped)
+    val sums = out.map(_.getLong(2))
+    val maxDoc = out.map(_.getLong(3)).max
+    assert(sums.max - sums.min <= maxDoc,
+      s"imbalance ${sums.max - sums.min} > max doc $maxDoc")
+    // determinism
+    val again = TrainExport.balanceBuckets(spark, SfDir).collect()
+    assert(out.toSeq === again.toSeq)
+  }
 }
