@@ -131,7 +131,8 @@ object SparkEntry {
     "gap_report" -> (TimeSeries.gapReport _),
     "asof_tolerance" -> (AsOfJoin.clicksAsOfFresh _),
     "realized_vol" -> (StockOps.realizedVol _),
-    "balance_buckets" -> (TrainExport.balanceBuckets _)
+    "balance_buckets" -> (TrainExport.balanceBuckets _),
+    "hybrid_search" -> (Search.hybridSearch _)
   )
 
   private val Dec = "decimal(28,6)"
@@ -224,6 +225,51 @@ object SparkEntry {
        |  round(($num) / ($den), 6) AS ewma
        |FROM t ORDER BY event_id""".stripMargin
   }
+
+  /** BM25 top-20 oracle — shared verbatim by `bm25_search` and the
+    * `hybrid_search` fusion twin's lexical CTE. */
+  private val Bm25Sql: String =
+    """WITH t AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |pd AS (SELECT doc_id, count(*) AS dl,
+        |    sum(CASE WHEN term = 'vector' THEN 1 ELSE 0 END) AS tf0,
+        |    sum(CASE WHEN term = 'stream' THEN 1 ELSE 0 END) AS tf1,
+        |    sum(CASE WHEN term = 'merge' THEN 1 ELSE 0 END) AS tf2
+        |  FROM t GROUP BY 1),
+        |st AS (SELECT cast(sum(dl) AS double) AS sum_dl,
+        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        |  FROM pd),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT pd.doc_id, pd.dl,
+        |    ln(1.0 + (cast(n.n_docs - st.df0 AS double) + 0.5) /
+        |        (cast(st.df0 AS double) + 0.5))
+        |      * (cast(pd.tf0 AS double) * (1.2 + 1.0))
+        |      / (cast(pd.tf0 AS double) + 1.2 * (1.0 - 0.75 + 0.75 *
+        |          (cast(pd.dl AS double) /
+        |           (st.sum_dl / cast(n.n_docs AS double)))))
+        |    + ln(1.0 + (cast(n.n_docs - st.df1 AS double) + 0.5) /
+        |        (cast(st.df1 AS double) + 0.5))
+        |      * (cast(pd.tf1 AS double) * (1.2 + 1.0))
+        |      / (cast(pd.tf1 AS double) + 1.2 * (1.0 - 0.75 + 0.75 *
+        |          (cast(pd.dl AS double) /
+        |           (st.sum_dl / cast(n.n_docs AS double)))))
+        |    + ln(1.0 + (cast(n.n_docs - st.df2 AS double) + 0.5) /
+        |        (cast(st.df2 AS double) + 0.5))
+        |      * (cast(pd.tf2 AS double) * (1.2 + 1.0))
+        |      / (cast(pd.tf2 AS double) + 1.2 * (1.0 - 0.75 + 0.75 *
+        |          (cast(pd.dl AS double) /
+        |           (st.sum_dl / cast(n.n_docs AS double)))))
+        |    AS score
+        |  FROM pd, st, n),
+        |r AS (SELECT doc_id, dl, score, row_number() OVER (
+        |    ORDER BY score DESC, doc_id ASC) AS rnk FROM sc)
+        |SELECT cast(rnk AS bigint) AS rnk, doc_id,
+        |  round(score, 6) AS score, dl
+        |FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin
 
   /** DuckDB oracle SQL per query (same parquet tables, same column
     * names — SURVEY.md §6). Approximate/non-SQL operators
@@ -730,48 +776,31 @@ object SparkEntry {
     // BM25 twin: every arithmetic step mirrors Search.bm25Search
     // operation-for-operation (idf, tf*(k1+1), length norm, left-assoc
     // term sum), so the double scores hash-compare exactly.
-    "bm25_search" ->
-      """WITH t AS (SELECT doc_id,
-        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |      x -> x <> '')) AS term
-        |  FROM documents),
-        |pd AS (SELECT doc_id, count(*) AS dl,
-        |    sum(CASE WHEN term = 'vector' THEN 1 ELSE 0 END) AS tf0,
-        |    sum(CASE WHEN term = 'stream' THEN 1 ELSE 0 END) AS tf1,
-        |    sum(CASE WHEN term = 'merge' THEN 1 ELSE 0 END) AS tf2
-        |  FROM t GROUP BY 1),
-        |st AS (SELECT cast(sum(dl) AS double) AS sum_dl,
-        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
-        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
-        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
-        |  FROM pd),
-        |n AS (SELECT count(*) AS n_docs FROM documents),
-        |sc AS (SELECT pd.doc_id, pd.dl,
-        |    ln(1.0 + (cast(n.n_docs - st.df0 AS double) + 0.5) /
-        |        (cast(st.df0 AS double) + 0.5))
-        |      * (cast(pd.tf0 AS double) * (1.2 + 1.0))
-        |      / (cast(pd.tf0 AS double) + 1.2 * (1.0 - 0.75 + 0.75 *
-        |          (cast(pd.dl AS double) /
-        |           (st.sum_dl / cast(n.n_docs AS double)))))
-        |    + ln(1.0 + (cast(n.n_docs - st.df1 AS double) + 0.5) /
-        |        (cast(st.df1 AS double) + 0.5))
-        |      * (cast(pd.tf1 AS double) * (1.2 + 1.0))
-        |      / (cast(pd.tf1 AS double) + 1.2 * (1.0 - 0.75 + 0.75 *
-        |          (cast(pd.dl AS double) /
-        |           (st.sum_dl / cast(n.n_docs AS double)))))
-        |    + ln(1.0 + (cast(n.n_docs - st.df2 AS double) + 0.5) /
-        |        (cast(st.df2 AS double) + 0.5))
-        |      * (cast(pd.tf2 AS double) * (1.2 + 1.0))
-        |      / (cast(pd.tf2 AS double) + 1.2 * (1.0 - 0.75 + 0.75 *
-        |          (cast(pd.dl AS double) /
-        |           (st.sum_dl / cast(n.n_docs AS double)))))
-        |    AS score
-        |  FROM pd, st, n),
-        |r AS (SELECT doc_id, dl, score, row_number() OVER (
-        |    ORDER BY score DESC, doc_id ASC) AS rnk FROM sc)
-        |SELECT cast(rnk AS bigint) AS rnk, doc_id,
-        |  round(score, 6) AS score, dl
-        |FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+    "bm25_search" -> Bm25Sql,
+    // Hybrid twin: the bm25 CTE verbatim + exact cosine ranks for
+    // query vec 0, fused by reciprocal rank (integer ranks; the only
+    // floats are two fixed-order IEEE divisions).
+    "hybrid_search" ->
+      s"""WITH bm AS ($Bm25Sql),
+        |e AS (SELECT vec_id, cast(embedding AS double[]) AS v
+        |  FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |vs AS (SELECT e.vec_id AS doc_id,
+        |    list_cosine_similarity(e.v, q.qv) AS cos
+        |  FROM e, q WHERE e.vec_id <> 0),
+        |vr AS (SELECT doc_id, row_number() OVER (
+        |    ORDER BY cos DESC, doc_id ASC) AS r_vec
+        |  FROM vs ORDER BY cos DESC, doc_id ASC LIMIT 20),
+        |f AS (SELECT coalesce(bm.doc_id, vr.doc_id) AS doc_id,
+        |    bm.rnk AS r_text, cast(vr.r_vec AS bigint) AS r_vec,
+        |    coalesce(1.0 / (60 + bm.rnk), 0.0) +
+        |      coalesce(1.0 / (60 + vr.r_vec), 0.0) AS rrf
+        |  FROM bm FULL OUTER JOIN vr ON bm.doc_id = vr.doc_id)
+        |SELECT cast(row_number() OVER (ORDER BY rrf DESC, doc_id ASC)
+        |    AS bigint) AS rnk,
+        |  doc_id, round(rrf, 6) AS rrf_score, r_text, r_vec
+        |FROM f ORDER BY rrf DESC, doc_id ASC LIMIT 10""".stripMargin,
+    
     "vwap" ->
       s"""SELECT user_id AS ticker_id, cast(ts AS date) AS day,
          |  ${dsum("value * length(props)")} /

@@ -163,4 +163,50 @@ object Search {
       .orderBy(col("tfidf_sim").desc, col("doc_a"), col("doc_b"))
       .limit(SimTopPairs)
   }
+
+  /** RRF constant (the standard 60) and fused output depth. */
+  val RrfK = 60L
+  val HybridTopK = 10
+
+  /** #131 Hybrid retrieval — BM25 ⊕ vector cosine via reciprocal-
+    * rank fusion: the standard two-tower serving shape (lexical
+    * recall catches exact terms, embedding recall catches
+    * paraphrases; RRF needs no score calibration because it fuses
+    * RANKS — `Σ 1/(60+r)` over the lists a doc appears in). Both
+    * candidate lists are the already-verified operators' top-[[TopK]]
+    * (BM25 over [[QueryTerms]]; exact cosine for the query embedding,
+    * vec_id 0 — at 100 TB the vector list comes from the persisted
+    * IVF index, #119, same shape); the fusion itself is an id-keyed
+    * full outer join of two K-row lists — driver-free, broadcast-
+    * sized. Integer ranks make the fusion engine-exact: the only
+    * floats are two fixed-order IEEE divisions per row. */
+  def hybridSearch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.cosine
+    val bm = bm25Search(spark, dir)
+      .select(col("doc_id"), col("rnk").as("r_text"))
+    val e = Similarity.emb(spark, dir)
+    val q = e.filter(col("vec_id") === 0L)
+      .select(col("vec").as("qvec"))
+    val vw = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cos").desc, col("doc_id").asc)
+    val vr = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 0L)
+      .select(col("vec_id").as("doc_id"),
+        cosine(col("vec"), col("qvec")).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id").asc).limit(TopK)
+      .withColumn("r_vec", row_number().over(vw).cast("long"))
+      .select("doc_id", "r_vec")
+    val fw = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    bm.join(vr, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(RrfK) + col("r_text")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("r_vec")), lit(0.0)))
+      .orderBy(col("rrf").desc, col("doc_id").asc).limit(HybridTopK)
+      .withColumn("rnk", row_number().over(fw).cast("long"))
+      .select(col("rnk"), col("doc_id"),
+        round(col("rrf"), 6).as("rrf_score"), col("r_text"),
+        col("r_vec"))
+      .orderBy("rnk")
+  }
 }

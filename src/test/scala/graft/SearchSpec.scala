@@ -64,4 +64,32 @@ class SearchSpec extends SparkTestBase {
     // saturation: five occurrences score less than 5x one occurrence
     assert(out(2L) < 5.0 * out(1L), "tf saturates below linear")
   }
+
+  test("hybrid_search: RRF scores reconstruct from the source ranks " +
+    "and every fused doc comes from a source list") {
+    import org.apache.spark.sql.functions.col
+    val out = Search.hybridSearch(spark, SfDir).collect()
+    assert(out.length === Search.HybridTopK)
+    val bmDocs = Search.bm25Search(spark, SfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    out.foreach { r =>
+      val (rText, rVec) =
+        (Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long]))
+      // provenance: at least one list contributed, and a text rank
+      // implies bm25 membership
+      assert(rText.isDefined || rVec.isDefined)
+      rText.foreach(_ => assert(bmDocs.contains(r.getLong(1))))
+      // the fused score is exactly the RRF of the carried ranks
+      val expected = BigDecimal(
+        rText.map(t => 1.0 / (Search.RrfK + t)).getOrElse(0.0) +
+          rVec.map(v => 1.0 / (Search.RrfK + v)).getOrElse(0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(2) === expected)
+    }
+    // fused order is descending and rnk is 1..K
+    assert(out.map(_.getLong(0)).toSeq === (1L to out.length).toSeq)
+    assert(out.map(_.getDouble(2)).toSeq.reverse.sorted.reverse ===
+      out.map(_.getDouble(2)).toSeq)
+  }
 }
