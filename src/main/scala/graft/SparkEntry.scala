@@ -132,7 +132,15 @@ object SparkEntry {
     "asof_tolerance" -> (AsOfJoin.clicksAsOfFresh _),
     "realized_vol" -> (StockOps.realizedVol _),
     "balance_buckets" -> (TrainExport.balanceBuckets _),
-    "hybrid_search" -> (Search.hybridSearch _)
+    "hybrid_search" -> (Search.hybridSearch _),
+    // §2.M robust stats, attribution, linkage, decomposition (round 13)
+    "rolling_beta" -> (StockOps.rollingBeta _),
+    "paragraph_dedup" -> (TextOps.paragraphDedup _),
+    "attribution" -> (Dimensional.attribution _),
+    "experiment_stats" -> (Dimensional.experimentStats _),
+    "fuzzy_join" -> (Dedup.fuzzyLinkage _),
+    "seasonal_decomp" -> (TimeSeries.seasonalDecomp _),
+    "robust_outliers" -> (TimeSeries.robustOutliers _)
   )
 
   private val Dec = "decimal(28,6)"
@@ -1658,6 +1666,159 @@ object SparkEntry {
         |  cast(sum(n_tok) AS bigint) AS sum_tokens,
         |  cast(max(n_tok) AS bigint) AS max_doc_tokens,
         |  cast(sum(rnk * (doc_id % 1000003)) AS bigint) AS sched_checksum
-        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // Beta twin: the realized_vol bar/return chain, an unnormalized
+    // sum-index per minute, and the exact decimal Σ(k·kM)/Σ(kM²).
+    "rolling_beta" ->
+      """WITH b AS (SELECT ticker_id, day, mi, value AS c FROM (
+        |    SELECT user_id AS ticker_id, cast(ts AS date) AS day,
+        |      cast(hour(ts) * 60 + minute(ts) AS bigint) AS mi, value,
+        |      row_number() OVER (PARTITION BY user_id, cast(ts AS date),
+        |        hour(ts) * 60 + minute(ts)
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'purchase') WHERE rn = 1),
+        |r AS (SELECT ticker_id, day, mi,
+        |    cast(round((c - nullif(lag(c) OVER w, 0))
+        |      / nullif(lag(c) OVER w, 0) * 1000000.0, 0) AS bigint) AS k
+        |  FROM b WINDOW w AS (PARTITION BY ticker_id, day ORDER BY mi)),
+        |rr AS (SELECT * FROM r WHERE k IS NOT NULL),
+        |ix AS (SELECT day, mi, cast(sum(k) AS bigint) AS km
+        |  FROM rr GROUP BY 1, 2)
+        |SELECT rr.ticker_id, rr.day, count(*) AS n_obs,
+        |  round(cast(sum(cast(rr.k AS decimal(38,0)) * ix.km) AS double)
+        |    / nullif(cast(sum(cast(ix.km AS decimal(38,0)) * ix.km)
+        |        AS double), 0), 6) AS beta
+        |FROM rr JOIN ix ON rr.day = ix.day AND rr.mi = ix.mi
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Segment-dedup twin: same 10-token windows over the same
+    // whitespace tokens, same md5 keys, first occurrence by
+    // (doc_id, line_no), same per-doc audit sums.
+    "paragraph_dedup" ->
+      """WITH segs AS (
+        |  SELECT doc_id, list_transform(range((len(sp) + 9) // 10),
+        |      i -> array_to_string(
+        |        list_slice(sp, i * 10 + 1, i * 10 + 10), ' ')) AS paras
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS sp
+        |        FROM documents)),
+        |l AS (SELECT doc_id, line_no, para, md5(para) AS h FROM (
+        |    SELECT doc_id, unnest(paras) AS para,
+        |      generate_subscripts(paras, 1) AS line_no
+        |    FROM segs)
+        |  WHERE length(para) > 0),
+        |m AS (SELECT doc_id, length(para) AS len,
+        |    CASE WHEN row_number() OVER (PARTITION BY h
+        |      ORDER BY doc_id, line_no) = 1 THEN 1 ELSE 0 END AS kept
+        |  FROM l)
+        |SELECT doc_id, count(*) AS n_paras,
+        |  cast(sum(kept) AS bigint) AS n_kept,
+        |  cast(sum(kept * len) AS bigint) AS kept_chars,
+        |  cast(sum((1 - kept) * len) AS bigint) AS dropped_chars
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Attribution twin: native ASOF against per-(user, ts) collapsed
+    // touches (max event_id pins the tie), 24 h staleness nulled.
+    "attribution" ->
+      s"""WITH touch AS (
+         |  SELECT user_id, ts, max_by(event_type, event_id) AS channel
+         |  FROM events WHERE event_type IN ('click', 'view')
+         |  GROUP BY 1, 2),
+         |conv AS (SELECT user_id, ts, value FROM events
+         |  WHERE event_type = 'purchase'),
+         |a AS (SELECT
+         |    CASE WHEN t.ts IS NOT NULL
+         |        AND epoch_us(c.ts) - epoch_us(t.ts) <= 86400000000
+         |      THEN t.channel ELSE 'unattributed' END AS channel,
+         |    c.value AS value
+         |  FROM conv c ASOF LEFT JOIN touch t
+         |    ON c.user_id = t.user_id AND t.ts <= c.ts)
+         |SELECT channel, count(*) AS n_conv,
+         |  round(${dsum("value")}, 6) AS revenue
+         |FROM a GROUP BY channel ORDER BY channel""".stripMargin,
+    // Scorecard twin: identical md5-parity arms, exact decimal
+    // Σx/Σx², Welch z from the rounded published stats.
+    "experiment_stats" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |p AS (SELECT user_id,
+        |    cast(sum(cast(value AS decimal(18,6))) AS decimal(18,6))
+        |      AS rev
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |m AS (SELECT
+        |    cast(('0x' || substr(md5('exp1:' || u.user_id), 25, 8))
+        |      ::UBIGINT % 2 AS bigint) AS arm,
+        |    coalesce(p.rev, cast(0 AS decimal(18,6))) AS rev
+        |  FROM u LEFT JOIN p USING (user_id)),
+        |s AS (SELECT arm, count(*) AS n_users,
+        |    cast(sum(rev) AS double) AS sx,
+        |    cast(sum(cast(rev AS decimal(19,6)) * rev) AS double) AS sxx
+        |  FROM m GROUP BY arm),
+        |st AS (SELECT arm, n_users,
+        |    round(sx / n_users, 6) AS mean_rev,
+        |    round((sxx - sx * sx / n_users) / (n_users - 1), 6) AS var_rev
+        |  FROM s)
+        |SELECT a.arm, a.n_users, a.mean_rev, a.var_rev,
+        |  round((a.mean_rev - b.mean_rev) /
+        |    sqrt(a.var_rev / a.n_users + b.var_rev / b.n_users), 6)
+        |    AS z_score
+        |FROM st a JOIN st b ON a.arm <> b.arm
+        |ORDER BY a.arm""".stripMargin,
+    // Linkage twin: the same block key, length prefilter, and
+    // threshold-2 Levenshtein (both engines: unit-cost DP).
+    "fuzzy_join" ->
+      """SELECT a.p_brand, a.p_size,
+        |  a.p_partkey AS a_key, b.p_partkey AS b_key,
+        |  cast(levenshtein(a.p_name, b.p_name) AS bigint) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        |  AND a.p_partkey < b.p_partkey
+        |WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+        |  AND levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY a.p_brand, a.p_size, a_key, b_key""".stripMargin,
+    // Decomposition twin: the same micro-unit integer chain — rev_u
+    // long, 7-day trend sum long, weekday mean of 7·rev_u − S.
+    "seasonal_decomp" ->
+      """WITH daily AS (SELECT cast(o_orderdate AS date) AS day,
+        |    cast(sum(cast(o_totalprice AS decimal(18,6))) * 1000000
+        |      AS bigint) AS rev_u
+        |  FROM orders GROUP BY 1),
+        |spine AS (SELECT unnest(generate_series(
+        |    (SELECT min(day) FROM daily), (SELECT max(day) FROM daily),
+        |    INTERVAL 1 DAY))::date AS day),
+        |series AS (SELECT s.day, coalesce(d.rev_u, 0) AS rev_u
+        |  FROM spine s LEFT JOIN daily d USING (day)),
+        |t AS (SELECT day, rev_u,
+        |    CASE WHEN count(*) OVER w = 7
+        |      THEN cast(sum(rev_u) OVER w AS bigint) END AS ts_u,
+        |    cast(dayofweek(day) AS bigint) AS wd
+        |  FROM series
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING
+        |    AND 3 FOLLOWING)),
+        |seas AS (SELECT wd,
+        |    round(cast(sum(rev_u * 7 - ts_u) AS double)
+        |      / (count(*) * 7000000.0), 6) AS seasonal
+        |  FROM t WHERE ts_u IS NOT NULL GROUP BY wd)
+        |SELECT t.day, t.wd,
+        |  round(rev_u / 1e6, 6) AS revenue,
+        |  round(ts_u / 7e6, 6) AS trend,
+        |  s.seasonal,
+        |  round(round(rev_u / 1e6, 6) - round(ts_u / 7e6, 6)
+        |    - s.seasonal, 6) AS residual
+        |FROM t LEFT JOIN seas s USING (wd)
+        |ORDER BY t.day""".stripMargin,
+    // Robust-screen twin: exact interpolated medians (quantile_cont ≡
+    // percentile), both quantized to 6 dp before the MAD gate.
+    "robust_outliers" ->
+      """WITH med AS (SELECT event_type,
+        |    round(quantile_cont(value, 0.5), 6) AS med
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT e.event_type, abs(e.value - m.med) AS dev, m.med
+        |  FROM events e JOIN med m USING (event_type)),
+        |st AS (SELECT event_type, count(*) AS n, first(med) AS med,
+        |    round(quantile_cont(dev, 0.5), 6) AS mad
+        |  FROM d GROUP BY event_type)
+        |SELECT d.event_type, st.n, st.med, st.mad,
+        |  cast(sum(CASE WHEN d.dev > 3 * 1.4826 * st.mad
+        |    THEN 1 ELSE 0 END) AS bigint) AS n_out
+        |FROM d JOIN st USING (event_type)
+        |GROUP BY d.event_type, st.n, st.med, st.mad
+        |ORDER BY d.event_type""".stripMargin
   )
 }

@@ -465,4 +465,39 @@ object Dedup {
           .otherwise(lit("keep")).as("verdict"))
       .orderBy("doc_id")
   }
+
+  /** #136 Blocked edit-distance record linkage — the entity-resolution
+    * pass a master-data pipeline runs over dirty dimension feeds:
+    * candidate pairs only WITHIN a blocking key (brand, size — the
+    * standard linkage discipline; all-pairs Levenshtein is O(n²·L²)
+    * and never runs at scale), a length-difference prefilter (|len a −
+    * len b| > k lower-bounds the distance ≥ k+1, so the DP never
+    * starts), then banded Levenshtein with an early-exit threshold
+    * (Spark's 3-arg form stops once the distance exceeds k). Emits
+    * every pair at distance ≤ 2 with a<b.
+    *
+    * Scale: the self-join shuffles both sides on the block key once —
+    * pair count is Σ|block|², governed by the blocking key's fan-in
+    * (988 blocks ≈ 2 rows each here), never n². A hot block is a data-
+    * modeling bug (pick a finer key), not a shuffle-skew one. */
+  def fuzzyLinkage(spark: SparkSession, dir: String): DataFrame = {
+    val MaxDist = 2
+    val p = Tables.load(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"),
+        col("p_name"))
+    val a = p.select(col("p_brand"), col("p_size"),
+      col("p_partkey").as("a_key"), col("p_name").as("a_name"))
+    val b = p.select(col("p_brand"), col("p_size"),
+      col("p_partkey").as("b_key"), col("p_name").as("b_name"))
+    a.join(b, Seq("p_brand", "p_size"))
+      .filter(col("a_key") < col("b_key"))
+      .filter(abs(length(col("a_name")) - length(col("b_name")))
+        <= MaxDist)
+      .withColumn("dist",
+        levenshtein(col("a_name"), col("b_name"), MaxDist))
+      .filter(col("dist") >= 0 && col("dist") <= MaxDist)
+      .select(col("p_brand"), col("p_size"), col("a_key"), col("b_key"),
+        col("dist").cast("long").as("dist"))
+      .orderBy("p_brand", "p_size", "a_key", "b_key")
+  }
 }

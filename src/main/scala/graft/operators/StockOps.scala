@@ -362,4 +362,50 @@ object StockOps {
           .as("rv"))
       .orderBy("ticker_id", "day")
   }
+
+  /** #132 Market-model beta per (ticker, day) — the systematic-risk
+    * slope a market warehouse serves next to realized vol. Minute
+    * micro-returns k ride the exact [[realizedVol]] quantization; the
+    * index return kM for a minute is the SUM of that minute's k across
+    * all tickers (an unnormalized equal-dollar index — the scale
+    * constant cancels nowhere, so it is part of the metric's
+    * definition and both engines compute the same integer). Beta is
+    * the ratio of two exact decimal sums, Σ(ki·kM) / Σ(kM²), taken
+    * over exactly the minutes where THIS ticker has a return — one
+    * terminal round(…, 6), no float accumulation anywhere.
+    *
+    * Scale: bars/returns are the realizedVol shapes (bounded 1440-row
+    * day windows); the index table is |active minutes| rows,
+    * shuffle-keyed on (day, mi); the join back is fact⋈fact on the
+    * same (day, mi) key — at 100 TB both sides are minute-grained
+    * aggregates, orders of magnitude below the event stream. */
+  def rollingBeta(spark: SparkSession, dir: String): DataFrame = {
+    val bars = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("ticker_id"),
+        to_date(col("ts")).as("day"),
+        (hour(col("ts")) * 60 + minute(col("ts"))).cast("long").as("mi"))
+      .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
+      .select(col("ticker_id"), col("day"), col("mi"),
+        col("m.value").as("c"))
+    val w = Window.partitionBy("ticker_id", "day").orderBy("mi")
+    val prev = nullif(lag(col("c"), 1).over(w), lit(0.0))
+    val rets = bars
+      .withColumn("k",
+        round((col("c") - prev) / prev * lit(1000000.0), 0).cast("long"))
+      .filter(col("k").isNotNull)
+      .select("ticker_id", "day", "mi", "k")
+    // unnormalized index micro-return: Σ k over tickers, per minute
+    val index = rets.groupBy("day", "mi")
+      .agg(sum(col("k")).as("km"))
+    rets.join(index, Seq("day", "mi"))
+      .groupBy("ticker_id", "day")
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("k").cast("decimal(38,0)") * col("km")).as("skm"),
+        sum(col("km").cast("decimal(38,0)") * col("km")).as("skk"))
+      .select(col("ticker_id"), col("day"), col("n_obs"),
+        round(col("skm").cast("double") /
+          nullif(col("skk").cast("double"), lit(0.0)), 6).as("beta"))
+      .orderBy("ticker_id", "day")
+  }
 }

@@ -344,4 +344,55 @@ object TextOps {
       .agg(count(lit(1)).as("n_shared"))
       .orderBy("doc_id")
   }
+
+  /** #133 Corpus-wide paragraph dedup — the segment-level pass
+    * CCNet-style pipelines run BEFORE document-level near-dup:
+    * boilerplate segments (headers, nav, license banners) repeat
+    * across millions of pages and survive doc-level MinHash. The
+    * segmenter is pluggable; production splits on newlines, here the
+    * single-line testdata corpus is cut into non-overlapping 10-token
+    * windows (the same whitespace tokens as #29). Every segment is
+    * keyed by md5; the FIRST occurrence corpus-wide (min (doc_id,
+    * line_no) — a max-of-struct-style min aggregate, not a window)
+    * keeps, every later copy drops. Output is the per-document audit:
+    * segments seen / kept, chars kept / dropped.
+    *
+    * Scale: the segment explode is O(total tokens); the keeper table
+    * is one hash aggregate keyed on the md5 (map-side partial combines
+    * duplicate segments within a partition first); the keep test is a
+    * join back on the same key — two shuffles of segment-grained rows,
+    * no windows, no skew exposure (a boilerplate segment appearing 10⁹
+    * times partial-aggregates to one row per map task before the
+    * exchange). */
+  def paragraphDedup(spark: SparkSession, dir: String): DataFrame = {
+    val SegTokens = 10
+    val lines = Tables.load(spark, dir, "documents")
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0),
+          floor((size(col("toks")) - 1) / SegTokens).cast("int")),
+        i => array_join(
+          slice(col("toks"), i * SegTokens + 1, lit(SegTokens)), " ")))
+        .as(Seq("pos", "para")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("line_no"),
+        col("para"))
+      .filter(length(col("para")) > 0)
+      .withColumn("h", md5(col("para")))
+    val keepers = lines
+      .groupBy("h")
+      .agg(min(struct(col("doc_id"), col("line_no"))).as("keep"))
+      .select(col("h"), col("keep.doc_id").as("k_doc"),
+        col("keep.line_no").as("k_line"))
+    lines.join(keepers, "h")
+      .withColumn("kept",
+        (col("doc_id") === col("k_doc") && col("line_no") === col("k_line"))
+          .cast("int").cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_paras"),
+        sum(col("kept")).as("n_kept"),
+        sum(col("kept") * length(col("para"))).as("kept_chars"),
+        sum((lit(1L) - col("kept")) * length(col("para")))
+          .as("dropped_chars"))
+      .orderBy("doc_id")
+  }
 }

@@ -274,4 +274,89 @@ object TimeSeries {
           lit(1439L) - max(col("mi"))).as("max_gap_min"))
       .orderBy("ticker_id", "day")
   }
+
+  /** #137 Classical seasonal decomposition of the daily revenue
+    * series, period 7: trend = centered 7-day moving average (defined
+    * only where the window is full), seasonal = the weekday mean of
+    * the detrended series, residual = the rest. Arithmetic stays on
+    * integers end-to-end: the day's revenue is an exact decimal sum
+    * carried as micro-units (×10⁶ long), the 7-day trend sum is a
+    * long, and the detrended value is carried as 7·rev_u − trend_sum_u
+    * (units of 10⁻⁶/7 — exact, no division until the terminal
+    * rounds). Missing calendar days enter as explicit zero-revenue
+    * rows (a date spine), so the "centered 7 rows" frame IS "centered
+    * 7 calendar days" and weekday alignment never drifts.
+    *
+    * Scale: the daily series is |calendar| rows regardless of fact
+    * size — one exact day-grain aggregate reduces the fact table,
+    * everything after is calendar-bound (2.4k rows here, 36.5k rows
+    * for a century). The spine explode is one broadcast row. */
+  def seasonalDecomp(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,6)")) * 1000000L)
+        .cast("long").as("rev_u"))
+    val spine = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val series = spine.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("rev_u"), lit(0L)).as("rev_u"))
+    val w = Window.orderBy("day").rowsBetween(-3, 3)
+    val trended = series
+      .withColumn("trend_sum_u",
+        when(count(lit(1)).over(w) === 7, sum(col("rev_u")).over(w)))
+      // detrended, exactly, in units of 1e-6/7
+      .withColumn("detr_u7", col("rev_u") * 7 - col("trend_sum_u"))
+      .withColumn("wd", (dayofweek(col("day")) - 1).cast("long"))
+    val seasonal = trended.filter(col("detr_u7").isNotNull)
+      .groupBy("wd")
+      .agg(round(sum(col("detr_u7")).cast("double") /
+        (count(lit(1)) * 7L * 1000000L).cast("double"), 6).as("seasonal"))
+    trended.join(seasonal, Seq("wd"), "left")
+      .select(col("day"), col("wd"),
+        round(col("rev_u").cast("double") / 1e6, 6).as("revenue"),
+        round(col("trend_sum_u").cast("double") / 7e6, 6).as("trend"),
+        col("seasonal"),
+        round(round(col("rev_u").cast("double") / 1e6, 6)
+          - round(col("trend_sum_u").cast("double") / 7e6, 6)
+          - col("seasonal"), 6).as("residual"))
+      .orderBy("day")
+  }
+
+  /** #138 Robust outlier screen — median/MAD instead of mean/stddev:
+    * one fat-tailed burst inflates a z-score gate until it stops
+    * firing (the σ it divides by is the outliers'), while the median
+    * absolute deviation barely moves. Two exact grouped medians
+    * (the [[Olap.percentiles]] interpolation, already oracle-pinned),
+    * with the deviation pass reading the first pass's 5-row result as
+    * a broadcast — and the count gate compares against 3·1.4826·MAD,
+    * both medians quantized to 6 dp BEFORE thresholding so the
+    * boundary is engine-exact.
+    *
+    * Scale: exact per-group medians sort each group's values on one
+    * task — the documented #39 trade (the GK sketch #79 is the
+    * hot-group escape hatch); the fact scan runs twice (median, then
+    * deviations) — a sketch-based single-pass variant trades that
+    * second scan for rank error. */
+  def robustOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("value"))
+    val med = events.groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.5D)"), 6).as("med"))
+    val dev = events.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("value") - col("med")))
+    val stats = dev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        first(col("med")).as("med"),
+        round(expr("percentile(dev, 0.5D)"), 6).as("mad"))
+    val outs = dev
+      .join(broadcast(stats.select(col("event_type"), col("mad"))),
+        "event_type")
+      .groupBy("event_type")
+      .agg(sum((col("dev") > lit(3 * 1.4826) * col("mad")).cast("long"))
+        .as("n_out"))
+    stats.join(outs, "event_type")
+      .select(col("event_type"), col("n"), col("med"), col("mad"),
+        col("n_out"))
+      .orderBy("event_type")
+  }
 }

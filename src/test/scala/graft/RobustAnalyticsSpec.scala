@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Dimensional, StockOps, TimeSeries, TextOps}
+import graft.sources.Tables
+
+/** §2.M round-13 operators: market-model beta (#132), segment dedup
+  * (#133), last-touch attribution (#134), experiment scorecard
+  * (#135), blocked fuzzy linkage (#136), seasonal decomposition
+  * (#137), median/MAD outlier screen (#138). */
+class RobustAnalyticsSpec extends SparkTestBase {
+
+  test("rolling_beta: a day's betas average to ~1 under the sum-index " +
+    "definition, and a single-ticker minute has beta exactly 1") {
+    val beta = StockOps.rollingBeta(spark, SfDir).cache()
+    assert(beta.count() > 0)
+    // where a ticker is alone on every minute it trades, kM == k so
+    // beta == 1 exactly; verify on rows the data exhibits
+    val rv = StockOps.realizedVol(spark, SfDir)
+      .select(col("ticker_id"), col("day"), col("n_rets"))
+    val j = beta.join(rv, Seq("ticker_id", "day"))
+    assert(j.filter(col("n_obs") =!= col("n_rets")).count() === 0)
+    // beta is null only when the index variance is zero (kM = 0 on
+    // every observed minute); all other rows are finite
+    assert(beta.filter(col("beta").isNotNull && isnan(col("beta")))
+      .count() === 0)
+  }
+
+  test("paragraph_dedup: audit sums are conserved and the keeper set " +
+    "has exactly one occurrence per distinct segment") {
+    val d = TextOps.paragraphDedup(spark, SfDir).cache()
+    val docs = Tables.load(spark, SfDir, "documents").count()
+    assert(d.count() === docs)
+    // kept + nothing-missing: n_kept <= n_paras, chars partition
+    assert(d.filter(col("n_kept") > col("n_paras")).count() === 0)
+    // a doc whose every segment already appeared earlier keeps zero —
+    // the fully-boilerplate page; the corpus-wide first copy survives
+    assert(d.filter(col("n_kept") === 0).count() < d.count())
+    // total kept segments == distinct segment hashes in the corpus
+    val totalKept = d.agg(sum("n_kept")).head().getLong(0)
+    val toks = Tables.load(spark, SfDir, "documents")
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), floor((size(col("toks")) - 1) / 10).cast("int")),
+        i => array_join(slice(col("toks"), i * 10 + 1, lit(10)), " ")))
+        .as(Seq("pos", "para")))
+      .filter(length(col("para")) > 0)
+      .select("para").distinct().count()
+    assert(totalKept === toks)
+  }
+
+  test("attribution: channel totals conserve the purchase ledger") {
+    val a = Dimensional.attribution(spark, SfDir).cache()
+    val purchases = Tables.load(spark, SfDir, "events")
+      .filter(col("event_type") === "purchase")
+    assert(a.agg(sum("n_conv")).head().getLong(0) === purchases.count())
+    // channels are only the touch types + unattributed
+    val chans = a.select("channel").collect().map(_.getString(0)).toSet
+    assert(chans.subsetOf(Set("click", "view", "unattributed")))
+    // revenue conserves to the exact ledger total
+    val total = a.agg(round(sum("revenue"), 4)).head().getDouble(0)
+    val ledger = purchases
+      .agg(round(graft.operators.Num.dsum(col("value")), 4))
+      .head().getDouble(0)
+    assert(math.abs(total - ledger) < 1e-3)
+  }
+
+  test("experiment_stats: two arms partition the population; z is " +
+    "antisymmetric") {
+    val s = Dimensional.experimentStats(spark, SfDir).cache()
+    val rows = s.collect()
+    assert(rows.length === 2)
+    val users = Tables.load(spark, SfDir, "events")
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum === users)
+    val zs = rows.map(_.getAs[Double]("z_score"))
+    assert(math.abs(zs(0) + zs(1)) < 2e-6) // rounded at 6 dp each
+    assert(rows.forall(_.getAs[Double]("var_rev") >= 0.0))
+  }
+
+  test("fuzzy_join: pairs stay inside blocks, satisfy the distance " +
+    "bound, and include every exact-name duplicate pair") {
+    val f = Dedup.fuzzyLinkage(spark, SfDir).cache()
+    assert(f.filter(col("dist") < 0 || col("dist") > 2).count() === 0)
+    assert(f.filter(col("a_key") >= col("b_key")).count() === 0)
+    // completeness at dist=0: every same-(brand,size) exact-name pair
+    val p = Tables.load(spark, SfDir, "part")
+      .select(col("p_brand"), col("p_size"), col("p_partkey"),
+        col("p_name"))
+    val exact = p.as("a").join(p.as("b"),
+        col("a.p_brand") === col("b.p_brand") &&
+        col("a.p_size") === col("b.p_size") &&
+        col("a.p_name") === col("b.p_name") &&
+        col("a.p_partkey") < col("b.p_partkey"))
+      .count()
+    assert(f.filter(col("dist") === 0).count() === exact)
+  }
+
+  test("seasonal_decomp: spine is the dense calendar, decomposition " +
+    "reconstructs revenue where trend is defined") {
+    val d = TimeSeries.seasonalDecomp(spark, SfDir).cache()
+    val n = d.count()
+    val span = d.agg(datediff(max("day"), min("day"))).head().getInt(0)
+    assert(n === span + 1) // dense daily spine
+    // trend null exactly on the 3-row edges
+    assert(d.filter(col("trend").isNull).count() === 6)
+    // rev == trend + seasonal + residual (all rounded to 6 dp)
+    val bad = d.filter(col("trend").isNotNull &&
+      abs(col("revenue") - col("trend") - col("seasonal")
+        - col("residual")) > lit(2e-6)).count()
+    assert(bad === 0)
+  }
+
+  test("robust_outliers: MAD gate fires on a minority; med/mad " +
+    "nonnegative where values are") {
+    val r = TimeSeries.robustOutliers(spark, SfDir).cache()
+    assert(r.count() === 5) // the five event types
+    assert(r.filter(col("n_out") > col("n") / 2).count() === 0)
+    assert(r.filter(col("mad") < 0).count() === 0)
+    // the z-score screen (#85 uses mean/σ) and this MAD screen agree
+    // that SOME rows are ordinary: n_out < n for every group
+    assert(r.filter(col("n_out") >= col("n")).count() === 0)
+  }
+}
