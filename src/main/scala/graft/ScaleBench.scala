@@ -51,7 +51,27 @@ object ScaleBench {
     // — row-linear like the other events scans — and the as-of pair
     // (union-merge sort across 1500 keys; ~40k rows/key at ×100)
     "gap_report", "realized_vol", "asof_join", "asof_tolerance",
-    "balance_buckets")
+    "balance_buckets",
+    // round 13: beta rides the realized_vol chain (duplicated rows
+    // collapse into the same minute bars, so the metric is
+    // multiplication-invariant and the cost is the scan); segment
+    // dedup, attribution and the A/B scorecard are row-linear
+    // document/event scans with key-local aggregation; the seasonal
+    // series is calendar-bound after one day-grain aggregate.
+    // fuzzy_join stays OUT (same reason as cluster_split: hardlink
+    // duplication squares the within-block pair count); and
+    // robust_outliers stays OUT (its exact per-group median buffers
+    // the group's values on one task — the documented #39 trade the
+    // GK sketch escapes; multiplying the corpus measures that buffer,
+    // not the screen).
+    "rolling_beta", "paragraph_dedup", "attribution",
+    "experiment_stats", "seasonal_decomp",
+    // round 13 batch 2: cms_freq (key-grain pre-agg is the map-side
+    // collapse; the counter matrix is fixed d×w), embed_stats (one
+    // explode + dim-keyed agg, row-linear), fuzzy_join (entity-grain
+    // collapse makes the pair stage multiplication-INVARIANT — the
+    // scan is the cost, unlike the row-grain form that squared)
+    "cms_freq", "embed_stats", "fuzzy_join")
 
   /** Join shapes where only the FACT side (lineitem) multiplies —
     * each order keeps its (now mult×) lines and every dim stays

@@ -140,7 +140,12 @@ object SparkEntry {
     "experiment_stats" -> (Dimensional.experimentStats _),
     "fuzzy_join" -> (Dedup.fuzzyLinkage _),
     "seasonal_decomp" -> (TimeSeries.seasonalDecomp _),
-    "robust_outliers" -> (TimeSeries.robustOutliers _)
+    "robust_outliers" -> (TimeSeries.robustOutliers _),
+    "skew_report" -> (Skew.skewReport _),
+    "cms_freq" -> (Frequency.cmsFreq _),
+    "embed_stats" -> (Similarity.embedStats _),
+    "co_occurrence" -> (Analytics.coOccurrence _),
+    "ref_audit" -> (Analytics.refAudit _)
   )
 
   private val Dec = "decimal(28,6)"
@@ -1760,18 +1765,22 @@ object SparkEntry {
         |    AS z_score
         |FROM st a JOIN st b ON a.arm <> b.arm
         |ORDER BY a.arm""".stripMargin,
-    // Linkage twin: the same block key, length prefilter, and
-    // threshold-2 Levenshtein (both engines: unit-cost DP).
+    // Linkage twin: the same entity collapse, block key, length
+    // prefilter, and threshold-2 Levenshtein (both engines: unit-cost
+    // DP).
     "fuzzy_join" ->
-      """SELECT a.p_brand, a.p_size,
-        |  a.p_partkey AS a_key, b.p_partkey AS b_key,
-        |  cast(levenshtein(a.p_name, b.p_name) AS bigint) AS dist
-        |FROM part a JOIN part b
-        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
-        |  AND a.p_partkey < b.p_partkey
+      """WITH e AS (SELECT p_brand, p_name, count(*) AS n,
+        |    min(p_partkey) AS canon
+        |  FROM part GROUP BY 1, 2)
+        |SELECT a.p_brand, a.p_name AS a_name, b.p_name AS b_name,
+        |  cast(levenshtein(a.p_name, b.p_name) AS bigint) AS dist,
+        |  a.n AS n_a, b.n AS n_b,
+        |  a.canon AS canon_a, b.canon AS canon_b
+        |FROM e a JOIN e b
+        |  ON a.p_brand = b.p_brand AND a.p_name < b.p_name
         |WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
         |  AND levenshtein(a.p_name, b.p_name) <= 2
-        |ORDER BY a.p_brand, a.p_size, a_key, b_key""".stripMargin,
+        |ORDER BY a.p_brand, a_name, b_name""".stripMargin,
     // Decomposition twin: the same micro-unit integer chain — rev_u
     // long, 7-day trend sum long, weekday mean of 7·rev_u − S.
     "seasonal_decomp" ->
@@ -1819,6 +1828,120 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END) AS bigint) AS n_out
         |FROM d JOIN st USING (event_type)
         |GROUP BY d.event_type, st.n, st.med, st.mad
-        |ORDER BY d.event_type""".stripMargin
+        |ORDER BY d.event_type""".stripMargin,
+    // Skew-report twin: the single-window global rank the two-level
+    // decomposition must reproduce, then the same exact-decimal Gini.
+    "skew_report" ->
+      """WITH k AS (SELECT event_type, user_id, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, cnt,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY cnt ASC, user_id ASC) AS rnk,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM k)
+        |SELECT event_type, count(*) AS n_keys,
+        |  cast(sum(cnt) AS bigint) AS n_rows,
+        |  round(cast(max(cnt) AS double) / cast(sum(cnt) AS double), 6)
+        |    AS top1_share,
+        |  round(cast(sum(CASE WHEN rnk > n - 10 THEN cnt ELSE 0 END)
+        |      AS double) / cast(sum(cnt) AS double), 6) AS top10_share,
+        |  round(cast(sum(cast(2 * rnk - 1 AS decimal(38,0)) * cnt)
+        |      - cast(count(*) AS decimal(38,0)) * sum(cnt) AS double)
+        |    / cast(cast(count(*) AS decimal(38,0)) * sum(cnt) AS double),
+        |    6) AS gini
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // CMS twin: the identical relational sketch — same md5-affine
+    // bucket hashes, same d×w counter table, same min-over-rows
+    // estimates for the same top-20 probe set.
+    "cms_freq" ->
+      """WITH k AS (SELECT user_id, count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |dd AS (SELECT unnest(range(4)) AS d),
+        |cells AS (SELECT dd.d,
+        |    cast(('0x' || substr(md5('cms:' || dd.d || ':' || k.user_id),
+        |      25, 8))::UBIGINT % 1024 AS bigint) AS b, k.cnt
+        |  FROM k CROSS JOIN dd),
+        |counters AS (SELECT d, b, sum(cnt) AS c FROM cells GROUP BY 1, 2),
+        |probes AS (SELECT user_id, cnt FROM k
+        |  ORDER BY cnt DESC, user_id ASC LIMIT 20),
+        |est AS (SELECT p.user_id, p.cnt AS exact_cnt, min(c.c) AS est
+        |  FROM probes p CROSS JOIN dd
+        |  JOIN counters c ON c.d = dd.d AND c.b =
+        |    cast(('0x' || substr(md5('cms:' || dd.d || ':' || p.user_id),
+        |      25, 8))::UBIGINT % 1024 AS bigint)
+        |  GROUP BY 1, 2)
+        |SELECT user_id, exact_cnt, cast(est AS bigint) AS est,
+        |  cast(est - exact_cnt AS bigint) AS overcount
+        |FROM est ORDER BY exact_cnt DESC, user_id ASC""".stripMargin,
+    // Feature-card twin: 1-based generate_subscripts shifted to the
+    // 0-based dim, the same 6 dp value quantization and exact moment
+    // sums, the same last-ulp variance guard.
+    "embed_stats" ->
+      """WITH d AS (SELECT
+        |    unnest(cast(embedding AS double[])) AS v,
+        |    generate_subscripts(cast(embedding AS double[]), 1) - 1
+        |      AS dim0
+        |  FROM embeddings),
+        |d6 AS (SELECT cast(dim0 AS bigint) AS dim, v,
+        |    cast(v AS decimal(18,6)) AS v6 FROM d),
+        |s AS (SELECT dim, count(*) AS n,
+        |    cast(sum(v6) AS double) AS sx,
+        |    cast(sum(cast(v6 AS decimal(19,6)) * v6) AS double) AS sxx,
+        |    min(v) AS min_v, max(v) AS max_v,
+        |    cast(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS bigint)
+        |      AS n_zero
+        |  FROM d6 GROUP BY 1)
+        |SELECT dim, n, round(sx / n, 6) AS mean,
+        |  round(sqrt(greatest((sxx - sx * sx / n) / (n - 1), 0)), 6)
+        |    AS std,
+        |  round(min_v, 6) AS min_v, round(max_v, 6) AS max_v, n_zero
+        |FROM s ORDER BY dim""".stripMargin,
+    // Basket twin: same distinct collapse, basket-bounded pair join,
+    // integer lift numerator/denominator, same top-20 tiebreak.
+    "co_occurrence" ->
+      """WITH l AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |no AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM l),
+        |pc AS (SELECT l_partkey, count(*) AS c FROM l GROUP BY 1),
+        |p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+        |    count(*) AS support
+        |  FROM l a JOIN l b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2)
+        |SELECT p.pa, p.pb, p.support, ca.c AS ca, cb.c AS cb,
+        |  round(cast(p.support * no.n_orders AS double)
+        |    / cast(ca.c * cb.c AS double), 6) AS lift
+        |FROM p, no
+        |JOIN pc ca ON ca.l_partkey = p.pa
+        |JOIN pc cb ON cb.l_partkey = p.pb
+        |ORDER BY p.support DESC, p.pa ASC, p.pb ASC
+        |LIMIT 20""".stripMargin,
+    // Audit twin: the same six checks as scalar subqueries.
+    "ref_audit" ->
+      """WITH rows(check_name, n_bad, n_total) AS (VALUES
+        |  ('lineitem_orphan_order',
+        |    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+        |    (SELECT count(*) FROM lineitem)),
+        |  ('orders_orphan_customer',
+        |    (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+        |    (SELECT count(*) FROM orders)),
+        |  ('customer_orphan_nation',
+        |    (SELECT count(*) FROM customer c WHERE NOT EXISTS
+        |      (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)),
+        |    (SELECT count(*) FROM customer)),
+        |  ('orders_dup_pk',
+        |    (SELECT count(o_orderkey) - count(DISTINCT o_orderkey)
+        |      FROM orders),
+        |    (SELECT count(*) FROM orders)),
+        |  ('orders_null_custkey',
+        |    (SELECT count(*) FROM orders WHERE o_custkey IS NULL),
+        |    (SELECT count(*) FROM orders)),
+        |  ('lineitem_null_partkey',
+        |    (SELECT count(*) FROM lineitem WHERE l_partkey IS NULL),
+        |    (SELECT count(*) FROM lineitem)))
+        |SELECT check_name, cast(n_bad AS bigint) AS n_bad,
+        |  cast(n_total AS bigint) AS n_total
+        |FROM rows ORDER BY check_name""".stripMargin
   )
 }

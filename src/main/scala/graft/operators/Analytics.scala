@@ -154,4 +154,87 @@ object Analytics {
       .select("day", "ticker_id", "n_trades", "volume", "share", "day_rank")
       .orderBy("day", "day_rank")
   }
+
+  /** #143 Market-basket co-occurrence — the top co-ordered part pairs
+    * with support and lift, the "frequently bought together" report.
+    * Pair generation is basket-bounded: lines first collapse to
+    * DISTINCT (order, part) — which also makes the metric invariant
+    * under corpus duplication — then self-join on the order key, so
+    * the explode is Σ basket² (~7² per order), never catalog². Lift's
+    * numerator/denominator are exact integers; one terminal round.
+    *
+    * Scale: the order-keyed self-join co-shuffles once on l_orderkey;
+    * pair support is a hash aggregate on (part_a, part_b); the top-20
+    * is TakeOrdered (no global sort materialized). A mega-basket is
+    * the skew exposure and gets capped upstream in a real feed. */
+  def coOccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nOrders = lines.select("l_orderkey").distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val partCnt = lines.groupBy("l_partkey")
+      .agg(count(lit(1)).as("c"))
+    val pairs = lines.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      .join(lines.select(col("l_orderkey"), col("l_partkey").as("pb")),
+        "l_orderkey")
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("support"))
+    pairs
+      .join(partCnt.select(col("l_partkey").as("pa"), col("c").as("ca")),
+        "pa")
+      .join(partCnt.select(col("l_partkey").as("pb"), col("c").as("cb")),
+        "pb")
+      .crossJoin(broadcast(nOrders))
+      .select(col("pa"), col("pb"), col("support"), col("ca"), col("cb"),
+        round((col("support") * col("n_orders")).cast("double") /
+          (col("ca") * col("cb")).cast("double"), 6).as("lift"))
+      .orderBy(col("support").desc, col("pa").asc, col("pb").asc)
+      .limit(20)
+  }
+
+  /** #144 Referential-integrity audit — the cross-table contract a
+    * warehouse checks on every load (single-table nulls/ranges are
+    * #60's dq_checks): orphaned facts (lineitem→orders, orders→
+    * customer, customer→nation), duplicate primary keys, and null
+    * foreign keys, one row per check. Orphan checks are LEFT ANTI
+    * joins (the dimension side broadcasts when small; the fact side
+    * never materializes a join output); dup checks are count vs
+    * distinct on the key column only.
+    *
+    * Scale: each check is one scan + one anti-join or key-grain
+    * aggregate over pruned single-column projections — the whole
+    * audit reads key columns only (ReadSchema is the contract). */
+  def refAudit(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val o = Tables.load(spark, dir, "orders")
+    val c = Tables.load(spark, dir, "customer")
+    val n = Tables.load(spark, dir, "nation")
+    // every check is a 1-row lazy aggregate; the union is ONE plan and
+    // one action — no driver-side count loop
+    def chk(name: String, bad: DataFrame, total: DataFrame): DataFrame =
+      bad.agg(count(lit(1)).as("n_bad"))
+        .crossJoin(total.agg(count(lit(1)).as("n_total")))
+        .select(lit(name).as("check_name"), col("n_bad"), col("n_total"))
+    val dupPk = o.agg((count(col("o_orderkey")) -
+        countDistinct(col("o_orderkey"))).as("n_bad"),
+        count(lit(1)).as("n_total"))
+      .select(lit("orders_dup_pk").as("check_name"), col("n_bad"),
+        col("n_total"))
+    Seq(
+      chk("lineitem_orphan_order",
+        li.select("l_orderkey").join(o.select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_anti"), li),
+      chk("orders_orphan_customer",
+        o.select("o_custkey").join(c.select("c_custkey"),
+          col("o_custkey") === col("c_custkey"), "left_anti"), o),
+      chk("customer_orphan_nation",
+        c.select("c_nationkey").join(n.select("n_nationkey"),
+          col("c_nationkey") === col("n_nationkey"), "left_anti"), c),
+      dupPk,
+      chk("orders_null_custkey", o.filter(col("o_custkey").isNull), o),
+      chk("lineitem_null_partkey",
+        li.filter(col("l_partkey").isNull), li))
+      .reduce(_.unionByName(_))
+      .orderBy("check_name")
+  }
 }

@@ -467,37 +467,43 @@ object Dedup {
   }
 
   /** #136 Blocked edit-distance record linkage — the entity-resolution
-    * pass a master-data pipeline runs over dirty dimension feeds:
-    * candidate pairs only WITHIN a blocking key (brand, size — the
-    * standard linkage discipline; all-pairs Levenshtein is O(n²·L²)
-    * and never runs at scale), a length-difference prefilter (|len a −
-    * len b| > k lower-bounds the distance ≥ k+1, so the DP never
-    * starts), then banded Levenshtein with an early-exit threshold
-    * (Spark's 3-arg form stops once the distance exceeds k). Emits
-    * every pair at distance ≤ 2 with a<b.
+    * pass a master-data pipeline runs over dirty dimension feeds.
+    * Linkage is at ENTITY grain, not row grain: rows first collapse to
+    * distinct (brand, name) entities (a hash aggregate — the map-side
+    * combine that makes a 10⁹-row feed cost one row per distinct
+    * name), carrying the instance count and a canonical key. Candidate
+    * pairs form only WITHIN the brand block (the standard linkage
+    * discipline — all-pairs Levenshtein is O(n²·L²) and never runs at
+    * scale), pass a length-difference prefilter (|len a − len b| > k
+    * lower-bounds the distance > k, so the DP never starts), then
+    * banded Levenshtein with an early-exit threshold (Spark's 3-arg
+    * form stops once the distance exceeds k). Emits every entity pair
+    * at distance ≤ 2 with a_name < b_name.
     *
-    * Scale: the self-join shuffles both sides on the block key once —
-    * pair count is Σ|block|², governed by the blocking key's fan-in
-    * (988 blocks ≈ 2 rows each here), never n². A hot block is a data-
-    * modeling bug (pick a finer key), not a shuffle-skew one. */
+    * Scale: the self-join shuffles the ENTITY table on the block key —
+    * pair count is Σ|block-vocabulary|², bounded by the name
+    * vocabulary (1.6k entities at sf0.1; row count is irrelevant). A
+    * hot block is a data-modeling bug (pick a finer key), not a
+    * shuffle-skew one. */
   def fuzzyLinkage(spark: SparkSession, dir: String): DataFrame = {
     val MaxDist = 2
-    val p = Tables.load(spark, dir, "part")
-      .select(col("p_partkey"), col("p_brand"), col("p_size"),
-        col("p_name"))
-    val a = p.select(col("p_brand"), col("p_size"),
-      col("p_partkey").as("a_key"), col("p_name").as("a_name"))
-    val b = p.select(col("p_brand"), col("p_size"),
-      col("p_partkey").as("b_key"), col("p_name").as("b_name"))
-    a.join(b, Seq("p_brand", "p_size"))
-      .filter(col("a_key") < col("b_key"))
+    val e = Tables.load(spark, dir, "part")
+      .groupBy(col("p_brand"), col("p_name"))
+      .agg(count(lit(1)).as("n"), min(col("p_partkey")).as("canon"))
+    val a = e.select(col("p_brand"), col("p_name").as("a_name"),
+      col("n").as("n_a"), col("canon").as("canon_a"))
+    val b = e.select(col("p_brand"), col("p_name").as("b_name"),
+      col("n").as("n_b"), col("canon").as("canon_b"))
+    a.join(b, Seq("p_brand"))
+      .filter(col("a_name") < col("b_name"))
       .filter(abs(length(col("a_name")) - length(col("b_name")))
         <= MaxDist)
       .withColumn("dist",
         levenshtein(col("a_name"), col("b_name"), MaxDist))
       .filter(col("dist") >= 0 && col("dist") <= MaxDist)
-      .select(col("p_brand"), col("p_size"), col("a_key"), col("b_key"),
-        col("dist").cast("long").as("dist"))
-      .orderBy("p_brand", "p_size", "a_key", "b_key")
+      .select(col("p_brand"), col("a_name"), col("b_name"),
+        col("dist").cast("long").as("dist"),
+        col("n_a"), col("n_b"), col("canon_a"), col("canon_b"))
+      .orderBy("p_brand", "a_name", "b_name")
   }
 }

@@ -176,8 +176,12 @@ object Dimensional {
     * Scale: one shuffle+sort on user_id for the merge, then a 3-row
     * channel aggregate of exact decimal revenue sums. Per-user state
     * in the running window is one struct. */
+  /** Attribution lookback: touches older than this never get credit.
+    * Shared with the streaming twin (EventStream.attributedPurchases). */
+  val AttributionLookbackUs: Long = 24L * 3600 * 1000000
+
   def attribution(spark: SparkSession, dir: String): DataFrame = {
-    val LookbackUs = 24L * 3600 * 1000000
+    val LookbackUs = AttributionLookbackUs
     val events = Tables.load(spark, dir, "events")
     val touches = events
       .filter(col("event_type") === "click" || col("event_type") === "view")

@@ -43,4 +43,57 @@ object Frequency {
       .select(col("it.item").as("item"), col("it.est").as("est_count"),
         col("max_err"))
       .orderBy("item")
+
+  /** Count-Min depth (independent hash rows) and width (buckets per
+    * row): 4×1024 ints ≈ 16 KB of sketch state — the classic
+    * ε = e/w, δ = e⁻ᵈ point-query bound. */
+  val CmsDepth = 4
+  val CmsWidth = 1024L
+
+  /** #141 Count-Min sketch, relationally: the counters TABLE is the
+    * sketch. Rows pre-aggregate to key grain (the map-side combine a
+    * 10⁹-copy hot key needs), each key then fans out to its
+    * [[CmsDepth]] (row, bucket) cells via the portable md5-affine
+    * hash, and one hash aggregate sums the d×w counter matrix —
+    * shuffling counters IS the sketch merge, so the build
+    * distributes like any groupBy and the sketch state is bounded at
+    * d×w rows regardless of corpus size. Point queries (here: every
+    * key the exact top-20 report serves) read est = min over d of
+    * counter[row, h_row(key)] — a broadcast join against the counter
+    * table. Deterministic hashes ⇒ the DuckDB oracle rebuilds the
+    * identical sketch and the driver hash-checks est and the
+    * CMS overestimate invariant (est ≥ exact, never under).
+    *
+    * vs #91 Misra-Gries: MG tracks WHICH keys are heavy (bounded
+    * candidate list, no point queries); CMS answers "how often is
+    * key k" for ANY k (no key list, overestimate-bounded). A real
+    * pipeline wants both. */
+  def cmsFreq(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.load(spark, dir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    // portable bucket hash: md5("cms:<row>:<key>") tail-8-hex, the
+    // established cross-engine key (TrainExport.shuffleKey)
+    def bucket(row: Int) =
+      conv(substring(md5(concat_ws(":", lit("cms"), lit(row),
+        col("user_id"))), 25, 8), 16, 10).cast("long") % CmsWidth
+    val cells = (0 until CmsDepth).map { j =>
+      keyed.select(lit(j).as("d"), bucket(j).as("b"), col("cnt"))
+    }.reduce(_.unionByName(_))
+    val counters = cells.groupBy("d", "b").agg(sum(col("cnt")).as("c"))
+    // probe set: the exact top-20 keys (count desc, key asc) — the
+    // report a dashboard actually serves
+    val probes = keyed
+      .orderBy(col("cnt").desc, col("user_id").asc).limit(20)
+    val est = probes
+      .withColumn("d", explode(array((0 until CmsDepth).map(lit): _*)))
+      .withColumn("b",
+        conv(substring(md5(concat_ws(":", lit("cms"), col("d"),
+          col("user_id"))), 25, 8), 16, 10).cast("long") % CmsWidth)
+      .join(broadcast(counters), Seq("d", "b"))
+      .groupBy("user_id")
+      .agg(first(col("cnt")).as("exact_cnt"), min(col("c")).as("est"))
+    est.select(col("user_id"), col("exact_cnt"), col("est"),
+        (col("est") - col("exact_cnt")).as("overcount"))
+      .orderBy(col("exact_cnt").desc, col("user_id").asc)
+  }
 }

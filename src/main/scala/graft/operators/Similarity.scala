@@ -826,4 +826,40 @@ object Similarity {
         round(col("cos"), 6).as("cos_q"))
       .orderBy("q_id", "rnk")
   }
+
+  /** #142 Per-dimension embedding statistics — the feature-health
+    * card every vector corpus needs before indexing or training:
+    * mean/std (a dead dimension has σ ≈ 0; a dominant one distorts
+    * every cosine), min/max (quantization ranges for the int8/PQ
+    * paths #77/#92), and NaN/zero counts. One posexplode to
+    * (dim, value) grain, one hash aggregate keyed by dim — at 100 TB
+    * this is a single pass with map-side partials, output = |dims|
+    * rows. Mean/var ride exact decimal Σx/Σx² (values rounded to 6 dp
+    * first — the established engine-portable quantization), min/max
+    * are raw doubles, so the whole card is DuckDB-oracle-exact. */
+  def embedStats(spark: SparkSession, dir: String): DataFrame = {
+    val dims = emb(spark, dir)
+      .select(posexplode(col("vec")).as(Seq("dim", "v")))
+      .select(col("dim").cast("long").as("dim"),
+        col("v"), col("v").cast("decimal(18,6)").as("v6"))
+    dims.groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v6")).cast("double").as("sx"),
+        sum((col("v6") * col("v6")).cast("decimal(38,12)"))
+          .cast("double").as("sxx"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"),
+        sum(when(col("v") === 0.0, 1L).otherwise(0L)).as("n_zero"))
+      .select(col("dim"), col("n"),
+        round(col("sx") / col("n").cast("double"), 6).as("mean"),
+        // greatest(…, 0): the exact Σx/Σx² make the variance
+        // mathematically ≥ 0, but the terminal double ops can land a
+        // last-ulp negative on a constant dimension — identical on
+        // both engines, so the guard is too
+        round(sqrt(greatest((col("sxx") - col("sx") * col("sx")
+            / col("n").cast("double"))
+          / (col("n") - 1).cast("double"), lit(0.0))), 6).as("std"),
+        round(col("min_v"), 6).as("min_v"),
+        round(col("max_v"), 6).as("max_v"), col("n_zero"))
+      .orderBy("dim")
+  }
 }

@@ -60,4 +60,66 @@ object Skew {
     saltedAgg(Tables.load(spark, dir, "events"), Seq("event_type"),
       "event_id", "value", salt = 16)
       .orderBy("event_type")
+
+  /** #139 Key-skew report — the diagnostic to run BEFORE a 100 TB
+    * job, not after it stalls: per event_type, the user_id key
+    * distribution's size, concentration (top-1 / top-10 share) and
+    * Gini coefficient. A key space with gini ≈ 0 shuffles evenly;
+    * top1_share ≥ a few percent at a million keys means the salted
+    * paths (#32/#58) or a two-level window rewrite are mandatory.
+    *
+    * Gini needs every key ranked by count — a global per-type sort
+    * the naive window does on ONE task. The rank is two-level (the
+    * #126 decomposition): log₂(count) blocks bound each local window
+    * (monotone in count, ~40 blocks), broadcast cumulative offsets
+    * restore the global (count, user_id) rank exactly. Numerator and
+    * denominator of the Gini are exact decimal integers at any corpus
+    * size; the one double division is terminal.
+    *
+    * Scale: one fact-table hash aggregate to key grain, then all
+    * windows are (type, log-block)-bounded; offsets are types ×
+    * blocks rows, broadcast. */
+  def skewReport(spark: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val keyed = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("blk", floor(log(2.0, col("cnt"))).cast("long"))
+    val wLocal = W.partitionBy("event_type", "blk")
+      .orderBy(col("cnt").asc, col("user_id").asc)
+    val local = keyed.withColumn("lrnk",
+      row_number().over(wLocal).cast("long"))
+    val wOff = W.partitionBy("event_type").orderBy(col("blk").asc)
+      .rowsBetween(W.unboundedPreceding, -1)
+    val wN = W.partitionBy("event_type")
+    val offsets = keyed.groupBy("event_type", "blk")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .withColumn("n", sum(col("c")).over(wN))
+      .select("event_type", "blk", "off", "n")
+    // G = (Σ(2r−1)x − n·Σx) / (n·Σx), r = 1..n ascending by (cnt,
+    // key); numerator/denominator stay exact decimal until ONE
+    // terminal double division
+    val Dec = "decimal(38,0)"
+    local.join(broadcast(offsets), Seq("event_type", "blk"))
+      .withColumn("rnk", col("off") + col("lrnk"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("cnt")).as("n_rows"),
+        max(col("cnt")).as("max_cnt"),
+        sum(when(col("rnk") > col("n") - 10, col("cnt")).otherwise(0L))
+          .as("top10_rows"),
+        sum((lit(2L) * col("rnk") - lit(1L)).cast(Dec) * col("cnt"))
+          .as("gnum"))
+      .select(col("event_type"), col("n_keys"), col("n_rows"),
+        round(col("max_cnt").cast("double")
+          / col("n_rows").cast("double"), 6).as("top1_share"),
+        round(col("top10_rows").cast("double")
+          / col("n_rows").cast("double"), 6).as("top10_share"),
+        round((col("gnum") - col("n_keys").cast(Dec) * col("n_rows"))
+            .cast("double")
+          / (col("n_keys").cast(Dec) * col("n_rows")).cast("double"),
+          6).as("gini"))
+      .orderBy("event_type")
+  }
 }

@@ -395,10 +395,13 @@ object StockOps {
         round((col("c") - prev) / prev * lit(1000000.0), 0).cast("long"))
       .filter(col("k").isNotNull)
       .select("ticker_id", "day", "mi", "k")
-    // unnormalized index micro-return: Σ k over tickers, per minute
-    val index = rets.groupBy("day", "mi")
-      .agg(sum(col("k")).as("km"))
-    rets.join(index, Seq("day", "mi"))
+    // unnormalized index micro-return: Σ k over tickers, per minute —
+    // a whole-partition window on (day, mi), NOT a groupBy+join-back:
+    // the join form re-runs the bar/return chain for the index branch
+    // (two scans of the event stream + a broadcast), the window is one
+    // extra exchange over the already-minute-grained return rows
+    val wIx = Window.partitionBy("day", "mi")
+    rets.withColumn("km", sum(col("k")).over(wIx))
       .groupBy("ticker_id", "day")
       .agg(count(lit(1)).as("n_obs"),
         sum(col("k").cast("decimal(38,0)") * col("km")).as("skm"),

@@ -334,4 +334,53 @@ object EventStream {
           out.iterator
       }
   }
+
+  case class Attributed(user_id: Long, event_id: Long, ts: Timestamp,
+      channel: String, value: Double)
+  case class TouchState(ts: Timestamp, event_id: Long, channel: String)
+
+  /** Streaming twin of `Dimensional.attribution` (#140): per-user
+    * state is ONE row — the freshest click/view seen — and each
+    * purchase emits its attributed channel the moment it arrives (the
+    * live marketing ledger vs the batch report). Rows inside a
+    * micro-batch are processed in the batch operator's exact merge
+    * order (ts, touches-before-purchases, event_id), and a stored
+    * touch is replaced only by a (ts, event_id)-newer one — the same
+    * per-(user, ts) max-event_id collapse the batch side applies. An
+    * in-order replay therefore attributes every purchase identically
+    * to the batch query (asserted in EventStreamSpec); a touch
+    * arriving after a later purchase was already emitted is the
+    * documented drop-late contract ([[priceAlerts]]), where batch
+    * replay would have credited it. */
+  def attributedPurchases(spark: SparkSession, events: DataFrame)
+      : Dataset[Attributed] = {
+    import spark.implicits._
+    val look = graft.operators.Dimensional.AttributionLookbackUs
+    events.filter(col("event_type")
+        .isin("click", "view", "purchase")).as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[TouchState]) =>
+          val out = scala.collection.mutable.ListBuffer[Attributed]()
+          rows.toSeq.sortBy(e => (microTime(e.ts),
+            if (e.event_type == "purchase") 1 else 0, e.event_id))
+            .foreach { e =>
+              if (e.event_type == "purchase") {
+                val ch = state.getOption
+                  .filter(t => microTime(e.ts) - microTime(t.ts) <= look)
+                  .map(_.channel).getOrElse("unattributed")
+                out += Attributed(uid, e.event_id, e.ts, ch, e.value)
+              } else {
+                val newer = state.getOption.forall(t =>
+                  microTime(e.ts) > microTime(t.ts) ||
+                    (microTime(e.ts) == microTime(t.ts) &&
+                      e.event_id > t.event_id))
+                if (newer)
+                  state.update(TouchState(e.ts, e.event_id, e.event_type))
+              }
+            }
+          out.iterator
+      }
+  }
 }

@@ -407,4 +407,36 @@ class EventStreamSpec extends SparkTestBase {
     assert((kept & Set(11L, 12L)).size == 1, "within-stream dup kept once")
     assert(kept.size == 2)
   }
+
+  test("streaming attribution replays to the batch channel ledger") {
+    val dir = Files.createTempDirectory("graft_attr").toString
+    val ev = Tables.load(spark, SfDir, "events").orderBy("ts", "event_id")
+    val cut = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    ev.filter(col("ts") < cut).coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val attr = EventStream.attributedPurchases(spark,
+      EventStream.readEvents(spark, dir))
+    val q = attr.toDF().writeStream.format("memory").queryName("attr")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      ev.filter(col("ts") >= cut).coalesce(1)
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    // per-channel ledger of the emitted rows == the batch report
+    // (in-order replay; same merge order, same lookback)
+    val got = spark.table("attr")
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_conv"),
+        round(graft.operators.Num.dsum(col("value")), 6).as("revenue"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.operators.Dimensional.attribution(spark, SfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === batch)
+    assert(batch.exists(_._1 != "unattributed"),
+      "no attributed purchases in the corpus — test is vacuous")
+  }
 }

@@ -78,22 +78,23 @@ class RobustAnalyticsSpec extends SparkTestBase {
     assert(rows.forall(_.getAs[Double]("var_rev") >= 0.0))
   }
 
-  test("fuzzy_join: pairs stay inside blocks, satisfy the distance " +
-    "bound, and include every exact-name duplicate pair") {
+  test("fuzzy_join: entity pairs stay inside brand blocks, satisfy " +
+    "the distance bound, and the prefilter loses nothing") {
     val f = Dedup.fuzzyLinkage(spark, SfDir).cache()
-    assert(f.filter(col("dist") < 0 || col("dist") > 2).count() === 0)
-    assert(f.filter(col("a_key") >= col("b_key")).count() === 0)
-    // completeness at dist=0: every same-(brand,size) exact-name pair
-    val p = Tables.load(spark, SfDir, "part")
-      .select(col("p_brand"), col("p_size"), col("p_partkey"),
-        col("p_name"))
-    val exact = p.as("a").join(p.as("b"),
-        col("a.p_brand") === col("b.p_brand") &&
-        col("a.p_size") === col("b.p_size") &&
-        col("a.p_name") === col("b.p_name") &&
-        col("a.p_partkey") < col("b.p_partkey"))
+    assert(f.count() > 0)
+    // distinct entities ⇒ distance ≥ 1; threshold caps at 2
+    assert(f.filter(col("dist") < 1 || col("dist") > 2).count() === 0)
+    assert(f.filter(col("a_name") >= col("b_name")).count() === 0)
+    // completeness vs the unfiltered brute force: the length
+    // prefilter and banded DP must drop NO qualifying pair
+    val e = Tables.load(spark, SfDir, "part")
+      .select(col("p_brand"), col("p_name")).distinct()
+    val brute = e.as("a")
+      .join(e.as("b"), col("a.p_brand") === col("b.p_brand") &&
+        col("a.p_name") < col("b.p_name"))
+      .filter(levenshtein(col("a.p_name"), col("b.p_name")) <= 2)
       .count()
-    assert(f.filter(col("dist") === 0).count() === exact)
+    assert(f.count() === brute)
   }
 
   test("seasonal_decomp: spine is the dense calendar, decomposition " +
@@ -109,6 +110,84 @@ class RobustAnalyticsSpec extends SparkTestBase {
       abs(col("revenue") - col("trend") - col("seasonal")
         - col("residual")) > lit(2e-6)).count()
     assert(bad === 0)
+  }
+
+  test("skew_report: two-level rank reproduces the single-window " +
+    "Gini exactly; shares bounded") {
+    val r = graft.operators.Skew.skewReport(spark, SfDir).cache()
+    assert(r.count() === 5)
+    assert(r.filter(col("gini") < 0 || col("gini") >= 1).count() === 0)
+    assert(r.filter(col("top1_share") > col("top10_share")).count() === 0)
+    // brute single-window twin (the oracle's form) must agree on the
+    // exact Gini — proving the block-rank decomposition
+    val keyed = Tables.load(spark, SfDir, "events")
+      .groupBy("event_type", "user_id").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("cnt").asc, col("user_id").asc)
+    val brute = keyed
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("nk"), sum("cnt").as("nr"),
+        sum((lit(2L) * col("rnk") - 1L).cast("decimal(38,0)") * col("cnt"))
+          .as("gnum"))
+      .select(col("event_type"),
+        round((col("gnum") - col("nk").cast("decimal(38,0)") * col("nr"))
+            .cast("double")
+          / (col("nk").cast("decimal(38,0)") * col("nr")).cast("double"),
+          6).as("gini_brute"))
+    val j = r.join(brute, "event_type")
+    assert(j.filter(col("gini") =!= col("gini_brute")).count() === 0)
+  }
+
+  test("cms_freq: the sketch never underestimates, and the probe set " +
+    "is the exact top-20") {
+    val r = graft.operators.Frequency.cmsFreq(spark, SfDir).cache()
+    val nUsers = Tables.load(spark, SfDir, "events")
+      .select("user_id").distinct().count()
+    assert(r.count() === math.min(20L, nUsers))
+    assert(r.filter(col("overcount") < 0).count() === 0,
+      "CMS underestimated — hash or merge broken")
+    assert(r.filter(col("est") =!= col("exact_cnt") + col("overcount"))
+      .count() === 0)
+    // probe set = exact top-20 by (cnt desc, key asc)
+    val top = Tables.load(spark, SfDir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("user_id").asc).limit(20)
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    assert(r.select("user_id").collect().map(_.getLong(0)).toSet === top)
+  }
+
+  test("embed_stats: one row per dimension, coherent moment bounds") {
+    val r = graft.operators.Similarity.embedStats(spark, SfDir).cache()
+    val nvec = Tables.load(spark, SfDir, "embeddings").count()
+    assert(r.count() > 0)
+    assert(r.filter(col("n") =!= nvec).count() === 0,
+      "every dimension must see every vector")
+    assert(r.filter(col("mean") < col("min_v") - lit(1e-6) ||
+      col("mean") > col("max_v") + lit(1e-6)).count() === 0)
+    assert(r.filter(col("std") < 0 || isnan(col("std"))).count() === 0)
+  }
+
+  test("co_occurrence: supports bounded by part frequencies, " +
+    "basket-pair symmetry respected") {
+    val r = graft.operators.Analytics.coOccurrence(spark, SfDir).cache()
+    assert(r.count() > 0 && r.count() <= 20)
+    assert(r.filter(col("pa") >= col("pb")).count() === 0)
+    // support can never exceed either part's order count
+    assert(r.filter(col("support") > col("ca") ||
+      col("support") > col("cb")).count() === 0)
+    assert(r.filter(col("lift") <= 0).count() === 0)
+  }
+
+  test("ref_audit: the synthetic warehouse is referentially clean " +
+    "and totals match the tables") {
+    val r = graft.operators.Analytics.refAudit(spark, SfDir).cache()
+    assert(r.count() === 6)
+    // driver testdata is FK-clean by construction: every check green
+    assert(r.filter(col("n_bad") =!= 0L).count() === 0)
+    val li = Tables.load(spark, SfDir, "lineitem").count()
+    assert(r.filter(col("check_name") === "lineitem_orphan_order")
+      .head().getAs[Long]("n_total") === li)
   }
 
   test("robust_outliers: MAD gate fires on a minority; med/mad " +
