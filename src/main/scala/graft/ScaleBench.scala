@@ -71,7 +71,11 @@ object ScaleBench {
     // explode + dim-keyed agg, row-linear), fuzzy_join (entity-grain
     // collapse makes the pair stage multiplication-INVARIANT — the
     // scan is the cost, unlike the row-grain form that squared)
-    "cms_freq", "embed_stats", "fuzzy_join")
+    "cms_freq", "embed_stats", "fuzzy_join",
+    // co_occurrence's DISTINCT (order, part) collapse and ref_audit's
+    // anti-joins are duplication-invariant in OUTPUT and row-linear
+    // in cost — the scans dominate
+    "co_occurrence", "ref_audit")
 
   /** Join shapes where only the FACT side (lineitem) multiplies —
     * each order keeps its (now mult×) lines and every dim stays

@@ -196,44 +196,73 @@ object Analytics {
     * warehouse checks on every load (single-table nulls/ranges are
     * #60's dq_checks): orphaned facts (lineitem→orders, orders→
     * customer, customer→nation), duplicate primary keys, and null
-    * foreign keys, one row per check. Orphan checks are LEFT ANTI
-    * joins (the dimension side broadcasts when small; the fact side
-    * never materializes a join output); dup checks are count vs
-    * distinct on the key column only.
+    * foreign keys, one row per check — all six checks ONE unioned
+    * lazy plan, one action.
     *
-    * Scale: each check is one scan + one anti-join or key-grain
-    * aggregate over pruned single-column projections — the whole
-    * audit reads key columns only (ReadSchema is the contract). */
+    * Every check runs at KEY grain, never row grain: each table
+    * collapses once to (key → row count [, null-FK count]) — the
+    * map-side combine — then orphan checks anti-join the collapsed
+    * key tables and SUM the carried counts back to row-exact answers.
+    * At ×100 the row-grain anti-join form (60M-row probe vs 150M-row
+    * build, plus a re-scan per total) measured 4.7× the DuckDB twin;
+    * key grain shrinks every join input to the distinct-key domain
+    * and derives totals/dup-PK/null counts from the SAME collapsed
+    * tables, which are localCheckpoint-pinned so no check re-scans a
+    * fact table. A null key groups alone, never joins, and is
+    * counted orphan — exactly the row-grain LEFT ANTI (and the
+    * oracle's NOT EXISTS) semantics. */
   def refAudit(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(spark, dir, "lineitem")
-    val o = Tables.load(spark, dir, "orders")
-    val c = Tables.load(spark, dir, "customer")
-    val n = Tables.load(spark, dir, "nation")
-    // every check is a 1-row lazy aggregate; the union is ONE plan and
-    // one action — no driver-side count loop
-    def chk(name: String, bad: DataFrame, total: DataFrame): DataFrame =
-      bad.agg(count(lit(1)).as("n_bad"))
-        .crossJoin(total.agg(count(lit(1)).as("n_total")))
+    // one scan per grain, pinned (bounded: distinct-key rows)
+    val kli = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_partkey").isNull.cast("long")).as("n_null_part"))
+      .localCheckpoint()
+    val ko = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_orderkey")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val koc = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val kc = Tables.load(spark, dir, "customer")
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val cKeys = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey")).distinct().localCheckpoint()
+    val nKeys = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey"))
+    // bad rows = Σcnt over anti-joined keys; total = Σcnt over the
+    // same pinned key table (a tiny second agg, no table re-scan)
+    def orphan(name: String, bad: DataFrame, keyTable: DataFrame)
+        : DataFrame =
+      bad.agg(coalesce(sum(col("cnt")), lit(0L)).as("n_bad"))
+        .crossJoin(keyTable.agg(sum(col("cnt")).as("n_total")))
         .select(lit(name).as("check_name"), col("n_bad"), col("n_total"))
-    val dupPk = o.agg((count(col("o_orderkey")) -
-        countDistinct(col("o_orderkey"))).as("n_bad"),
-        count(lit(1)).as("n_total"))
-      .select(lit("orders_dup_pk").as("check_name"), col("n_bad"),
-        col("n_total"))
     Seq(
-      chk("lineitem_orphan_order",
-        li.select("l_orderkey").join(o.select("o_orderkey"),
-          col("l_orderkey") === col("o_orderkey"), "left_anti"), li),
-      chk("orders_orphan_customer",
-        o.select("o_custkey").join(c.select("c_custkey"),
-          col("o_custkey") === col("c_custkey"), "left_anti"), o),
-      chk("customer_orphan_nation",
-        c.select("c_nationkey").join(n.select("n_nationkey"),
-          col("c_nationkey") === col("n_nationkey"), "left_anti"), c),
-      dupPk,
-      chk("orders_null_custkey", o.filter(col("o_custkey").isNull), o),
-      chk("lineitem_null_partkey",
-        li.filter(col("l_partkey").isNull), li))
+      orphan("lineitem_orphan_order",
+        kli.join(ko.select(col("o_orderkey").as("l_orderkey")),
+          Seq("l_orderkey"), "left_anti"), kli),
+      orphan("orders_orphan_customer",
+        koc.join(cKeys.select(col("c_custkey").as("o_custkey")),
+          Seq("o_custkey"), "left_anti"), koc),
+      orphan("customer_orphan_nation",
+        kc.join(nKeys.select(col("n_nationkey").as("c_nationkey")),
+          Seq("c_nationkey"), "left_anti"), kc),
+      ko.agg((sum(col("cnt")) - count(lit(1))).as("n_bad"),
+          sum(col("cnt")).as("n_total"))
+        .select(lit("orders_dup_pk").as("check_name"), col("n_bad"),
+          col("n_total")),
+      koc.agg(coalesce(sum(when(col("o_custkey").isNull, col("cnt"))),
+            lit(0L)).as("n_bad"), sum(col("cnt")).as("n_total"))
+        .select(lit("orders_null_custkey").as("check_name"),
+          col("n_bad"), col("n_total")),
+      kli.agg(sum(col("n_null_part")).as("n_bad"),
+          sum(col("cnt")).as("n_total"))
+        .select(lit("lineitem_null_partkey").as("check_name"),
+          col("n_bad"), col("n_total")))
+      .map(df => df.select(col("check_name"),
+        col("n_bad").cast("long").as("n_bad"),
+        col("n_total").cast("long").as("n_total")))
       .reduce(_.unionByName(_))
       .orderBy("check_name")
   }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.AggFunctions
@@ -69,26 +69,33 @@ object Frequency {
     * key k" for ANY k (no key list, overestimate-bounded). A real
     * pipeline wants both. */
   def cmsFreq(spark: SparkSession, dir: String): DataFrame = {
+    // ONE scan: the key-grain table is |keys| rows and feeds the
+    // counter build, the probe selection and the estimate join — as a
+    // lazy lineage each consumer would re-scan and re-aggregate the
+    // full event stream (measured 7.6× vs the twin at ×100);
+    // localCheckpoint pins the bounded collapse (the tfidf postings
+    // pattern)
     val keyed = Tables.load(spark, dir, "events")
       .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     // portable bucket hash: md5("cms:<row>:<key>") tail-8-hex, the
-    // established cross-engine key (TrainExport.shuffleKey)
-    def bucket(row: Int) =
-      conv(substring(md5(concat_ws(":", lit("cms"), lit(row),
+    // established cross-engine key (TrainExport.shuffleKey); one
+    // explode fans each key to its d cells
+    def bucket(d: Column) =
+      conv(substring(md5(concat_ws(":", lit("cms"), d,
         col("user_id"))), 25, 8), 16, 10).cast("long") % CmsWidth
-    val cells = (0 until CmsDepth).map { j =>
-      keyed.select(lit(j).as("d"), bucket(j).as("b"), col("cnt"))
-    }.reduce(_.unionByName(_))
-    val counters = cells.groupBy("d", "b").agg(sum(col("cnt")).as("c"))
+    val depths = array((0 until CmsDepth).map(lit): _*)
+    val counters = keyed
+      .withColumn("d", explode(depths))
+      .withColumn("b", bucket(col("d")))
+      .groupBy("d", "b").agg(sum(col("cnt")).as("c"))
     // probe set: the exact top-20 keys (count desc, key asc) — the
     // report a dashboard actually serves
     val probes = keyed
       .orderBy(col("cnt").desc, col("user_id").asc).limit(20)
     val est = probes
-      .withColumn("d", explode(array((0 until CmsDepth).map(lit): _*)))
-      .withColumn("b",
-        conv(substring(md5(concat_ws(":", lit("cms"), col("d"),
-          col("user_id"))), 25, 8), 16, 10).cast("long") % CmsWidth)
+      .withColumn("d", explode(depths))
+      .withColumn("b", bucket(col("d")))
       .join(broadcast(counters), Seq("d", "b"))
       .groupBy("user_id")
       .agg(first(col("cnt")).as("exact_cnt"), min(col("c")).as("est"))
