@@ -75,7 +75,10 @@ object ScaleBench {
     // co_occurrence's DISTINCT (order, part) collapse and ref_audit's
     // anti-joins are duplication-invariant in OUTPUT and row-linear
     // in cost — the scans dominate
-    "co_occurrence", "ref_audit")
+    "co_occurrence", "ref_audit",
+    // key-grain / distinct-collapse shapes: the scans are the cost,
+    // the graph (pagerank) and key domains are duplication-invariant
+    "join_cardinality", "pagerank")
 
   /** Join shapes where only the FACT side (lineitem) multiplies —
     * each order keeps its (now mult×) lines and every dim stays

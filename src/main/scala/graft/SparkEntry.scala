@@ -145,7 +145,9 @@ object SparkEntry {
     "cms_freq" -> (Frequency.cmsFreq _),
     "embed_stats" -> (Similarity.embedStats _),
     "co_occurrence" -> (Analytics.coOccurrence _),
-    "ref_audit" -> (Analytics.refAudit _)
+    "ref_audit" -> (Analytics.refAudit _),
+    "join_cardinality" -> (Analytics.joinCardinality _),
+    "pagerank" -> (Components.pageRank _)
   )
 
   private val Dec = "decimal(28,6)"
@@ -1942,6 +1944,109 @@ object SparkEntry {
         |    (SELECT count(*) FROM lineitem)))
         |SELECT check_name, cast(n_bad AS bigint) AS n_bad,
         |  cast(n_total AS bigint) AS n_total
-        |FROM rows ORDER BY check_name""".stripMargin
+        |FROM rows ORDER BY check_name""".stripMargin,
+    // Cardinality twin: the same key-grain collapse and exact
+    // Σ cL·cR per edge; worst key tie broken (prod, k) descending.
+    "join_cardinality" ->
+      """WITH lo AS (
+        |  SELECT 'lineitem_orders' AS join_edge, kl.k, kl.c AS cl,
+        |    kr.c AS cr
+        |  FROM (SELECT l_orderkey AS k, count(*) AS c FROM lineitem
+        |        GROUP BY 1) kl
+        |  JOIN (SELECT o_orderkey AS k, count(*) AS c FROM orders
+        |        GROUP BY 1) kr USING (k)
+        |  UNION ALL
+        |  SELECT 'lineitem_part', kl.k, kl.c, kr.c
+        |  FROM (SELECT l_partkey AS k, count(*) AS c FROM lineitem
+        |        GROUP BY 1) kl
+        |  JOIN (SELECT p_partkey AS k, count(*) AS c FROM part
+        |        GROUP BY 1) kr USING (k)
+        |  UNION ALL
+        |  SELECT 'orders_customer', kl.k, kl.c, kr.c
+        |  FROM (SELECT o_custkey AS k, count(*) AS c FROM orders
+        |        GROUP BY 1) kl
+        |  JOIN (SELECT c_custkey AS k, count(*) AS c FROM customer
+        |        GROUP BY 1) kr USING (k)),
+        |agg AS (SELECT join_edge,
+        |    cast(sum(cl * cr) AS bigint) AS est_rows,
+        |    count(*) AS n_match_keys
+        |  FROM lo GROUP BY 1),
+        |tops AS (SELECT join_edge, k AS top_key,
+        |    cast(cl * cr AS bigint) AS top_contrib
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY join_edge
+        |      ORDER BY cl * cr DESC, k DESC) AS rn FROM lo)
+        |  WHERE rn = 1),
+        |sides(join_edge, n_left, d_left, n_right, d_right) AS (
+        |  SELECT 'lineitem_orders',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(DISTINCT l_orderkey) FROM lineitem),
+        |    (SELECT count(*) FROM orders),
+        |    (SELECT count(DISTINCT o_orderkey) FROM orders)
+        |  UNION ALL SELECT 'lineitem_part',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(DISTINCT l_partkey) FROM lineitem),
+        |    (SELECT count(*) FROM part),
+        |    (SELECT count(DISTINCT p_partkey) FROM part)
+        |  UNION ALL SELECT 'orders_customer',
+        |    (SELECT count(*) FROM orders),
+        |    (SELECT count(DISTINCT o_custkey) FROM orders),
+        |    (SELECT count(*) FROM customer),
+        |    (SELECT count(DISTINCT c_custkey) FROM customer))
+        |SELECT s.join_edge,
+        |  cast(s.n_left AS bigint) AS n_left,
+        |  cast(s.d_left AS bigint) AS d_left,
+        |  cast(s.n_right AS bigint) AS n_right,
+        |  cast(s.d_right AS bigint) AS d_right,
+        |  a.n_match_keys, a.est_rows, t.top_key, t.top_contrib
+        |FROM sides s JOIN agg a USING (join_edge)
+        |JOIN tops t USING (join_edge)
+        |ORDER BY s.join_edge""".stripMargin,
+    // PageRank twin: five unrolled iterations of the identical
+    // integer recurrence base + (17·Σ(rank DIV deg)) DIV 20.
+    "pagerank" ->
+      """WITH l AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM l a JOIN l b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey),
+        |ed AS MATERIALIZED (SELECT a AS src, b AS dst FROM p
+        |  UNION ALL SELECT b, a FROM p),
+        |dg AS MATERIALIZED (SELECT src, count(*) AS deg FROM ed GROUP BY 1),
+        |r0 AS MATERIALIZED (SELECT src AS node, cast(1000000000 AS bigint) AS r
+        |  FROM dg),
+        |r1 AS MATERIALIZED (SELECT dg.src AS node, cast(150000000 +
+        |    (17 * coalesce(s.s, 0)) // 20 AS bigint) AS r
+        |  FROM dg LEFT JOIN (SELECT ed.dst, sum(r0.r // dg.deg) AS s
+        |    FROM r0 JOIN dg ON r0.node = dg.src
+        |    JOIN ed ON r0.node = ed.src GROUP BY 1) s
+        |    ON dg.src = s.dst),
+        |r2 AS MATERIALIZED (SELECT dg.src AS node, cast(150000000 +
+        |    (17 * coalesce(s.s, 0)) // 20 AS bigint) AS r
+        |  FROM dg LEFT JOIN (SELECT ed.dst, sum(r1.r // dg.deg) AS s
+        |    FROM r1 JOIN dg ON r1.node = dg.src
+        |    JOIN ed ON r1.node = ed.src GROUP BY 1) s
+        |    ON dg.src = s.dst),
+        |r3 AS MATERIALIZED (SELECT dg.src AS node, cast(150000000 +
+        |    (17 * coalesce(s.s, 0)) // 20 AS bigint) AS r
+        |  FROM dg LEFT JOIN (SELECT ed.dst, sum(r2.r // dg.deg) AS s
+        |    FROM r2 JOIN dg ON r2.node = dg.src
+        |    JOIN ed ON r2.node = ed.src GROUP BY 1) s
+        |    ON dg.src = s.dst),
+        |r4 AS MATERIALIZED (SELECT dg.src AS node, cast(150000000 +
+        |    (17 * coalesce(s.s, 0)) // 20 AS bigint) AS r
+        |  FROM dg LEFT JOIN (SELECT ed.dst, sum(r3.r // dg.deg) AS s
+        |    FROM r3 JOIN dg ON r3.node = dg.src
+        |    JOIN ed ON r3.node = ed.src GROUP BY 1) s
+        |    ON dg.src = s.dst),
+        |r5 AS MATERIALIZED (SELECT dg.src AS node, cast(150000000 +
+        |    (17 * coalesce(s.s, 0)) // 20 AS bigint) AS r
+        |  FROM dg LEFT JOIN (SELECT ed.dst, sum(r4.r // dg.deg) AS s
+        |    FROM r4 JOIN dg ON r4.node = dg.src
+        |    JOIN ed ON r4.node = ed.src GROUP BY 1) s
+        |    ON dg.src = s.dst)
+        |SELECT cast(row_number() OVER (ORDER BY r.r DESC, r.node ASC)
+        |    AS bigint) AS rnk,
+        |  r.node AS part_id, dg.deg, r.r AS rank_u
+        |FROM r5 r JOIN dg ON r.node = dg.src
+        |ORDER BY r.r DESC, r.node ASC LIMIT 20""".stripMargin
   )
 }

@@ -266,4 +266,58 @@ object Analytics {
       .reduce(_.unionByName(_))
       .orderBy("check_name")
   }
+
+  /** #145 Join-cardinality report — the pre-flight a planner (or an
+    * engineer) runs before a 100 TB join: for each declared join
+    * edge, both sides' row and distinct-key counts, the EXACT output
+    * cardinality Σ cL·cR, and the single worst key with its
+    * contribution. Computed at key grain (both sides collapse to
+    * (key, count) first), so the "estimate" costs two aggregates and
+    * a distinct-key-domain join — never the join itself. The worst
+    * key is a max-of-struct aggregate (map-side partial); at 100 TB
+    * a top contributor owning a large share of Σ cL·cR is the signal
+    * to salt (#58) before running the real join.
+    *
+    * All counts and products are exact integers (decimal(38,0) for
+    * the Σ), so the report is hash-oracled. */
+  def joinCardinality(spark: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, left: DataFrame, lk: String,
+        right: DataFrame, rk: String): DataFrame = {
+      // pinned: each collapse feeds the match join AND its side's
+      // totals — lazy, both consumers would re-scan the table
+      val kl = left.groupBy(col(lk).as("k"))
+        .agg(count(lit(1)).as("cl")).localCheckpoint()
+      val kr = right.groupBy(col(rk).as("k"))
+        .agg(count(lit(1)).as("cr")).localCheckpoint()
+      kl.join(kr, "k")
+        .select(col("k"), (col("cl") * col("cr")).as("prod"),
+          col("cl"), col("cr"))
+        .agg(sum(col("prod").cast("decimal(38,0)")).as("est_rows"),
+          count(lit(1)).as("n_match_keys"),
+          max(struct(col("prod"), col("k"))).as("m"))
+        .crossJoin(kl.agg(sum(col("cl")).as("n_left"),
+          count(lit(1)).as("d_left")))
+        .crossJoin(kr.agg(sum(col("cr")).as("n_right"),
+          count(lit(1)).as("d_right")))
+        .select(lit(name).as("join_edge"),
+          col("n_left").cast("long").as("n_left"),
+          col("d_left").cast("long").as("d_left"),
+          col("n_right").cast("long").as("n_right"),
+          col("d_right").cast("long").as("d_right"),
+          col("n_match_keys"),
+          col("est_rows").cast("long").as("est_rows"),
+          col("m.k").as("top_key"),
+          col("m.prod").cast("long").as("top_contrib"))
+    }
+    val li = Tables.load(spark, dir, "lineitem")
+    val o = Tables.load(spark, dir, "orders")
+    val c = Tables.load(spark, dir, "customer")
+    val p = Tables.load(spark, dir, "part")
+    Seq(
+      edge("lineitem_orders", li, "l_orderkey", o, "o_orderkey"),
+      edge("lineitem_part", li, "l_partkey", p, "p_partkey"),
+      edge("orders_customer", o, "o_custkey", c, "c_custkey"))
+      .reduce(_.unionByName(_))
+      .orderBy("join_edge")
+  }
 }

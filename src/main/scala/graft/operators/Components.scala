@@ -140,4 +140,71 @@ object Components {
         when(col("id") === col("comp"), 1L).otherwise(0L).as("is_canonical"))
       .orderBy("doc_id")
   }
+
+  /** PageRank damping as an exact integer fraction: 0.85 = 17/20, so
+    * one iteration is `base + (17·Σcontrib) DIV 20` — floor division,
+    * no float anywhere in the loop. */
+  val PrIters = 5
+  val PrScale = 1000000000L // rank 1.0 ≡ 10⁹ integer units
+  val PrBase = 150000000L   // (1−d)·scale = 0.15·10⁹, exact
+
+  /** #146 PageRank over the co-purchase part graph — the influence
+    * ranking a catalog/recommendation pipeline derives from the same
+    * basket edges as #143 (distinct co-ordered pairs, undirected).
+    * The whole iteration is INTEGER arithmetic: ranks live in 10⁻⁹
+    * units, each neighbor contribution is `rank DIV degree` (floor),
+    * damping is the exact fraction 17/20 — so five iterations are
+    * bit-identical on any partitioning and on both engines (a float
+    * PageRank's Σ over neighbors is order-dependent and never
+    * hash-comparable). Floor-truncation loses < deg·10⁻⁹ rank mass
+    * per node per round — a defined metric, same on both sides.
+    *
+    * Scale: the standard distributed PageRank shape — per iteration
+    * one ranks⋈edges shuffle join + one destination-keyed aggregate;
+    * edges and the node list are pinned once (localCheckpoint) so the
+    * 5-deep lineage re-reads neither. Hot (high-degree) nodes are the
+    * classic skew; the contribution join partial-aggregates map-side. */
+  def pageRank(spark: SparkSession, dir: String): DataFrame = {
+    val lines = graft.sources.Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = lines.select(col("l_orderkey"), col("l_partkey").as("a"))
+      .join(lines.select(col("l_orderkey"), col("l_partkey").as("b")),
+        "l_orderkey")
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    // undirected → both directions; bounded by the part vocabulary²,
+    // generated basket-bounded
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    var ranks = deg.select(col("src").as("node"),
+      lit(PrScale).as("rank_u"))
+    for (_ <- 1 to PrIters) {
+      val contrib = ranks
+        .join(deg, col("node") === deg("src"))
+        // DIV, not `/`: double division of exact integers can round
+        // x.999… up before a cast truncates, off-by-one vs true floor
+        .select(col("node"), expr("rank_u DIV deg").as("c"))
+        .join(edges, col("node") === edges("src"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = deg.select(col("src").as("node"))
+        .join(contrib, col("node") === contrib("dst"), "left")
+        .select(col("node"),
+          (lit(PrBase) + expr("(17 * coalesce(s, 0L)) DIV 20"))
+            .as("rank_u"))
+    }
+    // TakeOrdered top-20 FIRST (no global window over the catalog),
+    // then rank the 20 survivors
+    val top = ranks
+      .join(deg.select(col("src").as("node"), col("deg")), "node")
+      .orderBy(col("rank_u").desc, col("node").asc).limit(20)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rank_u").desc, col("node").asc)
+    top.withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("rnk"), col("node").as("part_id"), col("deg"),
+        col("rank_u"))
+      .orderBy("rnk")
+  }
 }

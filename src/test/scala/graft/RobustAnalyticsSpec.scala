@@ -190,6 +190,39 @@ class RobustAnalyticsSpec extends SparkTestBase {
       .head().getAs[Long]("n_total") === li)
   }
 
+  test("join_cardinality: the exact estimate matches the realized " +
+    "join, worst key dominates nothing it shouldn't") {
+    val r = graft.operators.Analytics.joinCardinality(spark, SfDir)
+      .cache()
+    assert(r.count() === 3)
+    // est_rows for lineitem⋈orders == the actual join's cardinality
+    val est = r.filter(col("join_edge") === "lineitem_orders")
+      .head().getAs[Long]("est_rows")
+    val real = Tables.load(spark, SfDir, "lineitem")
+      .join(Tables.load(spark, SfDir, "orders"),
+        col("l_orderkey") === col("o_orderkey")).count()
+    assert(est === real)
+    assert(r.filter(col("top_contrib") > col("est_rows")).count() === 0)
+    assert(r.filter(col("n_match_keys") > col("d_left") ||
+      col("n_match_keys") > col("d_right")).count() === 0)
+  }
+
+  test("pagerank: rank mass is conserved within floor loss, top-20 " +
+    "well-formed") {
+    val r = graft.operators.Components.pageRank(spark, SfDir).cache()
+    assert(r.count() > 0 && r.count() <= 20)
+    assert(r.filter(col("rank_u") < graft.operators.Components.PrBase)
+      .count() === 0, "a node can never fall below the base rank")
+    // ranks strictly ordered by (rank_u desc, part_id asc)
+    val rows = r.collect()
+    rows.sliding(2).foreach { case Array(a, b) =>
+      val ra = a.getAs[Long]("rank_u"); val rb = b.getAs[Long]("rank_u")
+      assert(ra > rb || (ra == rb &&
+        a.getAs[Long]("part_id") < b.getAs[Long]("part_id")))
+    case _ => ()
+    }
+  }
+
   test("robust_outliers: MAD gate fires on a minority; med/mad " +
     "nonnegative where values are") {
     val r = TimeSeries.robustOutliers(spark, SfDir).cache()
