@@ -119,7 +119,10 @@ object ScaleBench {
     Seq("skew_agg", "latest_per_key", "vwap", "sessionize", "scd2_dim",
       // round 12: the two-level percentile rank over a 90%-one-LANG
       // corpus — English is the hot key this operator was shaped for
-      "quality_filter")
+      "quality_filter",
+      // round 13: the union-merge running-last window partitions by
+      // user — the sessionize-family shape, measured honestly
+      "attribution")
 
   /** Fabricate the skewed twin of the staged corpus: 90% of event
     * rows re-keyed to ONE user and 90% of documents re-labeled to

@@ -180,8 +180,21 @@ object Dimensional {
     * Shared with the streaming twin (EventStream.attributedPurchases). */
   val AttributionLookbackUs: Long = 24L * 3600 * 1000000
 
+  /** The running last-touch is TWO-LEVEL, like sessionize: the
+    * single-window form sorts a hot user's whole history in one task
+    * (measured 2.95× under the 90%-one-key kill-test). Level 1 runs
+    * the running `last(ignoreNulls)` within (user, day-block) —
+    * bounded local windows. Level 2 collapses each block's FINAL
+    * touch to one row via max-of-struct (an aggregate: map-side
+    * partial, skew-immune), takes a running last over the per-user
+    * block summaries (≤ |days| rows per user), and joins the carried
+    * previous-block touch back on the same (user, block) key. A
+    * purchase's effective touch = coalesce(block-local, carried) —
+    * blocks partition time per user, so this is exactly the
+    * single-window answer (the oracle's ASOF form verifies it). */
   def attribution(spark: SparkSession, dir: String): DataFrame = {
     val LookbackUs = AttributionLookbackUs
+    val BlockUs = 86400L * 1000000L
     val events = Tables.load(spark, dir, "events")
     val touches = events
       .filter(col("event_type") === "click" || col("event_type") === "view")
@@ -190,23 +203,41 @@ object Dimensional {
       .select(col("user_id"), col("ts"), lit(0).as("kind"),
         lit(null).cast("long").as("conv_id"),
         lit(null).cast("double").as("value"),
-        struct(col("ts").as("t_ts"), col("m.event_type").as("channel"))
-          .as("touch"))
+        struct(unix_micros(col("ts")).as("t_us"),
+          col("m.event_type").as("channel")).as("touch"))
     val convs = events.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), lit(1).as("kind"),
         col("event_id").as("conv_id"), col("value"),
         lit(null).cast(touches.schema("touch").dataType).as("touch"))
-    val w = Window.partitionBy("user_id")
+    val merged = touches.unionByName(convs)
+      .withColumn("block", floor(unix_micros(col("ts")) / BlockUs))
+    val wLocal = Window.partitionBy("user_id", "block")
       .orderBy(col("ts"), col("kind"), col("conv_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val attributed = touches.unionByName(convs)
-      .withColumn("lastTouch", last(col("touch"), ignoreNulls = true).over(w))
-      .filter(col("kind") === 1)
+    val local = merged.withColumn("localLast",
+      last(col("touch"), ignoreNulls = true).over(wLocal))
+    // one row per (user, block): the block's final touch — touch
+    // structs order by (t_us, channel) and t_us is unique per user
+    // after the per-(user, ts) collapse, so max-of-struct IS "latest"
+    val wCarry = Window.partitionBy("user_id").orderBy(col("block"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blockTouch = merged.filter(col("kind") === 0)
+      .groupBy("user_id", "block")
+      .agg(max(col("touch")).as("blockLast"))
+    // spine over EVERY (user, block) present — a purchase block with
+    // no touches of its own must still receive the carry
+    val carried = merged.select("user_id", "block").distinct()
+      .join(blockTouch, Seq("user_id", "block"), "left")
+      .withColumn("prevTouch",
+        last(col("blockLast"), ignoreNulls = true).over(wCarry))
+      .select("user_id", "block", "prevTouch")
+    val attributed = local.filter(col("kind") === 1)
+      .join(carried, Seq("user_id", "block"), "left")
+      .withColumn("eff", coalesce(col("localLast"), col("prevTouch")))
       .withColumn("channel",
-        when(col("lastTouch").isNotNull &&
-          unix_micros(col("ts")) - unix_micros(col("lastTouch.t_ts"))
-            <= LookbackUs,
-          col("lastTouch.channel")).otherwise(lit("unattributed")))
+        when(col("eff").isNotNull &&
+          unix_micros(col("ts")) - col("eff.t_us") <= LookbackUs,
+          col("eff.channel")).otherwise(lit("unattributed")))
     attributed.groupBy("channel")
       .agg(count(lit(1)).as("n_conv"),
         round(Num.dsum(col("value")), 6).as("revenue"))
