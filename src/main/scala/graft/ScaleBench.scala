@@ -78,7 +78,9 @@ object ScaleBench {
     "co_occurrence", "ref_audit",
     // key-grain / distinct-collapse shapes: the scans are the cost,
     // the graph (pagerank) and key domains are duplication-invariant
-    "join_cardinality", "pagerank")
+    "join_cardinality", "pagerank",
+    // day-grain pre-agg + bounded windows / one scan + 2-cell explode
+    "trending", "drift_psi")
 
   /** Join shapes where only the FACT side (lineitem) multiplies —
     * each order keeps its (now mult×) lines and every dim stays

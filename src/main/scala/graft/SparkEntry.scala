@@ -147,7 +147,9 @@ object SparkEntry {
     "co_occurrence" -> (Analytics.coOccurrence _),
     "ref_audit" -> (Analytics.refAudit _),
     "join_cardinality" -> (Analytics.joinCardinality _),
-    "pagerank" -> (Components.pageRank _)
+    "pagerank" -> (Components.pageRank _),
+    "trending" -> (StockOps.trendingActivity _),
+    "drift_psi" -> (Olap.driftPsi _)
   )
 
   private val Dec = "decimal(28,6)"
@@ -2047,6 +2049,55 @@ object SparkEntry {
         |    AS bigint) AS rnk,
         |  r.node AS part_id, dg.deg, r.r AS rank_u
         |FROM r5 r JOIN dg ON r.node = dg.src
-        |ORDER BY r.r DESC, r.node ASC LIMIT 20""".stripMargin
+        |ORDER BY r.r DESC, r.node ASC LIMIT 20""".stripMargin,
+    // Trending twin: same day-grain counts, same 7-row lag frame,
+    // same exact-integer score with one terminal round.
+    "trending" ->
+      """WITH d AS (SELECT event_type, cast(ts AS date) AS day,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, day, cnt,
+        |    sum(cnt) OVER w AS sum_prev, count(cnt) OVER w AS n_prev
+        |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, day, cnt, cast(sum_prev AS bigint)
+        |    AS sum_prev,
+        |  round(cnt * 7 / cast(sum_prev AS double), 6) AS trend_score
+        |FROM t WHERE n_prev = 7 AND cnt >= 10 AND sum_prev > 0
+        |ORDER BY trend_score DESC, day ASC, event_type ASC
+        |LIMIT 20""".stripMargin,
+    // PSI twin: same fixed bins, exact integer shares, 9 dp-quantized
+    // terms summed as exact decimals, one terminal round.
+    "drift_psi" ->
+      """WITH cells AS (
+        |  SELECT (cast(o_orderdate AS date) < DATE '1998-01-01')
+        |      AS is_ref, u.feature, u.bin
+        |  FROM orders, unnest([
+        |    {'feature': 'price_bucket',
+        |     'bin': cast(cast(floor(o_totalprice / 50000.0) AS bigint)
+        |       AS varchar)},
+        |    {'feature': 'order_priority', 'bin': o_orderpriority}])
+        |    AS t(u)),
+        |bc AS (SELECT feature, bin,
+        |    sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS ref_n,
+        |    sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS cur_n
+        |  FROM cells GROUP BY 1, 2),
+        |tot AS (SELECT feature, sum(ref_n) AS ref_t, sum(cur_n) AS cur_t
+        |  FROM bc GROUP BY 1)
+        |SELECT bc.feature,
+        |  cast(first(tot.ref_t) AS bigint) AS n_ref,
+        |  cast(first(tot.cur_t) AS bigint) AS n_cur,
+        |  count(*) AS n_bins,
+        |  cast(sum(CASE WHEN bc.ref_n = 0 OR bc.cur_n = 0
+        |    THEN 1 ELSE 0 END) AS bigint) AS n_one_sided,
+        |  round(cast(coalesce(sum(CASE WHEN bc.ref_n > 0 AND bc.cur_n > 0
+        |    THEN cast(round(
+        |      (bc.ref_n / cast(tot.ref_t AS double)
+        |        - bc.cur_n / cast(tot.cur_t AS double))
+        |      * ln((bc.ref_n / cast(tot.ref_t AS double))
+        |        / (bc.cur_n / cast(tot.cur_t AS double))), 9)
+        |      AS decimal(28,9)) END), 0) AS double), 6) AS psi
+        |FROM bc JOIN tot USING (feature)
+        |GROUP BY bc.feature ORDER BY bc.feature""".stripMargin
   )
 }

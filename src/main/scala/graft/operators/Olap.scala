@@ -294,4 +294,59 @@ object Olap {
         .as("approx_users"),
         count(lit(1)).as("n_events"))
       .orderBy("event_type")
+
+  /** Drift split date and the numeric feature's fixed bin width. */
+  val DriftCutoff = "1998-01-01"
+  val DriftBinWidth = 50000.0
+
+  /** #148 Population-stability drift report (PSI) — the ML-ops
+    * monitor that says "this feature's distribution moved" between a
+    * reference window (orders before [[DriftCutoff]]) and the current
+    * one: PSI = Σ (p−q)·ln(p/q) over bins both sides populate, per
+    * feature — one numeric (total price, fixed-width bins: the #52
+    * exact integer bucketing) and one categorical (order priority).
+    * `n_one_sided` counts bins present on only one side — the
+    * new/vanished-category signal PSI's common-bin sum cannot see.
+    * Shares are exact integer ratios; ln runs on identical doubles
+    * (the bm25 precedent) and PSI rounds once at 6 dp.
+    *
+    * Scale: ONE fact scan — each row fans to its |features| (bin,
+    * side) cells via a 2-element explode, then a (feature, bin) hash
+    * aggregate with conditional partial counts; feature totals are a
+    * |features|-row broadcast. */
+  def driftPsi(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.load(spark, dir, "orders")
+      .select(
+        (to_date(col("o_orderdate")) < lit(DriftCutoff)).as("is_ref"),
+        explode(array(
+          struct(lit("price_bucket").as("feature"),
+            floor(col("o_totalprice") / DriftBinWidth).cast("string")
+              .as("bin")),
+          struct(lit("order_priority").as("feature"),
+            col("o_orderpriority").as("bin")))).as("c"))
+      .select(col("is_ref"), col("c.feature").as("feature"),
+        col("c.bin").as("bin"))
+    val binCounts = cells.groupBy("feature", "bin")
+      .agg(sum(col("is_ref").cast("long")).as("ref_n"),
+        sum((!col("is_ref")).cast("long")).as("cur_n"))
+    val totals = binCounts.groupBy("feature")
+      .agg(sum(col("ref_n")).as("ref_t"), sum(col("cur_n")).as("cur_t"))
+    binCounts.join(broadcast(totals), "feature")
+      .withColumn("p", col("ref_n").cast("double") /
+        col("ref_t").cast("double"))
+      .withColumn("q", col("cur_n").cast("double") /
+        col("cur_t").cast("double"))
+      .groupBy("feature")
+      .agg(first(col("ref_t")).as("n_ref"), first(col("cur_t")).as("n_cur"),
+        count(lit(1)).as("n_bins"),
+        sum((col("ref_n") === 0 || col("cur_n") === 0).cast("long"))
+          .as("n_one_sided"),
+        // each term quantized to 9 dp BEFORE the sum: a raw double Σ
+        // is partition-order dependent; the decimal sum is exact
+        round(coalesce(sum(when(col("ref_n") > 0 && col("cur_n") > 0,
+            round((col("p") - col("q")) * log(col("p") / col("q")), 9)
+              .cast("decimal(28,9)"))), lit(0).cast("decimal(28,9)"))
+          .cast("double"), 6).as("psi"))
+      .orderBy("feature")
+  }
 }

@@ -411,4 +411,39 @@ object StockOps {
           nullif(col("skk").cast("double"), lit(0.0)), 6).as("beta"))
       .orderBy("ticker_id", "day")
   }
+
+  /** #147 Trending activity — each day's per-stream event count
+    * against the stream's own trailing-7-observed-day baseline:
+    * score = cnt · 7 / sum_prev (an exact integer ratio, one terminal
+    * round — NOT cnt/avg in floats). The anomaly family's "what is
+    * unusually hot today" report (vs #85's z-score and #138's MAD
+    * screen, which flag unusual VALUES). Noise-gated at
+    * [[TrendMinCount]] events and a full 7-row baseline. The key is
+    * the stream (event_type here; ticker/source/domain in a denser
+    * feed — the grain is a parameter of the shape, not the plan).
+    *
+    * Scale: day-grain pre-aggregate (map-side combine — the fact scan
+    * collapses to |keys|·|days| rows), then bounded ≤7-row lag
+    * windows per key — the gap_report shape; top-20 via TakeOrdered. */
+  def trendingActivity(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-7, -1)
+    daily
+      .withColumn("sum_prev", sum(col("cnt")).over(w))
+      .withColumn("n_prev", count(col("cnt")).over(w))
+      .filter(col("n_prev") === 7 && col("cnt") >= TrendMinCount &&
+        col("sum_prev") > 0)
+      .select(col("event_type"), col("day"), col("cnt"),
+        col("sum_prev"), round(col("cnt") * lit(7) /
+          col("sum_prev").cast("double"), 6).as("trend_score"))
+      .orderBy(col("trend_score").desc, col("day").asc,
+        col("event_type").asc)
+      .limit(20)
+  }
+
+  /** Noise gate for [[trendingActivity]]: a 1→3 jump is not a trend. */
+  val TrendMinCount = 10L
 }

@@ -223,6 +223,30 @@ class RobustAnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("trending: scores are the exact integer ratio and the gates " +
+    "hold on every emitted row") {
+    val r = graft.operators.StockOps.trendingActivity(spark, SfDir)
+      .cache()
+    assert(r.count() > 0 && r.count() <= 20)
+    assert(r.filter(col("cnt") < graft.operators.StockOps.TrendMinCount)
+      .count() === 0)
+    assert(r.filter(col("sum_prev") <= 0).count() === 0)
+    assert(r.filter(abs(col("trend_score") -
+      round(col("cnt") * lit(7) / col("sum_prev").cast("double"), 6))
+      > lit(0.0)).count() === 0)
+  }
+
+  test("drift_psi: both features report, PSI nonnegative, one-sided " +
+    "bins counted") {
+    val r = graft.operators.Olap.driftPsi(spark, SfDir).cache()
+    assert(r.count() === 2)
+    // PSI is a sum of (p-q)ln(p/q) terms, each >= 0
+    assert(r.filter(col("psi") < 0).count() === 0)
+    assert(r.filter(col("n_one_sided") > col("n_bins")).count() === 0)
+    val ord = Tables.load(spark, SfDir, "orders").count()
+    assert(r.filter(col("n_ref") + col("n_cur") =!= ord).count() === 0)
+  }
+
   test("robust_outliers: MAD gate fires on a minority; med/mad " +
     "nonnegative where values are") {
     val r = TimeSeries.robustOutliers(spark, SfDir).cache()
