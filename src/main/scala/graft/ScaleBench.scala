@@ -80,7 +80,12 @@ object ScaleBench {
     // the graph (pagerank) and key domains are duplication-invariant
     "join_cardinality", "pagerank",
     // day-grain pre-agg + bounded windows / one scan + 2-cell explode
-    "trending", "drift_psi")
+    "trending", "drift_psi",
+    // user-keyed window chain; the per-user stage times are
+    // duplication-invariant. attribution_linear stays OUT: its
+    // credited-pair set is touches×convs per (user, day) — hardlink
+    // duplication squares it (the cluster_split artifact)
+    "funnel_times")
 
   /** Join shapes where only the FACT side (lineitem) multiplies —
     * each order keeps its (now mult×) lines and every dim stays

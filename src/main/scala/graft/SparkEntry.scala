@@ -149,7 +149,9 @@ object SparkEntry {
     "join_cardinality" -> (Analytics.joinCardinality _),
     "pagerank" -> (Components.pageRank _),
     "trending" -> (StockOps.trendingActivity _),
-    "drift_psi" -> (Olap.driftPsi _)
+    "drift_psi" -> (Olap.driftPsi _),
+    "funnel_times" -> (Dimensional.funnelTimes _),
+    "attribution_linear" -> (Dimensional.attributionLinear _)
   )
 
   private val Dec = "decimal(28,6)"
@@ -2098,6 +2100,59 @@ object SparkEntry {
         |        / (bc.cur_n / cast(tot.cur_t AS double))), 9)
         |      AS decimal(28,9)) END), 0) AS double), 6) AS psi
         |FROM bc JOIN tot USING (feature)
-        |GROUP BY bc.feature ORDER BY bc.feature""".stripMargin
+        |GROUP BY bc.feature ORDER BY bc.feature""".stripMargin,
+    // Time-to-convert twin: the funnel_stages chain, exact
+    // interpolated percentiles of the same hour values.
+    "funnel_times" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2, min(s1.t1) AS t1
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3, min(s2.t1) AS t1
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY 1)
+        |SELECT '2_click' AS stage, count(*) AS n_users,
+        |  round(quantile_cont(cast(epoch_us(t2) - epoch_us(t1)
+        |    AS double) / 3600000000.0, 0.5), 6) AS p50_hours,
+        |  round(quantile_cont(cast(epoch_us(t2) - epoch_us(t1)
+        |    AS double) / 3600000000.0, 0.9), 6) AS p90_hours
+        |FROM s2
+        |UNION ALL
+        |SELECT '3_purchase', count(*),
+        |  round(quantile_cont(cast(epoch_us(t3) - epoch_us(t1)
+        |    AS double) / 3600000000.0, 0.5), 6),
+        |  round(quantile_cont(cast(epoch_us(t3) - epoch_us(t1)
+        |    AS double) / 3600000000.0, 0.9), 6)
+        |FROM s3
+        |ORDER BY stage""".stripMargin,
+    // Linear-attribution twin: plain inequality join (the day
+    // blocking changes the EXECUTION shape, not the pair set), same
+    // 6 dp credit quantization, same exact decimal channel sums.
+    "attribution_linear" ->
+      """WITH touch AS (SELECT user_id, epoch_us(ts) AS t_us,
+        |    event_type AS channel
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |conv AS (SELECT user_id, event_id AS conv_id, epoch_us(ts)
+        |    AS p_us, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT c.conv_id, t.channel, c.value, count(*) AS c
+        |  FROM conv c JOIN touch t ON c.user_id = t.user_id
+        |    AND t.t_us <= c.p_us AND c.p_us - t.t_us <= 86400000000
+        |  GROUP BY 1, 2, 3),
+        |n AS (SELECT conv_id, sum(c) AS n FROM m GROUP BY 1),
+        |credited AS (SELECT m.channel, m.conv_id, m.c,
+        |    cast(round(m.value * m.c / cast(n.n AS double), 6)
+        |      AS decimal(18,6)) AS credit
+        |  FROM m JOIN n USING (conv_id)),
+        |unatt AS (SELECT 'unattributed' AS channel, conv_id,
+        |    cast(1 AS bigint) AS c,
+        |    cast(round(value, 6) AS decimal(18,6)) AS credit
+        |  FROM conv WHERE conv_id NOT IN (SELECT conv_id FROM m)),
+        |allc AS (SELECT * FROM credited UNION ALL SELECT * FROM unatt)
+        |SELECT channel, count(DISTINCT conv_id) AS n_conv,
+        |  cast(sum(c) AS bigint) AS n_touches,
+        |  round(cast(sum(credit) AS double), 6) AS revenue
+        |FROM allc GROUP BY channel ORDER BY channel""".stripMargin
   )
 }

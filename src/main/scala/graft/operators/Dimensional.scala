@@ -120,9 +120,12 @@ object Dimensional {
     * stacks them on a single sort/shuffle), reduced to per-user stage
     * times and one tiny 3-row summary — not a join+agg round per
     * stage. */
-  def funnelStages(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-user funnel stage times (t1 signup → t2 click → t3
+    * purchase) — shared by [[funnelStages]] and [[funnelTimes]]. */
+  private[operators] def funnelPerUser(spark: SparkSession,
+      dir: String): DataFrame = {
     val w = Window.partitionBy("user_id")
-    val perUser = Tables.load(spark, dir, "events")
+    Tables.load(spark, dir, "events")
       .select(col("user_id"), col("event_type"), col("ts"))
       .withColumn("t1",
         min(when(col("event_type") === "signup", col("ts"))).over(w))
@@ -135,6 +138,10 @@ object Dimensional {
       .groupBy("user_id")
       .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"),
         min(col("t3")).as("t3"))
+  }
+
+  def funnelStages(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = funnelPerUser(spark, dir)
     // ONE summary aggregate carries all three stages (three lazy
     // per-stage branches would recompute the window chain each);
     // hours sums skip the stage's non-reachers via the conditional
@@ -293,5 +300,89 @@ object Dimensional {
           sqrt(col("var_rev") / col("n_users").cast("double") +
             col("o_var") / col("o_n").cast("double")), 6).as("z_score"))
       .orderBy("arm")
+  }
+
+  /** #149 Funnel time-to-convert distribution — #88 reports the MEAN
+    * hours per stage; the mean of a conversion delay is a vanity
+    * number (one week-long straggler doubles it), so this reports the
+    * exact p50/p90 of signup→click and signup→purchase hours over
+    * stage completers. Hours are integer-micros differences divided
+    * once (identical doubles both engines); percentiles are the
+    * oracle-pinned #39 interpolation, one terminal round.
+    *
+    * Scale: rides [[funnelPerUser]] (user-keyed window chain, one
+    * shuffle); the percentile sorts |completers| values per stage —
+    * the #39 trade, GK (#79) is the escape at extreme user counts. */
+  def funnelTimes(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = funnelPerUser(spark, dir)
+    def stage(name: String, tCol: String): DataFrame =
+      perUser.filter(col(tCol).isNotNull)
+        .select(((unix_micros(col(tCol)) - unix_micros(col("t1")))
+          .cast("double") / lit(3600e6)).as("h"))
+        .agg(count(lit(1)).as("n_users"),
+          round(expr("percentile(h, 0.5D)"), 6).as("p50_hours"),
+          round(expr("percentile(h, 0.9D)"), 6).as("p90_hours"))
+        .select(lit(name).as("stage"), col("n_users"),
+          col("p50_hours"), col("p90_hours"))
+    stage("2_click", "t2").unionByName(stage("3_purchase", "t3"))
+      .orderBy("stage")
+  }
+
+  /** #150 Linear multi-touch attribution — #134 gives the last touch
+    * ALL the credit; the linear model splits each purchase's value
+    * equally across every touch inside the lookback (the other
+    * standard marketing ledger; the two disagree exactly when upper-
+    * funnel channels feed lower-funnel closers). Per-credit amounts
+    * are round(value·c/n, 6) pinned to decimals before the exact
+    * channel sums (sub-micro residue per purchase is the documented
+    * quantization); purchases with no in-window touch land whole in
+    * `unattributed`.
+    *
+    * Scale: the touch⋈purchase pairing is DAY-BLOCKED — each purchase
+    * probes its own and the previous day's touch block (the 24 h
+    * lookback spans at most two), so candidate pairs are bounded by
+    * per-(user, day) density, never the user's whole history; credit
+    * counting is two key-grain aggregates. The credited-pair count
+    * IS the semantic output size — a user with T touches and C
+    * purchases in a day defines T·C credits. */
+  def attributionLinear(spark: SparkSession, dir: String): DataFrame = {
+    val LookbackUs = AttributionLookbackUs
+    val BlockUs = 86400L * 1000000L
+    val events = Tables.load(spark, dir, "events")
+    val touches = events
+      .filter(col("event_type") === "click" || col("event_type") === "view")
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+        col("event_type").as("channel"))
+      .withColumn("t_block", floor(col("t_us") / BlockUs))
+    val convs = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        unix_micros(col("ts")).as("p_us"), col("value"))
+    val probes = convs
+      .withColumn("t_block", explode(array(
+        floor(col("p_us") / BlockUs),
+        floor(col("p_us") / BlockUs) - 1)))
+    val matched = probes.join(touches, Seq("user_id", "t_block"))
+      .filter(col("t_us") <= col("p_us") &&
+        col("p_us") - col("t_us") <= LookbackUs)
+    val perConvChan = matched.groupBy("conv_id", "channel")
+      .agg(count(lit(1)).as("c"), first(col("value")).as("value"))
+    val perConv = perConvChan.groupBy("conv_id")
+      .agg(sum(col("c")).as("n"))
+    val credited = perConvChan.join(perConv, "conv_id")
+      .select(col("channel"), col("conv_id"), col("c"),
+        round(col("value") * col("c") / col("n").cast("double"), 6)
+          .cast("decimal(18,6)").as("credit"))
+    val unattributed = convs
+      .join(matched.select("conv_id").distinct(), Seq("conv_id"),
+        "left_anti")
+      .select(lit("unattributed").as("channel"), col("conv_id"),
+        lit(1L).as("c"),
+        round(col("value"), 6).cast("decimal(18,6)").as("credit"))
+    credited.unionByName(unattributed)
+      .groupBy("channel")
+      .agg(countDistinct(col("conv_id")).as("n_conv"),
+        sum(col("c")).as("n_touches"),
+        round(sum(col("credit")).cast("double"), 6).as("revenue"))
+      .orderBy("channel")
   }
 }

@@ -247,6 +247,44 @@ class RobustAnalyticsSpec extends SparkTestBase {
     assert(r.filter(col("n_ref") + col("n_cur") =!= ord).count() === 0)
   }
 
+  test("funnel_times: percentile summary coheres with funnel_stages") {
+    val t = Dimensional.funnelTimes(spark, SfDir).cache()
+    assert(t.count() === 2)
+    assert(t.filter(col("p50_hours") > col("p90_hours")).count() === 0)
+    assert(t.filter(col("p50_hours") < 0).count() === 0)
+    // stage populations equal the mean-based report's
+    val s = Dimensional.funnelStages(spark, SfDir)
+      .filter(col("stage") =!= "1_signup")
+      .select(col("stage"), col("n_users").as("n_s"))
+    assert(t.join(s, "stage").filter(col("n_users") =!= col("n_s"))
+      .count() === 0)
+  }
+
+  test("attribution_linear: credit conserves the ledger within the " +
+    "6dp quantization, channels partition the purchases") {
+    val lin = Dimensional.attributionLinear(spark, SfDir).cache()
+    val purchases = Tables.load(spark, SfDir, "events")
+      .filter(col("event_type") === "purchase")
+    // every purchase is credited somewhere (multi-touch ones in >1
+    // channel, so n_conv sums to >= the purchase count)
+    assert(lin.agg(sum("n_conv")).head().getLong(0) >= purchases.count())
+    val total = lin.agg(sum("revenue")).head().getDouble(0)
+    val ledger = purchases
+      .agg(graft.operators.Num.dsum(col("value"))).head().getDouble(0)
+    // each credit rounds to 6dp: residue < 5e-7 per credit
+    assert(math.abs(total - ledger) < 0.01)
+    // last-touch and linear agree on the unattributed set (same
+    // lookback, same touch definition)
+    val lastU = Dimensional.attribution(spark, SfDir)
+      .filter(col("channel") === "unattributed")
+      .select("n_conv").collect().headOption.map(_.getLong(0))
+      .getOrElse(0L)
+    val linU = lin.filter(col("channel") === "unattributed")
+      .select("n_conv").collect().headOption.map(_.getLong(0))
+      .getOrElse(0L)
+    assert(lastU === linU)
+  }
+
   test("robust_outliers: MAD gate fires on a minority; med/mad " +
     "nonnegative where values are") {
     val r = TimeSeries.robustOutliers(spark, SfDir).cache()
