@@ -168,8 +168,12 @@ object Analytics {
     * is TakeOrdered (no global sort materialized). A mega-basket is
     * the skew exposure and gets capped upstream in a real feed. */
   def coOccurrence(spark: SparkSession, dir: String): DataFrame = {
+    // pinned: the distinct collapse feeds the order count, the part
+    // counts and BOTH sides of the pair self-join — lazy, each
+    // consumer re-scans + re-distincts the fact table
     val lines = Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .localCheckpoint()
     val nOrders = lines.select("l_orderkey").distinct()
       .agg(count(lit(1)).as("n_orders"))
     val partCnt = lines.groupBy("l_partkey")

@@ -165,8 +165,10 @@ object Components {
     * 5-deep lineage re-reads neither. Hot (high-degree) nodes are the
     * classic skew; the contribution join partial-aggregates map-side. */
   def pageRank(spark: SparkSession, dir: String): DataFrame = {
+    // pinned: both sides of the pair self-join read this collapse
     val lines = graft.sources.Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .localCheckpoint()
     val pairs = lines.select(col("l_orderkey"), col("l_partkey").as("a"))
       .join(lines.select(col("l_orderkey"), col("l_partkey").as("b")),
         "l_orderkey")

@@ -364,8 +364,12 @@ object Dimensional {
     val matched = probes.join(touches, Seq("user_id", "t_block"))
       .filter(col("t_us") <= col("p_us") &&
         col("p_us") - col("t_us") <= LookbackUs)
+    // pinned at (conv, channel) grain — bounded by convs × |channels|
+    // — so the pair-grain `matched` set is consumed exactly ONCE and
+    // the anti-join below reads this collapse, not the pair set
     val perConvChan = matched.groupBy("conv_id", "channel")
       .agg(count(lit(1)).as("c"), first(col("value")).as("value"))
+      .localCheckpoint()
     val perConv = perConvChan.groupBy("conv_id")
       .agg(sum(col("c")).as("n"))
     val credited = perConvChan.join(perConv, "conv_id")
@@ -373,7 +377,7 @@ object Dimensional {
         round(col("value") * col("c") / col("n").cast("double"), 6)
           .cast("decimal(18,6)").as("credit"))
     val unattributed = convs
-      .join(matched.select("conv_id").distinct(), Seq("conv_id"),
+      .join(perConvChan.select("conv_id").distinct(), Seq("conv_id"),
         "left_anti")
       .select(lit("unattributed").as("channel"), col("conv_id"),
         lit(1L).as("c"),

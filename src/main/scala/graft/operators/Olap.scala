@@ -326,9 +326,13 @@ object Olap {
             col("o_orderpriority").as("bin")))).as("c"))
       .select(col("is_ref"), col("c.feature").as("feature"),
         col("c.bin").as("bin"))
+    // pinned: |features|×|bins| rows feeding BOTH the totals branch
+    // and the PSI aggregate — lazy, each would re-scan + re-explode
+    // the fact table
     val binCounts = cells.groupBy("feature", "bin")
       .agg(sum(col("is_ref").cast("long")).as("ref_n"),
         sum((!col("is_ref")).cast("long")).as("cur_n"))
+      .localCheckpoint()
     val totals = binCounts.groupBy("feature")
       .agg(sum(col("ref_n")).as("ref_t"), sum(col("cur_n")).as("cur_t"))
     binCounts.join(broadcast(totals), "feature")

@@ -81,10 +81,13 @@ object Skew {
     * blocks rows, broadcast. */
   def skewReport(spark: SparkSession, dir: String): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
+    // pinned: the key-grain collapse feeds both the local-rank and
+    // the offsets branches — lazy, each re-scans the fact table
     val keyed = Tables.load(spark, dir, "events")
       .groupBy(col("event_type"), col("user_id"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("blk", floor(log(2.0, col("cnt"))).cast("long"))
+      .localCheckpoint()
     val wLocal = W.partitionBy("event_type", "blk")
       .orderBy(col("cnt").asc, col("user_id").asc)
     val local = keyed.withColumn("lrnk",
