@@ -383,4 +383,77 @@ object EventStream {
           out.iterator
       }
   }
+
+  case class DriftReport(event_type: String, n_cur: Long, n_bins: Long,
+      n_one_sided: Long, psi: Double)
+  case class DriftState(bins: Map[Long, Long])
+
+  /** Value-bucket width for [[driftMonitor]] — coarse enough that the
+    * per-key state (one count per populated bin) stays tiny. */
+  val DriftValueBinWidth = 50.0
+
+  /** Shared PSI arithmetic for the streaming monitor and its spec's
+    * reference implementation: shares as exact integer ratios, each
+    * (p−q)·ln(p/q) term quantized to 9 dp (summed as exact 10⁻⁹-unit
+    * longs — the batch drift_psi's decimal-sum discipline), one
+    * terminal 6 dp round. */
+  private[graft] def psiOf(ref: Map[Long, Long],
+      cur: Map[Long, Long]): (Long, Long, Double) = {
+    val refT = ref.values.sum.toDouble
+    val curT = cur.values.sum.toDouble
+    val bins = (ref.keySet ++ cur.keySet).toSeq.sorted
+    var oneSided = 0L
+    var sumN = 0L // Σ terms in 1e-9 units
+    bins.foreach { b =>
+      val rn = ref.getOrElse(b, 0L); val cn = cur.getOrElse(b, 0L)
+      if (rn == 0L || cn == 0L) oneSided += 1
+      else {
+        val p = rn / refT; val q = cn / curT
+        val term = (p - q) * math.log(p / q)
+        sumN += BigDecimal(term)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+          .underlying.unscaledValue.longValueExact
+      }
+    }
+    (bins.size.toLong, oneSided,
+      BigDecimal(sumN, 9).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .doubleValue)
+  }
+
+  /** #151 Streaming drift monitor — the live twin of batch
+    * `Olap.driftPsi` (#148): each event stream's VALUE distribution
+    * is tracked against a frozen reference histogram (broadcast in —
+    * yesterday's corpus, a training snapshot), and every micro-batch
+    * emits the stream's refreshed PSI the moment data lands — the
+    * alert feed that says "this feed's distribution moved" before the
+    * nightly batch would. State per key is one count per populated
+    * value bin (bounded by the bin domain, not the stream); the PSI
+    * arithmetic is [[psiOf]]'s quantized form, so a replay emits a
+    * final per-stream PSI identical to the reference implementation
+    * over the same counts (spec-asserted). */
+  def driftMonitor(spark: SparkSession, events: DataFrame,
+      reference: Map[String, Map[Long, Long]]): Dataset[DriftReport] = {
+    import spark.implicits._
+    events.as[Ev]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (etype: String, rows: Iterator[Ev],
+            state: GroupState[DriftState]) =>
+          var bins = state.getOption.map(_.bins)
+            .getOrElse(Map.empty[Long, Long])
+          rows.foreach { e =>
+            val b = math.floor(e.value / DriftValueBinWidth).toLong
+            bins = bins.updated(b, bins.getOrElse(b, 0L) + 1L)
+          }
+          state.update(DriftState(bins))
+          val ref = reference.getOrElse(etype, Map.empty)
+          if (ref.isEmpty || bins.isEmpty) Iterator.empty
+          else {
+            val (nb, os, psi) = psiOf(ref, bins)
+            Iterator.single(
+              DriftReport(etype, bins.values.sum, nb, os, psi))
+          }
+      }
+  }
 }

@@ -408,6 +408,52 @@ class EventStreamSpec extends SparkTestBase {
     assert(kept.size == 2)
   }
 
+  test("streaming drift monitor converges to the reference-impl PSI " +
+    "over the full replay") {
+    val dir = Files.createTempDirectory("graft_drift").toString
+    val cut = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val ev = Tables.load(spark, SfDir, "events")
+    def binsOf(df: org.apache.spark.sql.DataFrame)
+        : Map[String, Map[Long, Long]] =
+      df.groupBy(col("event_type"),
+          floor(col("value") / EventStream.DriftValueBinWidth)
+            .cast("long").as("b"))
+        .count().collect()
+        .groupBy(_.getString(0))
+        .map { case (t, rows) =>
+          t -> rows.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+    val reference = binsOf(ev.filter(col("ts") < cut))
+    // stream the post-cut rows in two micro-batches
+    val post = ev.filter(col("ts") >= cut).orderBy("ts", "event_id")
+    val mid = java.sql.Timestamp.valueOf("2024-01-22 00:00:00")
+    post.filter(col("ts") < mid).coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val out = EventStream.driftMonitor(spark,
+      EventStream.readEvents(spark, dir), reference)
+    val q = out.toDF().writeStream.format("memory").queryName("drift")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      post.filter(col("ts") >= mid).coalesce(1)
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the LAST emission per stream must equal the reference-impl PSI
+    // over the full post-cut window (each batch refreshes the row; a
+    // memory sink in append keeps all — take max n_cur per type)
+    val gotRows = spark.table("drift").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(4)))
+    val got = gotRows.groupBy(_._1).map { case (t, rs) =>
+      t -> rs.maxBy(_._2)._3 }
+    val current = binsOf(ev.filter(col("ts") >= cut))
+    current.foreach { case (t, cur) =>
+      val expected = EventStream.psiOf(reference(t), cur)._3
+      assert(got.contains(t), s"no drift emission for $t")
+      assert(got(t) === expected, s"$t psi ${got(t)} vs $expected")
+    }
+    assert(got.nonEmpty)
+  }
+
   test("streaming attribution replays to the batch channel ledger") {
     val dir = Files.createTempDirectory("graft_attr").toString
     val ev = Tables.load(spark, SfDir, "events").orderBy("ts", "event_id")
