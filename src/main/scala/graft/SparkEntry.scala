@@ -151,7 +151,10 @@ object SparkEntry {
     "trending" -> (StockOps.trendingActivity _),
     "drift_psi" -> (Olap.driftPsi _),
     "funnel_times" -> (Dimensional.funnelTimes _),
-    "attribution_linear" -> (Dimensional.attributionLinear _)
+    "attribution_linear" -> (Dimensional.attributionLinear _),
+    // §2.N statistical quality gates + temporal ops (round 14)
+    "gopher_rules" -> (LmFilter.gopherRules _),
+    "lm_perplexity" -> (LmFilter.lmPerplexity _)
   )
 
   private val Dec = "decimal(28,6)"
@@ -2153,6 +2156,59 @@ object SparkEntry {
         |SELECT channel, count(DISTINCT conv_id) AS n_conv,
         |  cast(sum(c) AS bigint) AS n_touches,
         |  round(cast(sum(credit) AS double), 6) AS revenue
-        |FROM allc GROUP BY channel ORDER BY channel""".stripMargin
+        |FROM allc GROUP BY channel ORDER BY channel""".stripMargin,
+    // Gopher-rule twin: same (doc, token) grain, same integer
+    // cross-multiplied thresholds, same first-fail verdict order.
+    "gopher_rules" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)),
+        |      '\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |pt AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+        |s AS (SELECT doc_id,
+        |    cast(sum(tf) AS bigint) AS n_tok,
+        |    cast(max(tf) AS bigint) AS max_tf,
+        |    cast(sum(tf * length(tok)) AS bigint) AS sum_len,
+        |    cast(sum(CASE WHEN tok IN ('the','a','and','of','to')
+        |      THEN 1 ELSE 0 END) AS bigint) AS n_stop
+        |  FROM pt GROUP BY 1)
+        |SELECT doc_id, n_tok, sum_len, max_tf, n_stop,
+        |  CASE WHEN n_tok < 20 OR n_tok > 90 THEN 'word_count'
+        |       WHEN sum_len < 3 * n_tok OR sum_len > 10 * n_tok
+        |         THEN 'word_length'
+        |       WHEN n_stop < 2 THEN 'stopword'
+        |       WHEN max_tf * 5 > n_tok THEN 'repetition'
+        |       ELSE 'kept' END AS verdict
+        |FROM s ORDER BY doc_id""".stripMargin,
+    // Bigram-LM twin: identical add-one model from identical integer
+    // counts; ln only inside the 9 dp-quantized per-bigram value
+    // (decimal sum per doc, one terminal round — the psi discipline).
+    "lm_perplexity" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |u AS (SELECT count(DISTINCT tok) AS v
+        |  FROM (SELECT unnest(toks) AS tok FROM t)),
+        |bb AS (SELECT doc_id,
+        |    unnest([{'w1': toks[i+1], 'w2': toks[i+2]}
+        |      for i in range(len(toks) - 1)]) AS b
+        |  FROM t),
+        |bi AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bb),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+        |cx AS (SELECT w1, cast(sum(c2) AS bigint) AS ctx
+        |  FROM c2 GROUP BY 1),
+        |m AS (SELECT c2.w1, c2.w2,
+        |    cast(round(ln(cast(c2.c2 + 1 AS double)
+        |      / cast(cx.ctx + u.v AS double)), 9)
+        |      AS decimal(28,9)) AS q9
+        |  FROM c2 JOIN cx USING (w1) CROSS JOIN u),
+        |d AS (SELECT bi.doc_id, count(*) AS n_big, -sum(m.q9) AS nll
+        |  FROM bi JOIN m USING (w1, w2) GROUP BY 1)
+        |SELECT doc_id, cast(n_big AS bigint) AS n_big,
+        |  round(cast(nll AS double) / n_big, 6) AS avg_nll,
+        |  CASE WHEN round(cast(nll AS double) / n_big, 6) <= 3.40
+        |    THEN 1 ELSE 0 END AS kept
+        |FROM d ORDER BY doc_id""".stripMargin
   )
 }

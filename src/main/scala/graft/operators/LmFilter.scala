@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Statistical quality gating over the documents corpus: the two
+  * filters every published pretraining-data pipeline runs before
+  * training — rule-based heuristics (Gopher / C4 style) and n-gram
+  * language-model perplexity scoring (CCNet / KenLM style). Both are
+  * engine-exact: the rules are pure integer arithmetic (every ratio
+  * threshold is a cross-multiplied integer comparison, never a float
+  * divide), and the LM's per-bigram log-probs are quantized to 9 dp
+  * before the exact decimal per-doc sum (the drift_psi discipline —
+  * a raw double Σ would be partition-order dependent).
+  *
+  * Reference anchor: the news-title corpus the reference ingests
+  * (news_data_to_gcp.py) is exactly the kind of scraped text these
+  * gates screen before downstream use; the brief names quality
+  * scoring and text analysis as first-class 100 TB pipeline ops.
+  */
+object LmFilter {
+
+  // ---- Gopher-style rule thresholds (SURVEY §2 #152) ----
+  /** Word-count window (Gopher: 50..100k words; scaled to the
+    * 10-99-token testdata titles so both tails actually fire). */
+  val MinWords = 20L
+  val MaxWords = 90L
+  /** Mean word length in [3, 10] chars (Gopher rule, exact:
+    * 3·n_tok ≤ Σlen ≤ 10·n_tok). */
+  val MinMeanLen = 3L
+  val MaxMeanLen = 10L
+  /** Must contain ≥ 2 distinct function words (Gopher's stop-word
+    * presence rule; list restricted to the corpus' closed vocab). */
+  val StopWords: Seq[String] = Seq("the", "a", "and", "of", "to")
+  val MinStopHits = 2L
+  /** Top-token share ≤ 20% (Gopher repetition rule, exact:
+    * 5·max_tf ≤ n_tok). */
+  val RepMul = 5L
+
+  /** Rule-based document quality audit — one row per document with
+    * its measured statistics and a first-failed-rule verdict
+    * (`word_count` → `word_length` → `stopword` → `repetition` →
+    * `kept`), the same drop-lineage contract as `curation_audit`
+    * (#125): "why was my document filtered?" is one query.
+    *
+    * Scale shape: one token-grain explode → (doc, token) hash
+    * aggregate → doc-grain aggregate. Both shuffles are key-hashed
+    * at grains that partial-aggregate map-side (a 10⁹-copy
+    * boilerplate token collapses in the mapper); no windows, no
+    * driver state. All four rules are integer comparisons, so the
+    * verdict is bit-identical on any engine and any partitioning. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+      explode(filter(split(lower(trim(col("text"))), "\\s+"),
+        t => t =!= "")).as("tok"))
+    // (doc, token) grain: tf per distinct token — max_tf, the
+    // distinct-stopword count, and the char totals all derive from it
+    val perTok = toks.groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"))
+    val stats = perTok.groupBy("doc_id").agg(
+      sum(col("tf")).as("n_tok"),
+      max(col("tf")).as("max_tf"),
+      sum(col("tf") * length(col("tok"))).as("sum_len"),
+      sum(col("tok").isInCollection(StopWords).cast("long")).as("n_stop"))
+    stats.select(col("doc_id"), col("n_tok"), col("sum_len"),
+        col("max_tf"), col("n_stop"),
+        when(col("n_tok") < MinWords || col("n_tok") > MaxWords,
+            lit("word_count"))
+          .when(col("sum_len") < lit(MinMeanLen) * col("n_tok") ||
+              col("sum_len") > lit(MaxMeanLen) * col("n_tok"),
+            lit("word_length"))
+          .when(col("n_stop") < MinStopHits, lit("stopword"))
+          .when(col("max_tf") * RepMul > col("n_tok"), lit("repetition"))
+          .otherwise(lit("kept")).as("verdict"))
+      .orderBy("doc_id")
+  }
+
+  // ---- Bigram-LM perplexity (SURVEY §2 #153) ----
+  /** Keep documents whose mean bigram negative log-likelihood is at
+    * most this (nats/bigram); sits at the corpus median (~3.39-3.40
+    * at every SF), so both verdicts occur everywhere. */
+  val NllKeepMax = 3.40
+
+  /** Bigram language-model perplexity filter (the CCNet/KenLM
+    * quality gate, self-trained): add-one-smoothed bigram model
+    * counted over the corpus itself, each document scored by its
+    * mean bigram negative log-likelihood, gated at [[NllKeepMax]].
+    *
+    * Exactness: each distinct bigram's log-prob
+    * ln((c₂+1)/(ctx+V)) — a deterministic double of three integer
+    * counts — is rounded to 9 dp and carried as decimal(28,9); the
+    * per-doc sum is exact decimal, one terminal 6 dp round. Engine-
+    * portable by the drift_psi/bm25 precedent (ln only ever inside a
+    * value that is quantized before summation).
+    *
+    * Scale shape: the model is two hash aggregates at bigram-type
+    * grain (bounded by vocab², partial-aggregated map-side — the
+    * "the the"-style head bigrams collapse in the mapper), pinned
+    * once (localCheckpoint) because ctx counts and scoring both read
+    * it; scoring is one bigram-keyed hash join of the instance
+    * stream against the model (broadcast-able when the vocab is
+    * small; AQE decides) and one doc-grain aggregate. No windows, no
+    * driver-side state — V is the single scalar collected, a bounded
+    * model artifact like the IVF centroid count. */
+  def lmPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+      filter(split(lower(trim(col("text"))), "\\s+"),
+        t => t =!= "").as("toks"))
+    // adjacent-pair explode: zip(toks[0..n-2], toks[1..n-1])
+    val bigrams = toks.select(col("doc_id"),
+        explode(arrays_zip(
+          slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+          slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0)))))
+          .as("b"))
+      .select(col("doc_id"), col("b.0").as("w1"), col("b.1").as("w2"))
+    // vocab size: |distinct unigrams| over ALL tokens (incl. final
+    // ones) — the smoothing denominator, a bounded scalar
+    val v = toks.select(explode(col("toks")).as("tok"))
+      .agg(countDistinct(col("tok"))).head().getLong(0)
+    // bigram-type counts, pinned: feeds BOTH the context totals and
+    // the scoring join (lazy, each consumer would re-explode the corpus)
+    val c2 = bigrams.groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c2")).localCheckpoint()
+    val ctx = c2.groupBy("w1").agg(sum(col("c2")).as("ctx"))
+    val model = c2.join(ctx, "w1")
+      .select(col("w1"), col("w2"),
+        round(log((col("c2") + 1).cast("double") /
+          (col("ctx") + lit(v)).cast("double")), 9)
+          .cast("decimal(28,9)").as("q9"))
+    val scored = bigrams.join(model, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_big"),
+        (-sum(col("q9"))).as("nll"))
+    scored.select(col("doc_id"), col("n_big"),
+        round(col("nll").cast("double") / col("n_big"), 6).as("avg_nll"))
+      .withColumn("kept", (col("avg_nll") <= NllKeepMax).cast("int"))
+      .orderBy("doc_id")
+  }
+}
