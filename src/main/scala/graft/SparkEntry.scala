@@ -154,7 +154,10 @@ object SparkEntry {
     "attribution_linear" -> (Dimensional.attributionLinear _),
     // §2.N statistical quality gates + temporal ops (round 14)
     "gopher_rules" -> (LmFilter.gopherRules _),
-    "lm_perplexity" -> (LmFilter.lmPerplexity _)
+    "lm_perplexity" -> (LmFilter.lmPerplexity _),
+    "interval_merge" -> (Intervals.intervalMerge _),
+    "concurrency_peak" -> (Intervals.concurrencyPeak _),
+    "event_transitions" -> (Sessions.eventTransitions _)
   )
 
   private val Dec = "decimal(28,6)"
@@ -2209,6 +2212,64 @@ object SparkEntry {
         |  round(cast(nll AS double) / n_big, 6) AS avg_nll,
         |  CASE WHEN round(cast(nll AS double) / n_big, 6) <= 3.40
         |    THEN 1 ELSE 0 END AS kept
-        |FROM d ORDER BY doc_id""".stripMargin
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // Interval-coverage twin: identical integer endpoints (exact
+    // decimal 6 dp duration scaling), SINGLE-window prefix max —
+    // verifying the Spark side's two-level decomposition ≡ global.
+    "interval_merge" ->
+      """WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS t_us,
+        |    epoch_us(ts) + cast(cast(value AS decimal(18,6)) * 1000000
+        |      AS bigint) * 60 AS end_us
+        |  FROM events),
+        |w AS (SELECT user_id, t_us, end_us,
+        |    max(end_us) OVER (PARTITION BY user_id
+        |      ORDER BY t_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p
+        |  FROM iv)
+        |SELECT user_id, count(*) AS n_raw,
+        |  cast(sum(CASE WHEN p IS NULL OR t_us > p THEN 1 ELSE 0 END)
+        |    AS bigint) AS n_merged,
+        |  cast(sum(greatest(end_us - greatest(t_us, coalesce(p, t_us)),
+        |    0)) AS bigint) AS covered_us
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Sweep-line twin: same ±1 points, single-window running sum,
+    // peak + first attaining instant.
+    "concurrency_peak" ->
+      """WITH iv AS (SELECT event_type, epoch_us(ts) AS t,
+        |    epoch_us(ts) + cast(cast(value AS decimal(18,6)) * 1000000
+        |      AS bigint) * 60 AS e
+        |  FROM events),
+        |pts AS (SELECT event_type, t, 1 AS d FROM iv
+        |  UNION ALL SELECT event_type, e, -1 FROM iv),
+        |r AS (SELECT event_type, t,
+        |    sum(d) OVER (PARTITION BY event_type ORDER BY t, d
+        |      ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM pts),
+        |m AS (SELECT event_type, max(run) AS peak FROM r GROUP BY 1),
+        |n AS (SELECT event_type, count(*) AS n_intervals
+        |  FROM iv GROUP BY 1)
+        |SELECT m.event_type, n.n_intervals,
+        |  cast(m.peak AS bigint) AS peak,
+        |  cast(min(r.t) AS bigint) AS peak_ts_us
+        |FROM m JOIN r ON r.event_type = m.event_type AND r.run = m.peak
+        |JOIN n ON n.event_type = m.event_type
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    // Transition-matrix twin: same (user, day) blocking, integer
+    // ppm division.
+    "event_transitions" ->
+      """WITH s AS (SELECT user_id,
+        |    epoch_us(ts) // 86400000000 AS blk, event_type, ts,
+        |    event_id
+        |  FROM events),
+        |p AS (SELECT lag(event_type) OVER (PARTITION BY user_id, blk
+        |      ORDER BY ts, event_id) AS from_type,
+        |    event_type AS to_type
+        |  FROM s),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM p
+        |  WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, cast(c.n AS bigint) AS n,
+        |  cast(c.n * 1000000 // tot.tot AS bigint) AS p_ppm
+        |FROM c JOIN tot USING (from_type) ORDER BY 1, 2""".stripMargin
   )
 }

@@ -138,4 +138,33 @@ object Sessions {
         Num.dsum(col("p_value")).as("sum_purch"))
       .orderBy("event_id")
   }
+
+  /** #156 Event-transition matrix (first-order Markov view of the
+    * clickstream): per-user WITHIN-DAY adjacent event-type pairs,
+    * counted per (from, to) with the transition probability as exact
+    * parts-per-million (integer `n·10⁶ div row-total` — never a float
+    * divide, so the matrix is bit-identical on any engine).
+    *
+    * Day-blocked by DEFINITION (a transition is two events in the
+    * same session day — overnight adjacency is noise, the gap_report
+    * family's contract), which also makes every lag window partition
+    * (user, day)-bounded: no hot user ever sorts its whole history in
+    * one task, the sessionize/skew lesson applied at the semantic
+    * level. Output is |types|² rows at any corpus size. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "blk")
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.load(spark, dir, "events")
+      .withColumn("blk", floor(unix_micros(col("ts")) / (86400L * 1000000L)))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+    val counts = pairs.groupBy(col("from_type"),
+        col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("p_ppm", expr("n * 1000000L div sum(n) over " +
+        "(partition by from_type)"))
+      .select("from_type", "to_type", "n", "p_ppm")
+      .orderBy("from_type", "to_type")
+  }
 }
