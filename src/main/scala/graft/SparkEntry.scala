@@ -157,7 +157,11 @@ object SparkEntry {
     "lm_perplexity" -> (LmFilter.lmPerplexity _),
     "interval_merge" -> (Intervals.intervalMerge _),
     "concurrency_peak" -> (Intervals.concurrencyPeak _),
-    "event_transitions" -> (Sessions.eventTransitions _)
+    "event_transitions" -> (Sessions.eventTransitions _),
+    "scd2_lookup" -> (Dimensional.scd2Lookup _),
+    "snapshot_diff" -> (Dimensional.snapshotDiff _),
+    "ols_brand" -> (Analytics.olsBrand _),
+    "column_profile" -> (Olap.columnProfile _)
   )
 
   private val Dec = "decimal(28,6)"
@@ -2270,6 +2274,146 @@ object SparkEntry {
         |tot AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1)
         |SELECT c.from_type, c.to_type, cast(c.n AS bigint) AS n,
         |  cast(c.n * 1000000 // tot.tot AS bigint) AS p_ppm
-        |FROM c JOIN tot USING (from_type) ORDER BY 1, 2""".stripMargin
+        |FROM c JOIN tot USING (from_type) ORDER BY 1, 2""".stripMargin,
+    // PIT-lookup twin: the scd2_dim change chain, deduped to the
+    // winning version per (user, instant), native ASOF LEFT JOIN.
+    "scd2_lookup" ->
+      """WITH p AS (SELECT user_id, ts, event_id, value,
+        |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_value
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, event_id, value FROM p
+        |  WHERE prev_value IS NULL OR value <> prev_value),
+        |v AS (SELECT user_id, ts, value AS price,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS version
+        |  FROM c),
+        |v2 AS (SELECT user_id, ts, max(version) AS version,
+        |    arg_max(price, version) AS price
+        |  FROM v GROUP BY 1, 2),
+        |k AS (SELECT e.user_id, e.value, v2.version, v2.price
+        |  FROM (SELECT user_id, ts, event_id, value FROM events
+        |    WHERE event_type = 'click') e
+        |  ASOF LEFT JOIN v2 ON e.user_id = v2.user_id
+        |    AND e.ts >= v2.ts)
+        |SELECT user_id AS ticker_id,
+        |  cast(coalesce(version, 0) AS bigint) AS version,
+        |  count(*) AS n_clicks, max(price) AS price,
+        |  cast(sum(cast(value AS decimal(28,6))) AS double)
+        |    AS click_value
+        |FROM k GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Snapshot-diff twin: same derived A/B snapshots, null-safe
+    // per-column compares, one aggregate fanned to metric rows.
+    "snapshot_diff" ->
+      """WITH a AS (SELECT * FROM orders WHERE o_orderkey % 97 <> 0),
+        |b AS (SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 103 = 0 THEN 'X'
+        |      ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 100.0
+        |      ELSE o_totalprice END AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 89 <> 0),
+        |j AS (SELECT a.o_orderkey IS NOT NULL AS in_a,
+        |    b.o_orderkey IS NOT NULL AS in_b,
+        |    CASE WHEN a.o_custkey IS DISTINCT FROM b.o_custkey
+        |      THEN 1 ELSE 0 END
+        |    + CASE WHEN a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+        |      THEN 1 ELSE 0 END
+        |    + CASE WHEN a.o_totalprice IS DISTINCT FROM b.o_totalprice
+        |      THEN 1 ELSE 0 END
+        |    + CASE WHEN a.o_orderdate IS DISTINCT FROM b.o_orderdate
+        |      THEN 1 ELSE 0 END
+        |    + CASE WHEN a.o_orderpriority
+        |        IS DISTINCT FROM b.o_orderpriority
+        |      THEN 1 ELSE 0 END AS n_chg,
+        |    CASE WHEN a.o_totalprice IS DISTINCT FROM b.o_totalprice
+        |      THEN 1 ELSE 0 END AS chg_price,
+        |    CASE WHEN a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+        |      THEN 1 ELSE 0 END AS chg_status
+        |  FROM a FULL JOIN b ON a.o_orderkey = b.o_orderkey),
+        |s AS (SELECT
+        |    cast(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS bigint)
+        |      AS rows_a,
+        |    cast(sum(CASE WHEN in_b THEN 1 ELSE 0 END) AS bigint)
+        |      AS rows_b,
+        |    cast(sum(CASE WHEN NOT in_a AND in_b THEN 1 ELSE 0 END)
+        |      AS bigint) AS added,
+        |    cast(sum(CASE WHEN in_a AND NOT in_b THEN 1 ELSE 0 END)
+        |      AS bigint) AS removed,
+        |    cast(sum(CASE WHEN in_a AND in_b AND n_chg > 0
+        |      THEN 1 ELSE 0 END) AS bigint) AS changed,
+        |    cast(sum(CASE WHEN in_a AND in_b AND n_chg = 0
+        |      THEN 1 ELSE 0 END) AS bigint) AS unchanged,
+        |    cast(sum(CASE WHEN in_a AND in_b THEN chg_price
+        |      ELSE 0 END) AS bigint) AS chg_totalprice,
+        |    cast(sum(CASE WHEN in_a AND in_b THEN chg_status
+        |      ELSE 0 END) AS bigint) AS chg_orderstatus
+        |  FROM j)
+        |SELECT 'added' AS metric, added AS n FROM s
+        |UNION ALL SELECT 'changed', changed FROM s
+        |UNION ALL SELECT 'chg_orderstatus', chg_orderstatus FROM s
+        |UNION ALL SELECT 'chg_totalprice', chg_totalprice FROM s
+        |UNION ALL SELECT 'removed', removed FROM s
+        |UNION ALL SELECT 'rows_a', rows_a FROM s
+        |UNION ALL SELECT 'rows_b', rows_b FROM s
+        |UNION ALL SELECT 'unchanged', unchanged FROM s
+        |ORDER BY metric""".stripMargin,
+    // OLS twin: identical integer-quantized sums in hugeint (the
+    // int128 mirror of Spark's decimal(38,0)), same single terminal
+    // double divisions in the same order.
+    "ols_brand" ->
+      """WITH li AS (SELECT l_partkey,
+        |    cast(l_quantity AS bigint) AS x,
+        |    cast(cast(l_extendedprice AS decimal(18,6)) * 1000000
+        |      AS bigint) AS y
+        |  FROM lineitem),
+        |s AS (SELECT p.p_brand, count(*) AS n,
+        |    sum(cast(x AS hugeint)) AS sx,
+        |    sum(cast(y AS hugeint)) AS sy,
+        |    sum(cast(x AS hugeint) * y) AS sxy,
+        |    sum(cast(x AS hugeint) * x) AS sx2,
+        |    sum(cast(y AS hugeint) * y) AS sy2
+        |  FROM li JOIN part p ON li.l_partkey = p.p_partkey
+        |  GROUP BY 1)
+        |SELECT p_brand, n,
+        |  round(cast(n * sxy - sx * sy AS double)
+        |    / cast(n * sx2 - sx * sx AS double) / 1e6, 6) AS slope,
+        |  round(cast(sy * sx2 - sx * sxy AS double)
+        |    / cast(n * sx2 - sx * sx AS double) / 1e6, 6) AS intercept,
+        |  round((cast(n * sxy - sx * sy AS double)
+        |      / cast(n * sx2 - sx * sx AS double))
+        |    * (cast(n * sxy - sx * sy AS double)
+        |      / cast(n * sy2 - sy * sy AS double)), 6) AS r2
+        |FROM s ORDER BY p_brand""".stripMargin,
+    // Profile twin: same 3-cell explode, 9 dp-quantized entropy
+    // terms, (count DESC, value DESC) modal tie-break.
+    "column_profile" ->
+      """WITH cells AS (SELECT u.c['column'] AS "column",
+        |    coalesce(u.c['val'], '<null>') AS val
+        |  FROM (SELECT unnest([
+        |      {'column': 'o_orderstatus', 'val': o_orderstatus},
+        |      {'column': 'o_orderpriority', 'val': o_orderpriority},
+        |      {'column': 'order_month',
+        |       'val': strftime(o_orderdate, '%Y-%m')}]) AS c
+        |    FROM orders) u),
+        |vc AS (SELECT "column", val, count(*) AS c
+        |  FROM cells GROUP BY 1, 2),
+        |tot AS (SELECT "column", sum(c) AS n FROM vc GROUP BY 1),
+        |r AS (SELECT "column", val, c, row_number() OVER (
+        |    PARTITION BY "column" ORDER BY c DESC, val DESC) AS rk
+        |  FROM vc),
+        |ent AS (SELECT vc."column",
+        |    cast(first(tot.n) AS bigint) AS n,
+        |    count(*) AS n_distinct,
+        |    round(cast(sum(cast(round(
+        |      -(vc.c / cast(tot.n AS double))
+        |        * ln(vc.c / cast(tot.n AS double)), 9)
+        |      AS decimal(28,9))) AS double), 6) AS entropy
+        |  FROM vc JOIN tot USING ("column") GROUP BY 1)
+        |SELECT ent."column", ent.n, ent.n_distinct,
+        |  r.val AS top_value, cast(r.c AS bigint) AS top_n,
+        |  ent.entropy
+        |FROM ent JOIN r ON r."column" = ent."column" AND r.rk = 1
+        |ORDER BY ent."column"""".stripMargin
   )
 }

@@ -324,4 +324,55 @@ object Analytics {
       .reduce(_.unionByName(_))
       .orderBy("join_edge")
   }
+
+  /** #159 OLS price model per brand (closed-form simple regression):
+    * l_extendedprice ~ l_quantity fit per p_brand from the five
+    * classical sums — n, Σx, Σy, Σxy, Σx², Σy² — every one an EXACT
+    * decimal sum of integer-quantized terms (x = quantity, integral
+    * by data contract; y = price through the 6 dp unscaled-long
+    * kernel, micro-units). slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) and
+    * intercept = (ΣyΣx²−ΣxΣxy)/(nΣx²−(Σx)²) are evaluated as exact
+    * decimal numerators/denominators cast to double for the ONE
+    * terminal division (deterministic IEEE on identical operands —
+    * never a float accumulation), r² likewise from the same sums.
+    *
+    * Distributed shape: one lineitem scan, broadcast part dim, one
+    * brand-grain hash aggregate with map-side partials (sums are
+    * associative decimals) — |brands| output rows at any corpus
+    * size; the regression itself is O(1) arithmetic per group. */
+  def olsBrand(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey"),
+        col("l_quantity").cast("long").as("x"),
+        Num.unscaled6(col("l_extendedprice")).as("y"))
+    val p = Tables.load(spark, dir, "part").select("p_partkey", "p_brand")
+    val sums = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum((col("x") * col("y")).cast(dec)).as("sxy"),
+        sum((col("x") * col("x")).cast(dec)).as("sx2"),
+        // y² overflows a long (micro-units²): square in decimal
+        sum(col("y").cast(dec) * col("y").cast(dec)).as("sy2"))
+    sums.select(col("p_brand"), col("n"),
+        // numerators/denominator exact in decimal, ONE double divide
+        (col("n").cast(dec) * col("sxy") - col("sx") * col("sy"))
+          .as("num"),
+        (col("n").cast(dec) * col("sx2") - col("sx") * col("sx"))
+          .as("den"),
+        (col("sy") * col("sx2") - col("sx") * col("sxy")).as("inum"),
+        (col("n").cast(dec) * col("sy2") - col("sy") * col("sy"))
+          .as("sst"))
+      .select(col("p_brand"), col("n"),
+        round(col("num").cast("double") / col("den").cast("double")
+          / 1e6, 6).as("slope"),
+        round(col("inum").cast("double") / col("den").cast("double")
+          / 1e6, 6).as("intercept"),
+        round((col("num").cast("double") / col("den").cast("double"))
+          * (col("num").cast("double") / col("sst").cast("double")), 6)
+          .as("r2"))
+      .orderBy("p_brand")
+  }
 }

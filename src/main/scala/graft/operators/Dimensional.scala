@@ -389,4 +389,104 @@ object Dimensional {
         round(sum(col("credit")).cast("double"), 6).as("revenue"))
       .orderBy("channel")
   }
+
+  /** #157 Point-in-time SCD2 lookup — THE canonical use of the #87
+    * dimension: each click enriched with the price version valid at
+    * its instant, aggregated to click traffic per (ticker, version).
+    * Pure composition: the [[scd2Dim]] change rows ARE an as-of build
+    * side (version validity [from, to) ≡ "newest change at or before
+    * ts"), so the lookup rides [[AsOfJoin.asOf]]'s single merge sort
+    * instead of an inequality range join — at 100 TB the dimension
+    * is orders smaller than the fact stream and shares its shuffle.
+    * Clicks before a ticker's first version report version 0 / NULL
+    * price (the "early fact" audit bucket, never silently dropped). */
+  def scd2Lookup(spark: SparkSession, dir: String): DataFrame = {
+    val dim = scd2Dim(spark, dir)
+      .select(col("ticker_id").as("user_id"),
+        col("effective_from").as("ts"), col("version"), col("price"))
+    val clicks = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    // buildOrder: at an equal-instant version pile-up the HIGHEST
+    // version wins (zero-duration predecessors never match [from, to))
+    AsOfJoin.asOf(clicks, dim, "user_id", "ts", Seq("version", "price"),
+        buildOrder = Seq(col("version")))
+      .groupBy(col("user_id").as("ticker_id"),
+        coalesce(col("version"), lit(0L)).as("version"))
+      .agg(count(lit(1)).as("n_clicks"),
+        max(col("price")).as("price"),
+        Num.dsum(col("value")).as("click_value"))
+      .orderBy("ticker_id", "version")
+  }
+
+  // ---- #158 snapshot diff ----
+  /** Deterministic "yesterday/today" snapshot pair derived from the
+    * orders table: A drops keys ≡0 (mod 97); B drops keys ≡0 (mod
+    * 89), bumps o_totalprice by 100.0 for keys ≡0 (mod 101) and
+    * flips o_orderstatus to 'X' for keys ≡0 (mod 103). */
+  private def snapshots(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val o = Tables.load(spark, dir, "orders")
+    val a = o.filter(pmod(col("o_orderkey"), lit(97L)) =!= 0)
+    val b = o.filter(pmod(col("o_orderkey"), lit(89L)) =!= 0)
+      .withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(101L)) === 0,
+          col("o_totalprice") + 100.0).otherwise(col("o_totalprice")))
+      .withColumn("o_orderstatus",
+        when(pmod(col("o_orderkey"), lit(103L)) === 0, lit("X"))
+          .otherwise(col("o_orderstatus")))
+    (a, b)
+  }
+
+  /** #158 Snapshot diff / reconciliation report: key-joined compare
+    * of two table snapshots → added / removed / changed / unchanged
+    * counts plus per-column change counts — the load-validation
+    * report run after every warehouse refresh ("what did today's
+    * load actually do?"), the cross-snapshot twin of the in-table
+    * `dq_checks` (#60) and cross-table `ref_audit` (#144).
+    *
+    * One full-outer hash join on the primary key (both sides pruned
+    * to the compared columns at the scan), null-safe `<=>` per-column
+    * compares, ONE aggregate row that a 9-way stack explodes into
+    * (metric, n) rows — no second scan, no per-metric pass. Counts
+    * are integers; the report is engine-exact by construction. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val (a, b) = snapshots(spark, dir)
+    val cols = Seq("o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    // explicit presence markers — never infer absence from data
+    // columns (a legitimately all-NULL row must still count present)
+    val aT = a.select(col("o_orderkey") +: lit(1).as("a_present") +:
+      cols.map(c => col(c).as(s"a_$c")): _*)
+    val bT = b.select(col("o_orderkey") +: lit(1).as("b_present") +:
+      cols.map(c => col(c).as(s"b_$c")): _*)
+    val j = aT.join(bT, Seq("o_orderkey"), "full_outer")
+      .withColumn("in_a", col("a_present").isNotNull)
+      .withColumn("in_b", col("b_present").isNotNull)
+    val changedCols = cols.map(c =>
+      (!(col(s"a_$c") <=> col(s"b_$c"))).cast("long").as(s"chg_$c"))
+    val flagged = j.select(Seq(col("in_a"), col("in_b")) ++
+      changedCols: _*)
+    val agg = flagged.agg(
+      sum(col("in_a").cast("long")).as("rows_a"),
+      sum(col("in_b").cast("long")).as("rows_b"),
+      sum((!col("in_a") && col("in_b")).cast("long")).as("added"),
+      sum((col("in_a") && !col("in_b")).cast("long")).as("removed"),
+      sum(when(col("in_a") && col("in_b"),
+        (cols.map(c => col(s"chg_$c")).reduce(_ + _) > 0).cast("long"))
+        .otherwise(0L)).as("changed"),
+      sum(when(col("in_a") && col("in_b"),
+        (cols.map(c => col(s"chg_$c")).reduce(_ + _) === 0).cast("long"))
+        .otherwise(0L)).as("unchanged"),
+      sum(when(col("in_a") && col("in_b"), col("chg_o_totalprice"))
+        .otherwise(0L)).as("chg_totalprice"),
+      sum(when(col("in_a") && col("in_b"), col("chg_o_orderstatus"))
+        .otherwise(0L)).as("chg_orderstatus"))
+    val metrics = Seq("rows_a", "rows_b", "added", "removed", "changed",
+      "unchanged", "chg_totalprice", "chg_orderstatus")
+    agg.select(explode(array(metrics.map(m =>
+        struct(lit(m).as("metric"), col(m).as("n"))): _*)).as("e"))
+      .select(col("e.metric").as("metric"), col("e.n").as("n"))
+      .orderBy("metric")
+  }
 }

@@ -353,4 +353,48 @@ object Olap {
           .cast("double"), 6).as("psi"))
       .orderBy("feature")
   }
+
+  /** #160 Column-level data profile of the orders feed — per column:
+    * row count, distinct count, modal value + its count, and Shannon
+    * entropy of the value distribution (nats) — the "what does this
+    * feed look like" card a catalog shows next to a 100 TB table
+    * (dq_checks #60 validates rules; this DESCRIBES distributions,
+    * the input to choosing them).
+    *
+    * One fact scan, a 3-cell explode (the drift_psi shape), a
+    * (column, value) hash aggregate, then a column-grain aggregate
+    * with the value-grain totals broadcast back. Entropy terms
+    * −(c/n)·ln(c/n) are 9 dp-quantized before the exact decimal sum
+    * (the psi discipline); the modal value rides one max-of-struct
+    * (count, value) aggregate — ties break to the greater value,
+    * deterministically. Output is Σ|column domains| rows at any
+    * corpus size. */
+  def columnProfile(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.load(spark, dir, "orders")
+      .select(explode(array(
+        struct(lit("o_orderstatus").as("column"),
+          col("o_orderstatus").as("val")),
+        struct(lit("o_orderpriority").as("column"),
+          col("o_orderpriority").as("val")),
+        struct(lit("order_month").as("column"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("val")))).as("c"))
+      .select(col("c.column").as("column"),
+        coalesce(col("c.val"), lit("<null>")).as("val"))
+    // pinned (column, value) grain — feeds totals AND the profile agg
+    val vc = cells.groupBy("column", "val")
+      .agg(count(lit(1)).as("c")).localCheckpoint()
+    val totals = vc.groupBy("column").agg(sum(col("c")).as("n"))
+    vc.join(broadcast(totals), "column")
+      .withColumn("p", col("c").cast("double") / col("n").cast("double"))
+      .groupBy("column")
+      .agg(first(col("n")).as("n"),
+        count(lit(1)).as("n_distinct"),
+        max(struct(col("c"), col("val"))).as("top"),
+        round(sum(round(-col("p") * log(col("p")), 9)
+          .cast("decimal(28,9)")).cast("double"), 6).as("entropy"))
+      .select(col("column"), col("n"), col("n_distinct"),
+        col("top.val").as("top_value"), col("top.c").as("top_n"),
+        col("entropy"))
+      .orderBy("column")
+  }
 }
