@@ -85,7 +85,23 @@ object ScaleBench {
     // duplication-invariant. attribution_linear stays OUT: its
     // credited-pair set is touches×convs per (user, day) — hardlink
     // duplication squares it (the cluster_split artifact)
-    "funnel_times")
+    "funnel_times",
+    // round 14: token/bigram explodes + hash aggs (model tables are
+    // vocab-bounded, so lm scoring stays row-linear); the interval /
+    // sweep / transition trio is (key, day)-blocked windows over the
+    // events scan; scd2_lookup rides the scd2_dim + as-of chains;
+    // ols_brand and column_profile are scan + bounded-grain aggs.
+    // snapshot_diff stays OUT: hardlink duplication duplicates
+    // o_orderkey, so its full-outer key join squares within key
+    // groups (the cluster_split artifact, not the operator)
+    "gopher_rules", "lm_perplexity", "interval_merge",
+    "concurrency_peak", "event_transitions", "scd2_lookup",
+    "ols_brand", "column_profile",
+    // round 14 batch 4: bounded (user, day) journey collapse + the
+    // day-grain growth curve. canonical_docs stays OUT with
+    // dedup_components (duplicated doc_ids square the trigram pair
+    // set — the cluster_split artifact)
+    "session_paths", "user_growth")
 
   /** Join shapes where only the FACT side (lineitem) multiplies —
     * each order keeps its (now mult×) lines and every dim stays
@@ -129,7 +145,12 @@ object ScaleBench {
       "quality_filter",
       // round 13: the union-merge running-last window partitions by
       // user — the sessionize-family shape, measured honestly
-      "attribution")
+      "attribution",
+      // round 14: the two-level prefix-max (interval_merge) and the
+      // (user, day)-bounded transition lags — both built for exactly
+      // this corpus; scd2_lookup adds the as-of union-merge on top
+      // of scd2_dim's two-level chain
+      "interval_merge", "event_transitions", "scd2_lookup")
 
   /** Fabricate the skewed twin of the staged corpus: 90% of event
     * rows re-keyed to ONE user and 90% of documents re-labeled to

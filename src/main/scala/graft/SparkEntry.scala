@@ -161,7 +161,10 @@ object SparkEntry {
     "scd2_lookup" -> (Dimensional.scd2Lookup _),
     "snapshot_diff" -> (Dimensional.snapshotDiff _),
     "ols_brand" -> (Analytics.olsBrand _),
-    "column_profile" -> (Olap.columnProfile _)
+    "column_profile" -> (Olap.columnProfile _),
+    "session_paths" -> (Sessions.sessionPaths _),
+    "user_growth" -> (Dimensional.userGrowth _),
+    "canonical_docs" -> (Components.canonicalDocs _)
   )
 
   private val Dec = "decimal(28,6)"
@@ -2414,6 +2417,50 @@ object SparkEntry {
         |  r.val AS top_value, cast(r.c AS bigint) AS top_n,
         |  ent.entropy
         |FROM ent JOIN r ON r."column" = ent."column" AND r.rk = 1
-        |ORDER BY ent."column"""".stripMargin
+        |ORDER BY ent."column"""".stripMargin,
+    // Path-mining twin: same (user, day) journeys, ordered list
+    // aggregation capped at 8, same deterministic top-20 order.
+    "session_paths" ->
+      """WITH j AS (SELECT user_id,
+        |    epoch_us(ts) // 86400000000 AS blk,
+        |    array_to_string(list_slice(
+        |      list(event_type ORDER BY ts, event_id), 1, 8), '>')
+        |      AS path
+        |  FROM events GROUP BY user_id, blk),
+        |c AS (SELECT path, count(*) AS n FROM j GROUP BY 1),
+        |r AS (SELECT path, n,
+        |    row_number() OVER (ORDER BY n DESC, path ASC) AS rnk
+        |  FROM c)
+        |SELECT cast(rnk AS bigint) AS rnk, path, n
+        |FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+    // Growth twin: first-seen identity for cumulative distinct.
+    "user_growth" ->
+      """WITH e AS (SELECT user_id, cast(ts AS date) AS day
+        |  FROM events),
+        |f AS (SELECT day, count(*) AS n_new FROM (
+        |    SELECT user_id, min(day) AS day FROM e GROUP BY 1)
+        |  GROUP BY 1),
+        |a AS (SELECT day, count(*) AS n_active FROM (
+        |    SELECT DISTINCT user_id, day FROM e) GROUP BY 1)
+        |SELECT a.day, a.n_active,
+        |  cast(coalesce(f.n_new, 0) AS bigint) AS n_new,
+        |  cast(sum(coalesce(f.n_new, 0)) OVER (ORDER BY a.day
+        |    ROWS UNBOUNDED PRECEDING) AS bigint) AS cum_users
+        |FROM a LEFT JOIN f USING (day) ORDER BY a.day""".stripMargin,
+    // Canonical-selection twin on the shared components fixed point:
+    // longest member wins, ties to the smallest doc_id.
+    "canonical_docs" -> (NearDupComponentsCte +
+      """,
+        |w AS (SELECT c.comp, d.doc_id, d.n_chars, row_number() OVER (
+        |    PARTITION BY c.comp
+        |    ORDER BY d.n_chars DESC, d.doc_id ASC) AS rk
+        |  FROM c JOIN documents d ON d.doc_id = c.id),
+        |g AS (SELECT comp, count(*) AS n_members,
+        |    sum(n_chars) AS total_chars FROM w GROUP BY 1)
+        |SELECT g.comp, g.n_members, w.doc_id AS kept_id,
+        |  w.n_chars AS kept_chars,
+        |  cast(g.total_chars - w.n_chars AS bigint) AS dropped_chars
+        |FROM g JOIN w ON w.comp = g.comp AND w.rk = 1
+        |ORDER BY g.comp""".stripMargin)
   )
 }

@@ -346,7 +346,12 @@ object Analytics {
       .select(col("l_partkey"),
         col("l_quantity").cast("long").as("x"),
         Num.unscaled6(col("l_extendedprice")).as("y"))
-    val p = Tables.load(spark, dir, "part").select("p_partkey", "p_brand")
+    // distinct collapse on the dim BEFORE the join (the co_occurrence
+    // lesson): a duplicated dim (replayed load, or the multiplied
+    // bench corpus) would otherwise fan every fact row out per copy —
+    // on a unique dim the collapse is a broadcast-sized no-op
+    val p = Tables.load(spark, dir, "part")
+      .select("p_partkey", "p_brand").distinct()
     val sums = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
       .agg(count(lit(1)).as("n"),

@@ -209,4 +209,34 @@ object Components {
         col("rank_u"))
       .orderBy("rnk")
   }
+
+  /** #163 Canonical-document selection per near-dup cluster: within
+    * each #75 component keep the LONGEST member (most-complete copy),
+    * ties to the smallest doc_id — the production dedup rule ("keep
+    * the best duplicate", not "keep the first seen"), reported with
+    * the cluster's member count and the chars dropped by collapsing
+    * to the canonical copy.
+    *
+    * Pure composition over the verified components fixed point; the
+    * winner is ONE max-of-struct ((n_chars, −doc_id)) aggregate at
+    * component grain — never a window over members, so a 10⁶-copy
+    * boilerplate cluster partial-aggregates map-side. */
+  def canonicalDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val edges = Dedup.ngramJaccardPairs(docs)
+      .filter(col("jac") >= EdgeThreshold)
+      .select("a", "b")
+    val comp = connectedComponents(
+      docs.select(col("doc_id").as("id")), edges)
+    comp.join(docs, col("id") === col("doc_id"))
+      .groupBy("comp")
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("n_chars")).as("total_chars"),
+        max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("m"))
+      .select(col("comp"), col("n_members"),
+        (-col("m.neg_id")).as("kept_id"),
+        col("m.n_chars").as("kept_chars"),
+        (col("total_chars") - col("m.n_chars")).as("dropped_chars"))
+      .orderBy("comp")
+  }
 }

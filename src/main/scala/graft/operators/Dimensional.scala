@@ -489,4 +489,31 @@ object Dimensional {
       .select(col("e.metric").as("metric"), col("e.n").as("n"))
       .orderBy("metric")
   }
+
+  /** #162 User-growth curve: per day — distinct active users, NEW
+    * users (first-ever event that day), and the cumulative distinct
+    * user count (= running sum of news, the identity that makes
+    * "cumulative distinct" cheap: each user contributes exactly once,
+    * on their first day).
+    *
+    * Two key-grain aggregates (user-grain min-ts for first-seen;
+    * (day, user)-grain distinct collapse for actives — both
+    * partial-aggregate map-side, the skew-immune shapes) + one
+    * ≤|days|-row running-sum window. |days| output rows at any
+    * corpus size. */
+  def userGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val firstSeen = ev.groupBy("user_id").agg(min(col("day")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_new"))
+    val actives = ev.distinct()
+      .groupBy("day").agg(count(lit(1)).as("n_active"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    actives.join(firstSeen, Seq("day"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("cum_users", sum(col("n_new")).over(w))
+      .select("day", "n_active", "n_new", "cum_users")
+      .orderBy("day")
+  }
 }

@@ -167,4 +167,33 @@ object Sessions {
       .select("from_type", "to_type", "n", "p_ppm")
       .orderBy("from_type", "to_type")
   }
+
+  /** #161 Top session paths (sequence mining, the full-journey twin
+    * of #156's pair matrix): each (user, day)'s first 8 event types
+    * in (ts, event_id) order joined into a path string, counted
+    * corpus-wide, top-20 with a deterministic (count desc, path asc)
+    * order.
+    *
+    * The per-journey sequence is ONE collect_list + array_sort at
+    * (user, day) grain — bounded at 1440 events by the data contract
+    * (never a whole-history window), then a path-grain hash aggregate
+    * and a TakeOrdered top-k. Day-blocking is semantic, as in #156:
+    * a journey is a day's activity. */
+  def sessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    val paths = Tables.load(spark, dir, "events")
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("blk", floor(col("us") / (86400L * 1000000L)))
+      .groupBy("user_id", "blk")
+      .agg(collect_list(
+        struct(col("us"), col("event_id"), col("event_type"))).as("evs"))
+      .select(concat_ws(">", transform(
+        slice(array_sort(col("evs")), 1, 8),
+        e => e.getField("event_type"))).as("path"))
+    val w = Window.orderBy(col("n").desc, col("path").asc)
+    paths.groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc).limit(20)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select("rnk", "path", "n")
+      .orderBy("rnk")
+  }
 }
