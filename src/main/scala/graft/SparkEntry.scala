@@ -2376,7 +2376,8 @@ object SparkEntry {
         |    sum(cast(x AS hugeint) * y) AS sxy,
         |    sum(cast(x AS hugeint) * x) AS sx2,
         |    sum(cast(y AS hugeint) * y) AS sy2
-        |  FROM li JOIN part p ON li.l_partkey = p.p_partkey
+        |  FROM li JOIN (SELECT DISTINCT p_partkey, p_brand
+        |    FROM part) p ON li.l_partkey = p.p_partkey
         |  GROUP BY 1)
         |SELECT p_brand, n,
         |  round(cast(n * sxy - sx * sy AS double)

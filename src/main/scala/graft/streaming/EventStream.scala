@@ -456,4 +456,76 @@ object EventStream {
           }
       }
   }
+
+  case class Transition(user_id: Long, blk: Long, from_type: String,
+      to_type: String)
+  case class LastEv(blk: Long, us: Long, event_id: Long,
+      event_type: String)
+
+  /** #164 Streaming transition feed — the live twin of batch
+    * `Sessions.eventTransitions` (#156): one LastEv row of state per
+    * user (the previous event within the user's current day block);
+    * each arriving event emits its (from, to) pair when it extends
+    * the same day and always becomes the new tail. Day rollover
+    * resets the chain (the batch operator's within-day contract), so
+    * state never grows with history and an in-order replay emits
+    * exactly the batch pair multiset (spec-asserted). Same drop-late
+    * contract as [[attributedPurchases]]: per-user monotone ingest;
+    * an event older than the held tail is ignored rather than
+    * rewriting emitted pairs. */
+  def transitionFeed(spark: SparkSession, events: DataFrame)
+      : Dataset[Transition] = {
+    import spark.implicits._
+    val dayUs = 86400L * 1000000L
+    events.as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[LastEv]) =>
+          val out = scala.collection.mutable.ListBuffer[Transition]()
+          rows.toSeq.sortBy(e => (microTime(e.ts), e.event_id))
+            .foreach { e =>
+              val us = microTime(e.ts)
+              val blk = Math.floorDiv(us, dayUs)
+              state.getOption match {
+                case Some(t) if us > t.us ||
+                    (us == t.us && e.event_id > t.event_id) =>
+                  if (t.blk == blk)
+                    out += Transition(uid, blk, t.event_type, e.event_type)
+                  state.update(LastEv(blk, us, e.event_id, e.event_type))
+                case None =>
+                  state.update(LastEv(blk, us, e.event_id, e.event_type))
+                case _ => () // late arrival: drop, never rewrite
+              }
+            }
+          out.iterator
+      }
+  }
+
+  case class NewUser(user_id: Long, first_ts: Timestamp)
+
+  /** #165 Streaming first-seen feed — the live twin of batch
+    * `Dimensional.userGrowth`'s (#162) first-seen identity: each user
+    * emits exactly ONE row, on their first-ever event; downstream a
+    * day-grain count of this feed IS the new-user curve and its
+    * running sum the cumulative-distinct count — streaming
+    * "count distinct users ever" with O(1) state per user instead of
+    * a distinct over all history. Replay emits the batch first-seen
+    * set exactly (spec-asserted). */
+  def firstSeenFeed(spark: SparkSession, events: DataFrame)
+      : Dataset[NewUser] = {
+    import spark.implicits._
+    events.as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            val first = rows.minBy(e => (microTime(e.ts), e.event_id))
+            Iterator.single(NewUser(uid, first.ts))
+          }
+      }
+  }
 }

@@ -485,4 +485,59 @@ class EventStreamSpec extends SparkTestBase {
     assert(batch.exists(_._1 != "unattributed"),
       "no attributed purchases in the corpus — test is vacuous")
   }
+
+  test("streaming transition feed replays to the batch matrix") {
+    val dir = Files.createTempDirectory("graft_trans").toString
+    val ev = Tables.load(spark, SfDir, "events").orderBy("ts", "event_id")
+    val cut = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    ev.filter(col("ts") < cut).coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val feed = EventStream.transitionFeed(spark,
+      EventStream.readEvents(spark, dir))
+    val q = feed.toDF().writeStream.format("memory").queryName("trans")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      ev.filter(col("ts") >= cut).coalesce(1)
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("trans")
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = graft.operators.Sessions.eventTransitions(spark, SfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === batch)
+    assert(batch.values.sum > 0L)
+  }
+
+  test("streaming first-seen feed emits each user once, equal to batch") {
+    val dir = Files.createTempDirectory("graft_growth").toString
+    val ev = Tables.load(spark, SfDir, "events").orderBy("ts", "event_id")
+    val cut = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    ev.filter(col("ts") < cut).coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val feed = EventStream.firstSeenFeed(spark,
+      EventStream.readEvents(spark, dir))
+    val q = feed.toDF().writeStream.format("memory").queryName("fseen")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      ev.filter(col("ts") >= cut).coalesce(1)
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("fseen").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    val batch = Tables.load(spark, SfDir, "events")
+      .groupBy("user_id")
+      .agg(min(struct(col("ts"), col("event_id"))).as("m"))
+      .select(col("user_id"), col("m.ts").as("ts")).collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    assert(got === batch)
+    // one emission per user even though every user spans both batches
+    assert(spark.table("fseen").count() === batch.size.toLong)
+  }
 }
