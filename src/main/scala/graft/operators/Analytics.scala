@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -342,25 +342,41 @@ object Analytics {
     * size; the regression itself is O(1) arithmetic per group. */
   def olsBrand(spark: SparkSession, dir: String): DataFrame = {
     val dec = "decimal(38,0)"
+    // one-decimal-sum-per-row was 8× the DuckDB twin at ×100 (Spark's
+    // Sum over >18-digit decimals leaves the long fast path); every
+    // per-row term here FITS a long, so all seven sums ride the
+    // codegen 128-bit kernel. y² alone would overflow (micro-units²,
+    // ~10²² for a 10⁵ price), so it is split against base 10⁶ —
+    // y = a·10⁶ + b ⇒ Σy² = Σa²·10¹² + Σ2ab·10⁶ + Σb², three
+    // long-summable components recombined in decimal at GROUP grain
+    // (|brands| rows — free). Identical exact integers either way.
     val li = Tables.load(spark, dir, "lineitem")
       .select(col("l_partkey"),
         col("l_quantity").cast("long").as("x"),
         Num.unscaled6(col("l_extendedprice")).as("y"))
+      .withColumn("a", expr("y div 1000000")) // integral long division
+      .withColumn("b", col("y") % lit(1000000L))
     // distinct collapse on the dim BEFORE the join (the co_occurrence
     // lesson): a duplicated dim (replayed load, or the multiplied
     // bench corpus) would otherwise fan every fact row out per copy —
     // on a unique dim the collapse is a broadcast-sized no-op
     val p = Tables.load(spark, dir, "part")
       .select("p_partkey", "p_brand").distinct()
+    // Σ(long)/10⁶ as exact decimal(38,6) — rescale to the raw
+    // integer sum at group grain
+    def s128(c: Column): Column =
+      (Num.dsum128Raw(c) * lit(1000000L)).cast(dec)
     val sums = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
       .agg(count(lit(1)).as("n"),
-        sum(col("x").cast(dec)).as("sx"),
-        sum(col("y").cast(dec)).as("sy"),
-        sum((col("x") * col("y")).cast(dec)).as("sxy"),
-        sum((col("x") * col("x")).cast(dec)).as("sx2"),
-        // y² overflows a long (micro-units²): square in decimal
-        sum(col("y").cast(dec) * col("y").cast(dec)).as("sy2"))
+        s128(col("x")).as("sx"),
+        s128(col("y")).as("sy"),
+        s128(col("x") * col("y")).as("sxy"),
+        s128(col("x") * col("x")).as("sx2"),
+        ((s128(col("a") * col("a")) * lit(1000000L) * lit(1000000L))
+          .cast(dec)
+          + (s128(col("a") * col("b") * 2) * lit(1000000L)).cast(dec)
+          + s128(col("b") * col("b"))).cast(dec).as("sy2"))
     sums.select(col("p_brand"), col("n"),
         // numerators/denominator exact in decimal, ONE double divide
         (col("n").cast(dec) * col("sxy") - col("sx") * col("sy"))

@@ -57,6 +57,18 @@ object Num {
     * intermediate sums of unscaled6 values (e.g. per-order partials
     * summed by the built-in long sum) can be re-summed with this at
     * any scale — the accumulator is 128-bit. */
+  /** Raw 128-bit exact sum of a LONG column as decimal(38,6) — the
+    * unscaled value of the result IS the exact integer Σc (the kernel
+    * interprets inputs as micro-units). Callers needing the plain
+    * integer sum rescale with `* 1000000` at group grain (exact). */
+  def dsum128Raw(c: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(
+      graft.functions.expressions.DecimalSum128(
+        GraftSqlBridge.expression(c))
+        .toAggregateExpression())
+  }
+
   def dsumUnscaled(c: Column): Column = {
     import org.apache.spark.sql.GraftSqlBridge
     GraftSqlBridge.column(
