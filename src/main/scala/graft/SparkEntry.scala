@@ -164,7 +164,10 @@ object SparkEntry {
     "column_profile" -> (Olap.columnProfile _),
     "session_paths" -> (Sessions.sessionPaths _),
     "user_growth" -> (Dimensional.userGrowth _),
-    "canonical_docs" -> (Components.canonicalDocs _)
+    "canonical_docs" -> (Components.canonicalDocs _),
+    "triangle_count" -> (Components.triangleCount _),
+    "abc_analysis" -> (Analytics.abcAnalysis _),
+    "ship_lag" -> (Analytics.shipLag _)
   )
 
   private val Dec = "decimal(28,6)"
@@ -2462,6 +2465,81 @@ object SparkEntry {
         |  w.n_chars AS kept_chars,
         |  cast(g.total_chars - w.n_chars AS bigint) AS dropped_chars
         |FROM g JOIN w ON w.comp = g.comp AND w.rk = 1
-        |ORDER BY g.comp""".stripMargin)
+        |ORDER BY g.comp""".stripMargin),
+    // Triangle twin: same degree-ordered orientation; pairs/o
+    // MATERIALIZED (the pagerank CTE-inlining lesson).
+    "triangle_count" ->
+      """WITH lines AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS MATERIALIZED (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lines x JOIN lines y ON x.l_orderkey = y.l_orderkey
+        |    AND x.l_partkey < y.l_partkey),
+        |deg AS MATERIALIZED (SELECT v, count(*) AS deg FROM (
+        |    SELECT a AS v FROM pairs
+        |    UNION ALL SELECT b FROM pairs) GROUP BY 1),
+        |o AS MATERIALIZED (SELECT
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+        |      THEN a ELSE b END AS src,
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+        |      THEN b ELSE a END AS dst,
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+        |      THEN db.deg ELSE da.deg END AS ddeg
+        |  FROM pairs JOIN deg da ON da.v = a JOIN deg db ON db.v = b),
+        |w AS (SELECT o1.src, o1.dst AS b, o2.dst AS c
+        |  FROM o o1 JOIN o o2 ON o1.src = o2.src
+        |  WHERE o1.ddeg < o2.ddeg
+        |    OR (o1.ddeg = o2.ddeg AND o1.dst < o2.dst)),
+        |t AS MATERIALIZED (SELECT w.src AS pa, w.b AS pb, w.c AS pc
+        |  FROM w WHERE EXISTS (
+        |    SELECT 1 FROM o WHERE o.src = w.b AND o.dst = w.c)),
+        |tot AS (SELECT count(*) AS total FROM t),
+        |pp AS (SELECT part_id, count(*) AS n_tri FROM (
+        |    SELECT pa AS part_id FROM t
+        |    UNION ALL SELECT pb FROM t
+        |    UNION ALL SELECT pc FROM t) GROUP BY 1),
+        |r AS (SELECT part_id, n_tri, row_number() OVER (
+        |    ORDER BY n_tri DESC, part_id ASC) AS rnk FROM pp)
+        |SELECT cast(rnk AS bigint) AS rnk, part_id, n_tri,
+        |  cast(tot.total AS bigint) AS total_tri
+        |FROM r CROSS JOIN tot WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
+    // ABC twin: identical integer micro revenue, SINGLE-window
+    // cumulative sum (verifying the Spark side's two-level bands),
+    // hugeint cross-multiplied class thresholds.
+    "abc_analysis" ->
+      """WITH rev AS (SELECT l_partkey,
+        |    cast(sum(cast(l_extendedprice * (1 - l_discount)
+        |      AS decimal(28,6)) * 1000000) AS bigint) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT cast(sum(rev) AS hugeint) AS total FROM rev),
+        |c AS (SELECT l_partkey, rev,
+        |    cast(sum(rev) OVER (ORDER BY rev DESC, l_partkey ASC
+        |      ROWS UNBOUNDED PRECEDING) AS hugeint) AS cum
+        |  FROM rev),
+        |k AS (SELECT l_partkey, rev,
+        |    CASE WHEN cum * 5 <= tot.total * 4 THEN 'A'
+        |         WHEN cum * 20 <= tot.total * 19 THEN 'B'
+        |         ELSE 'C' END AS abc_class
+        |  FROM c CROSS JOIN tot)
+        |SELECT abc_class, count(*) AS n_parts,
+        |  round(cast(sum(rev) AS double) / 1e6, 6) AS revenue,
+        |  round(cast(sum(rev) AS double)
+        |    / cast(first(tot.total) AS double), 6) AS share
+        |FROM k CROSS JOIN tot GROUP BY 1 ORDER BY 1""".stripMargin,
+    // SLA twin: integer day lags, exact interpolated percentiles.
+    "ship_lag" ->
+      """WITH j AS (SELECT o.o_orderpriority,
+        |    date_diff('day', cast(o.o_orderdate AS date),
+        |      cast(l.l_shipdate AS date)) AS lag_days
+        |  FROM lineitem l JOIN orders o
+        |    ON l.l_orderkey = o.o_orderkey)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  cast(min(lag_days) AS bigint) AS min_days,
+        |  cast(max(lag_days) AS bigint) AS max_days,
+        |  round(quantile_cont(lag_days, 0.5), 6) AS p50_days,
+        |  round(quantile_cont(lag_days, 0.9), 6) AS p90_days,
+        |  round(cast(sum(lag_days) AS double) / count(*), 6)
+        |    AS avg_days
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -396,4 +396,87 @@ object Analytics {
           .as("r2"))
       .orderBy("p_brand")
   }
+
+  /** Revenue band width for [[abcAnalysis]]'s two-level cumulative
+    * sum (10⁴ dollars in micro-units): bands are monotone in revenue,
+    * so (band desc, revenue desc, key asc) ≡ the global order. */
+  val AbcBandUs = 10000000000L
+
+  /** #167 ABC / Pareto analysis of part revenue: parts ranked by
+    * revenue, classed A (cumulative share ≤ 80%), B (≤ 95%), C —
+    * the inventory-concentration report ("which 20% of the catalog
+    * is 80% of revenue").
+    *
+    * Per-part revenue is one key-grain 128-bit-long aggregate; the
+    * cumulative sum over the revenue-ranked catalog is TWO-LEVEL
+    * (the #126/#155 decomposition over monotone revenue bands —
+    * block-local running sums + band-total offsets), so no task ever
+    * sorts the whole catalog; class thresholds are exact decimal
+    * cross-multiplications (5·cum ≤ 4·total etc. — never a float
+    * share compare). The single-window form is the oracle. */
+  def abcAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val rev = Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey"),
+        Num.unscaled6(col("l_extendedprice") * (lit(1d) - col("l_discount")))
+          .as("rev_u"))
+      .groupBy("l_partkey")
+      .agg((Num.dsum128Raw(col("rev_u")) * lit(1000000L)).cast("long")
+        .as("rev"))
+      .withColumn("band", expr(s"rev div $AbcBandUs"))
+    val wLoc = Window.partitionBy("band")
+      .orderBy(col("rev").desc, col("l_partkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBand = Window.orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = rev.groupBy("band").agg(sum(col("rev")).as("btot"))
+      .withColumn("off", coalesce(sum(col("btot")).over(wBand), lit(0L)))
+      .select("band", "off")
+    val total = rev.agg(sum(col("rev"))).head().getLong(0)
+    rev.withColumn("lcum", sum(col("rev")).over(wLoc))
+      .join(broadcast(offsets), "band")
+      .withColumn("cum", col("lcum") + col("off"))
+      .withColumn("abc_class",
+        when(col("cum").cast(dec) * 5 <= lit(total).cast(dec) * 4, "A")
+          .when(col("cum").cast(dec) * 20 <= lit(total).cast(dec) * 19,
+            "B")
+          .otherwise("C"))
+      .groupBy("abc_class")
+      .agg(count(lit(1)).as("n_parts"),
+        round(sum(col("rev")).cast("double") / 1e6, 6).as("revenue"),
+        round(sum(col("rev")).cast("double") / total.toDouble, 6)
+          .as("share"))
+      .orderBy("abc_class")
+  }
+
+  /** #168 Shipping-lag SLA report: order-date → ship-date lag in
+    * whole days per order priority — n, min/max, exact interpolated
+    * p50/p90 (the #39 percentile contract), and the exact-integer
+    * mean. One fact⋈fact equi-join on the order key (broadcast at
+    * small SF, sort-merge at scale), |priorities| output rows. The
+    * exact per-group percentile buffers a group's lags on one task —
+    * the documented #39 trade (GK #79 is the hot-group escape). */
+  def shipLag(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("lag_days",
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        min(col("lag_days")).as("min_days"),
+        max(col("lag_days")).as("max_days"),
+        expr("percentile(lag_days, array(0.5D, 0.9D))").as("ps"),
+        // exact integer sum, one terminal double division
+        round(sum(col("lag_days")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("avg_days"))
+      .select(col("o_orderpriority"), col("n"), col("min_days"),
+        col("max_days"),
+        round(element_at(col("ps"), 1), 6).as("p50_days"),
+        round(element_at(col("ps"), 2), 6).as("p90_days"),
+        col("avg_days"))
+      .orderBy("o_orderpriority")
+  }
 }

@@ -210,6 +210,71 @@ object Components {
       .orderBy("rnk")
   }
 
+  /** #166 Triangle counting over the co-purchase part graph — the
+    * clustering-structure metric beside #75's components and #146's
+    * PageRank ("do these products form cliques or chains?").
+    *
+    * Degree-ordered orientation (the standard O(m^1.5) mitigation):
+    * every undirected edge points from its (deg, id)-smaller endpoint
+    * to the larger, so wedges are enumerated only from each
+    * triangle's SMALLEST vertex (out-degrees are bounded by graph
+    * arboricity — a hub's |neighbors|² pair blow-up never happens)
+    * and each triangle is counted exactly once by closing the
+    * (b, c) oriented edge. Pure integer joins; per-part triangle
+    * participation from a 3-role explode, top-10 deterministic. */
+  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+    // same pinned basket collapse as pageRank
+    val lines = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .localCheckpoint()
+    val pairs = lines.select(col("l_orderkey"), col("l_partkey").as("a"))
+      .join(lines.select(col("l_orderkey"), col("l_partkey").as("b")),
+        "l_orderkey")
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct().localCheckpoint()
+    val deg = pairs.select(col("a").as("v"))
+      .unionByName(pairs.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    // orient low (deg, id) -> high (deg, id)
+    val withDeg = pairs
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+    val oriented = withDeg.select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("src"), col("b").as("dst"),
+            col("db").as("ddeg")))
+          .otherwise(struct(col("b").as("src"), col("a").as("dst"),
+            col("da").as("ddeg"))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.ddeg").as("ddeg"))
+      .localCheckpoint()
+    // wedges from each smallest vertex, (deg, id)-ordered endpoints
+    val o1 = oriented.select(col("src"), col("dst").as("b"),
+      col("ddeg").as("degb"))
+    val o2 = oriented.select(col("src"), col("dst").as("c"),
+      col("ddeg").as("degc"))
+    val wedges = o1.join(o2, "src")
+      .filter(col("degb") < col("degc") ||
+        (col("degb") === col("degc") && col("b") < col("c")))
+    val tris = wedges.join(
+        oriented.select(col("src").as("b"), col("dst").as("c")),
+        Seq("b", "c"), "left_semi")
+      .select(col("src").as("pa"), col("b").as("pb"), col("c").as("pc"))
+      .localCheckpoint()
+    val total = tris.count()
+    val perPart = tris.select(explode(array(
+        col("pa"), col("pb"), col("pc"))).as("part_id"))
+      .groupBy("part_id").agg(count(lit(1)).as("n_tri"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_tri").desc, col("part_id").asc)
+    perPart.orderBy(col("n_tri").desc, col("part_id").asc).limit(10)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("total_tri", lit(total))
+      .select("rnk", "part_id", "n_tri", "total_tri")
+      .orderBy("rnk")
+  }
+
   /** #163 Canonical-document selection per near-dup cluster: within
     * each #75 component keep the LONGEST member (most-complete copy),
     * ties to the smallest doc_id — the production dedup rule ("keep
