@@ -101,7 +101,14 @@ object ScaleBench {
     // day-grain growth curve. canonical_docs stays OUT with
     // dedup_components (duplicated doc_ids square the trigram pair
     // set — the cluster_split artifact)
-    "session_paths", "user_growth")
+    "session_paths", "user_growth",
+    // round 14 batch 6: PMI shares the lm bigram shape; growth
+    // accounting is the pinned distinct collapse + bounded windows;
+    // chi_square is scan + broadcast dim + fixed cells; frame_sample
+    // is the video decode scan fanned x5 (multimodal throughput
+    // class, outside the engine-twin subset like the other decodes)
+    "pmi_collocations", "growth_accounting", "chi_square",
+    "frame_sample")
 
   /** Join shapes where only the FACT side (lineitem) multiplies —
     * each order keeps its (now mult×) lines and every dim stays
@@ -148,9 +155,10 @@ object ScaleBench {
       "attribution",
       // round 14: the two-level prefix-max (interval_merge) and the
       // (user, day)-bounded transition lags — both built for exactly
-      // this corpus; scd2_lookup adds the as-of union-merge on top
-      // of scd2_dim's two-level chain
-      "interval_merge", "event_transitions", "scd2_lookup")
+      // this corpus; the as-of family (asOfImpl's two-level running
+      // last, rewritten after scd2_lookup measured 2.3× skewed)
+      "interval_merge", "event_transitions", "scd2_lookup",
+      "asof_join", "asof_tolerance")
 
   /** Fabricate the skewed twin of the staged corpus: 90% of event
     * rows re-keyed to ONE user and 90% of documents re-labeled to

@@ -167,7 +167,11 @@ object SparkEntry {
     "canonical_docs" -> (Components.canonicalDocs _),
     "triangle_count" -> (Components.triangleCount _),
     "abc_analysis" -> (Analytics.abcAnalysis _),
-    "ship_lag" -> (Analytics.shipLag _)
+    "ship_lag" -> (Analytics.shipLag _),
+    "pmi_collocations" -> (LmFilter.pmiCollocations _),
+    "growth_accounting" -> (Dimensional.growthAccounting _),
+    "chi_square" -> (Analytics.chiSquare _),
+    "frame_sample" -> (Multimodal.frameSample _)
   )
 
   private val Dec = "decimal(28,6)"
@@ -2540,6 +2544,104 @@ object SparkEntry {
         |  round(quantile_cont(lag_days, 0.9), 6) AS p90_days,
         |  round(cast(sum(lag_days) AS double) / count(*), 6)
         |    AS avg_days
-        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // PMI twin: same bigram counts, exact long ratio operands, one
+    // ln on the deterministic double ratio.
+    "pmi_collocations" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |bb AS (SELECT doc_id,
+        |    unnest([{'w1': toks[i+1], 'w2': toks[i+2]}
+        |      for i in range(len(toks) - 1)]) AS b
+        |  FROM t),
+        |bi AS (SELECT b.w1 AS w1, b.w2 AS w2 FROM bb),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+        |n AS (SELECT cast(sum(c2) AS bigint) AS n FROM c2),
+        |x1 AS (SELECT w1, cast(sum(c2) AS bigint) AS c1
+        |  FROM c2 GROUP BY 1),
+        |x2 AS (SELECT w2, cast(sum(c2) AS bigint) AS cr
+        |  FROM c2 GROUP BY 1),
+        |sc AS (SELECT c2.w1, c2.w2, c2.c2,
+        |    round(ln(cast(c2.c2 * n.n AS double)
+        |      / cast(x1.c1 * x2.cr AS double)), 6) AS pmi
+        |  FROM c2 JOIN x1 USING (w1) JOIN x2 USING (w2)
+        |    CROSS JOIN n
+        |  WHERE c2.c2 >= 10),
+        |r AS (SELECT *, row_number() OVER (ORDER BY pmi DESC,
+        |    w1 ASC, w2 ASC) AS rnk FROM sc)
+        |SELECT cast(rnk AS bigint) AS rnk, w1, w2, c2, pmi
+        |FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+    // Growth-accounting twin: same distinct collapse + lag/lead
+    // classification, churn right-censored at the corpus edge.
+    "growth_accounting" ->
+      """WITH ad AS (SELECT DISTINCT user_id, cast(ts AS date) AS day
+        |  FROM events),
+        |mx AS (SELECT max(day) AS max_day FROM ad),
+        |f AS (SELECT user_id, day,
+        |    lag(day) OVER w AS prev_day,
+        |    lead(day) OVER w AS next_day
+        |  FROM ad WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+        |pd AS (SELECT day, count(*) AS n_active,
+        |    cast(sum(CASE WHEN prev_day IS NULL THEN 1 ELSE 0 END)
+        |      AS bigint) AS n_new,
+        |    cast(sum(CASE WHEN day - prev_day = 1 THEN 1 ELSE 0 END)
+        |      AS bigint) AS n_retained,
+        |    cast(sum(CASE WHEN day - prev_day > 1 THEN 1 ELSE 0 END)
+        |      AS bigint) AS n_resurrected
+        |  FROM f GROUP BY 1),
+        |ch AS (SELECT day + 1 AS day, count(*) AS n_churned
+        |  FROM f CROSS JOIN mx
+        |  WHERE (next_day IS NULL OR next_day - day > 1)
+        |    AND day < mx.max_day
+        |  GROUP BY 1)
+        |SELECT pd.day, pd.n_active, pd.n_new, pd.n_retained,
+        |  pd.n_resurrected,
+        |  cast(coalesce(ch.n_churned, 0) AS bigint) AS n_churned
+        |FROM pd LEFT JOIN ch USING (day) ORDER BY pd.day""".stripMargin,
+    // Chi-square twin: exact integer marginals, 9 dp-quantized
+    // (n-e)^2/e terms, exact decimal sum.
+    "chi_square" ->
+      """WITH cu AS (SELECT DISTINCT c_custkey, c_mktsegment
+        |  FROM customer),
+        |cells AS (SELECT cu.c_mktsegment AS seg,
+        |    o.o_orderpriority AS prio, count(*) AS n
+        |  FROM orders o JOIN cu ON o.o_custkey = cu.c_custkey
+        |  GROUP BY 1, 2),
+        |r AS (SELECT seg, cast(sum(n) AS bigint) AS r
+        |  FROM cells GROUP BY 1),
+        |c AS (SELECT prio, cast(sum(n) AS bigint) AS c
+        |  FROM cells GROUP BY 1),
+        |nn AS (SELECT cast(sum(n) AS bigint) AS n FROM cells),
+        |t AS (SELECT cells.seg, cells.prio, cells.n, nn.n AS tot,
+        |    cast(r.r * c.c AS double) / cast(nn.n AS double) AS e
+        |  FROM cells JOIN r USING (seg) JOIN c USING (prio)
+        |    CROSS JOIN nn)
+        |SELECT cast(first(tot) AS bigint) AS n_obs,
+        |  cast(count(DISTINCT seg) AS bigint) AS n_segments,
+        |  cast(count(DISTINCT prio) AS bigint) AS n_priorities,
+        |  cast((count(DISTINCT seg) - 1) * (count(DISTINCT prio) - 1)
+        |    AS bigint) AS dof,
+        |  round(cast(sum(cast(round(
+        |    (cast(n AS double) - e) * (cast(n AS double) - e) / e, 9)
+        |    AS decimal(28,9))) AS double), 6) AS chi2
+        |FROM t""".stripMargin,
+    // Frame-schedule twin: closed-form duration from the fabricated
+    // container (the multimodal_video contract), integer midpoints.
+    "frame_sample" ->
+      """WITH v AS (SELECT doc_id,
+        |    cast((strlen(text) * 7) * 1000
+        |      // (1000 * (1 + strlen(text) % 3)) AS bigint)
+        |      AS duration_ms
+        |  FROM documents WHERE text IS NOT NULL),
+        |f AS (SELECT doc_id, duration_ms,
+        |    unnest(range(5)) AS frame_idx
+        |  FROM v)
+        |SELECT doc_id, cast(frame_idx AS bigint) AS frame_idx,
+        |  cast((2 * frame_idx + 1) * duration_ms // 10 AS bigint)
+        |    AS sample_ms,
+        |  duration_ms
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin
   )
 }

@@ -449,6 +449,44 @@ object Analytics {
       .orderBy("abc_class")
   }
 
+  /** #171 Chi-square independence test — market segment × order
+    * priority contingency: is the priority mix independent of the
+    * customer segment? Counts and marginals are exact integers; each
+    * cell's (n−e)²/e term — e = r·c/N a deterministic double of
+    * three exact longs — is 9 dp-quantized before the exact decimal
+    * sum (the psi discipline), one terminal 6 dp round. One fact
+    * scan + broadcast distinct dim join + a |segments|×|priorities|
+    * cell aggregate; everything after the cells is free at any
+    * corpus size. */
+  def chiSquare(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+      .select("c_custkey", "c_mktsegment").distinct()
+    val cells = Tables.load(spark, dir, "orders")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"),
+        col("o_orderpriority").as("prio"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val rTot = cells.groupBy("seg").agg(sum(col("n")).as("r"))
+    val cTot = cells.groupBy("prio").agg(sum(col("n")).as("c"))
+    val n = cells.agg(sum(col("n"))).head().getLong(0)
+    val terms = cells.join(broadcast(rTot), "seg")
+      .join(broadcast(cTot), "prio")
+      .withColumn("e",
+        (col("r") * col("c")).cast("double") / lit(n.toDouble))
+      .withColumn("t", round((col("n").cast("double") - col("e"))
+        * (col("n").cast("double") - col("e")) / col("e"), 9)
+        .cast("decimal(28,9)"))
+    terms.agg(
+        countDistinct(col("seg")).as("n_segments"),
+        countDistinct(col("prio")).as("n_priorities"),
+        round(sum(col("t")).cast("double"), 6).as("chi2"))
+      .select(lit(n).as("n_obs"), col("n_segments"),
+        col("n_priorities"),
+        ((col("n_segments") - 1) * (col("n_priorities") - 1)).as("dof"),
+        col("chi2"))
+  }
+
   /** #168 Shipping-lag SLA report: order-date → ship-date lag in
     * whole days per order priority — n, min/max, exact interpolated
     * p50/p90 (the #39 percentile contract), and the exact-integer

@@ -33,7 +33,29 @@ object AsOfJoin {
     * columns atomically; output columns keep their build-side names
     * and types. */
   def asOf(probe: DataFrame, build: DataFrame, key: String, ts: String,
-      valueCols: Seq[String], buildOrder: Seq[Column] = Nil): DataFrame = {
+      valueCols: Seq[String], buildOrder: Seq[Column] = Nil): DataFrame =
+    asOfImpl(probe, build, key, ts, valueCols, buildOrder,
+      twoLevel = true)
+
+  /** [[asOf]] core, parameterized for the equivalence spec.
+    *
+    * `twoLevel = true` (the production path, round 14): the running
+    * `last(build)` is computed within (key, day-block) and stitched
+    * with a per-block winning-build carry — the ScaleBench skew
+    * kill-test measured the single per-key window at 2.3× on a
+    * 90%-one-key corpus (a hot ticker's whole probe+build history
+    * sorted in ONE task, the exact attribution-#134 failure), and
+    * the block decomposition returns it to ~1×. Equivalence: blocks
+    * partition a key's timeline monotonically, so the global running
+    * last is the block-local last when one exists, else the last
+    * winner of any EARLIER block (a ≤|days|-row per-key window over
+    * block summaries; the summary max-of-struct (ts, tie-order,
+    * payload) picks exactly the row the merge sort's "winner last"
+    * ordering would). Probe-only blocks get their carry through the
+    * distinct (key, block) spine, never dropped. */
+  private[graft] def asOfImpl(probe: DataFrame, build: DataFrame,
+      key: String, ts: String, valueCols: Seq[String],
+      buildOrder: Seq[Column], twoLevel: Boolean): DataFrame = {
     val payload = struct(valueCols.map(col): _*)
     val b = build.select((Seq(col(key), col(ts),
       lit(1).as("_is_build"), payload.as("_bpay")) ++
@@ -53,12 +75,49 @@ object AsOfJoin {
     // the same verdict an aggregate max() would reach.
     val ordCols = Seq(col(ts).asc, col("_is_build").desc) ++
       buildOrder.indices.map(i => col(s"_bord$i").asc_nulls_first)
-    val w = Window.partitionBy(key)
-      .orderBy(ordCols: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = unioned
-      .withColumn("_fwd", last(col("_bpay"), ignoreNulls = true).over(w))
-      .filter(col("_is_build") === 0)
+    val carried =
+      if (twoLevel) {
+        val blockUs = 86400L * 1000000L
+        val blocked = unioned
+          .withColumn("_blk", floor(unix_micros(col(ts)) / blockUs))
+        val wLoc = Window.partitionBy(col(key), col("_blk"))
+          .orderBy(ordCols: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // each block's WINNING build row: max over (ts, tie-order,
+        // payload) — struct comparison treats null as smallest, the
+        // same verdict as asc_nulls_first's "winner sorts last"
+        val summaryKey = struct((col(ts).as("_sts") +:
+          buildOrder.indices.map(i => col(s"_bord$i").as(s"_so$i"))) :+
+          col("_bpay").as("_sp"): _*)
+        val summaries = blocked.filter(col("_is_build") === 1)
+          .groupBy(col(key), col("_blk"))
+          .agg(max(summaryKey).as("_m"))
+          .select(col(key), col("_blk"), col("_m._sp").as("_bwin"))
+        // carry spine over ALL present blocks (probe-only blocks
+        // must still receive the previous block's winner)
+        val wBlk = Window.partitionBy(key).orderBy(col("_blk"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val carries = blocked.select(col(key), col("_blk")).distinct()
+          .join(summaries, Seq(key, "_blk"), "left")
+          .withColumn("_carry",
+            last(col("_bwin"), ignoreNulls = true).over(wBlk))
+          .select(col(key), col("_blk"), col("_carry"))
+        blocked
+          .withColumn("_lfwd",
+            last(col("_bpay"), ignoreNulls = true).over(wLoc))
+          .join(carries, Seq(key, "_blk"))
+          .withColumn("_fwd", coalesce(col("_lfwd"), col("_carry")))
+          .drop("_blk", "_lfwd", "_carry")
+          .filter(col("_is_build") === 0)
+      } else {
+        val w = Window.partitionBy(key)
+          .orderBy(ordCols: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        unioned
+          .withColumn("_fwd",
+            last(col("_bpay"), ignoreNulls = true).over(w))
+          .filter(col("_is_build") === 0)
+      }
     valueCols.foldLeft(carried) { (df, c) =>
       df.withColumn(c, col(s"_fwd.$c"))
     }.drop((Seq("_is_build", "_bpay", "_fwd") ++

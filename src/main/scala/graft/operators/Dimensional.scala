@@ -501,6 +501,52 @@ object Dimensional {
     * partial-aggregate map-side, the skew-immune shapes) + one
     * ≤|days|-row running-sum window. |days| output rows at any
     * corpus size. */
+  /** #170 Growth accounting — the full DAU decomposition every
+    * product warehouse serves beside #162's curve: per day, actives
+    * split into NEW (first-ever day), RETAINED (also active the
+    * previous day) and RESURRECTED (active before, but not
+    * yesterday), plus CHURNED (active yesterday, gone today;
+    * attributed to the day the user went missing, right-censored at
+    * the corpus edge — the final day's actives aren't churners yet).
+    * Identity n_active = new + retained + resurrected is by
+    * construction (spec-asserted).
+    *
+    * Shape: ONE distinct (user, day) collapse (map-side partial,
+    * skew-immune), pinned because the lag classification and the
+    * churn lead both read it; per-user windows then run over
+    * ≤|days| rows regardless of raw stream skew. |days| output
+    * rows. */
+  def growthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val ad = Tables.load(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct().localCheckpoint()
+    val maxDay = ad.agg(max(col("day"))).head().getDate(0)
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val flagged = ad
+      .withColumn("prev_day", lag(col("day"), 1).over(w))
+      .withColumn("next_day", lead(col("day"), 1).over(w))
+    val perDay = flagged.groupBy("day").agg(
+      count(lit(1)).as("n_active"),
+      sum(col("prev_day").isNull.cast("long")).as("n_new"),
+      // when(), not a bare cast: day 1 has ALL-null prev_day rows and
+      // sum over all-null yields null, not 0
+      sum(when(datediff(col("day"), col("prev_day")) === 1, 1L)
+        .otherwise(0L)).as("n_retained"),
+      sum(when(datediff(col("day"), col("prev_day")) > 1, 1L)
+        .otherwise(0L)).as("n_resurrected"))
+    val churn = flagged
+      .filter((col("next_day").isNull ||
+        datediff(col("next_day"), col("day")) > 1) &&
+        col("day") < lit(maxDay))
+      .select(date_add(col("day"), 1).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_churned"))
+    perDay.join(churn, Seq("day"), "left")
+      .withColumn("n_churned", coalesce(col("n_churned"), lit(0L)))
+      .select("day", "n_active", "n_new", "n_retained",
+        "n_resurrected", "n_churned")
+      .orderBy("day")
+  }
+
   def userGrowth(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
       .select(col("user_id"), to_date(col("ts")).as("day"))

@@ -105,6 +105,58 @@ object LmFilter {
     * small; AQE decides) and one doc-grain aggregate. No windows, no
     * driver-side state — V is the single scalar collected, a bounded
     * model artifact like the IVF centroid count. */
+  /** Minimum pair count for [[pmiCollocations]] — PMI is noise for
+    * rare pairs (one co-occurrence of two rare words maxes the
+    * score); the classic count gate. */
+  val PmiMinCount = 10L
+
+  /** #169 Collocation mining — top-20 bigrams by pointwise mutual
+    * information (PMI = ln(c₂·N / (ctx₁·ctx₂)), the phrase-mining
+    * score): which word pairs co-occur far more than chance. Shares
+    * the bigram-count machinery with [[lmPerplexity]]; all ratio
+    * operands are exact longs (products bounded: counts² < 2⁶³ at
+    * any realistic corpus), ln applied to the one deterministic
+    * double ratio and rounded to 6 dp — the bm25/psi discipline.
+    * Model tables are vocab-bounded; the only corpus-scale work is
+    * the bigram explode + hash aggregate. */
+  def pmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val bigrams = bigramInstances(spark, dir)
+    val c2 = bigrams.groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c2")).localCheckpoint()
+    val n = c2.agg(sum(col("c2"))).head().getLong(0)
+    val ctx1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+    val ctx2 = c2.groupBy("w2").agg(sum(col("c2")).as("cr"))
+    val scored = c2.filter(col("c2") >= PmiMinCount)
+      .join(ctx1, "w1").join(ctx2, "w2")
+      .select(col("w1"), col("w2"), col("c2"),
+        round(log((col("c2") * lit(n)).cast("double") /
+          (col("c1") * col("cr")).cast("double")), 6).as("pmi"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+    scored.orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(20)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select("rnk", "w1", "w2", "c2", "pmi")
+      .orderBy("rnk")
+  }
+
+  /** Shared (doc, w1, w2) adjacent-pair stream for the LM and PMI
+    * operators. */
+  private def bigramInstances(spark: SparkSession, dir: String)
+      : DataFrame = {
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        filter(split(lower(trim(col("text"))), "\\s+"),
+          t => t =!= "").as("toks"))
+      .select(col("doc_id"),
+        explode(arrays_zip(
+          slice(col("toks"), lit(1),
+            greatest(size(col("toks")) - 1, lit(0))),
+          slice(col("toks"), lit(2),
+            greatest(size(col("toks")) - 1, lit(0))))).as("b"))
+      .select(col("doc_id"), col("b.0").as("w1"), col("b.1").as("w2"))
+  }
+
   def lmPerplexity(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val toks = docs.select(col("doc_id"),

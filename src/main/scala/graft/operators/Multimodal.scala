@@ -280,6 +280,31 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Frames sampled per video by [[frameSample]]. */
+  val FramesPerVideo = 5
+
+  /** #172 Frame-sample scheduling: for each decoded video, the k
+    * midpoint-uniform sample instants a frame-extraction stage would
+    * decode — sample_ms_i = (2i+1)·duration_ms div 2k, pure integer
+    * arithmetic over the REAL container decode (#115's codegen box
+    * walk supplies duration/timescale; the pixel decode itself stays
+    * stubbed per the brief — no codec libraries in the container).
+    * This is the scheduling half of video ingestion: the plan fans
+    * each video into k rows that downstream per-frame stages
+    * (feature kernels #113, dedup) consume. Row-linear ×k. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    multimodalVideo(spark, dir)
+      .select(col("doc_id"), col("duration_ms"))
+      .select(col("doc_id"),
+        posexplode(array((0 until FramesPerVideo)
+          .map(i => lit(i.toLong)): _*)).as(Seq("pos", "frame_idx")),
+        col("duration_ms"))
+      .select(col("doc_id"), col("frame_idx"),
+        expr(s"(2 * frame_idx + 1) * duration_ms div ${2 * FramesPerVideo}")
+          .as("sample_ms"),
+        col("duration_ms"))
+      .orderBy("doc_id", "frame_idx")
+
   private def byteHistogram(c: org.apache.spark.sql.Column, bins: Int) =
     org.apache.spark.sql.GraftSqlBridge.column(
       graft.functions.expressions.ByteHistogram(
