@@ -108,7 +108,11 @@ object ScaleBench {
     // is the video decode scan fanned x5 (multimodal throughput
     // class, outside the engine-twin subset like the other decodes)
     "pmi_collocations", "growth_accounting", "chi_square",
-    "frame_sample")
+    "frame_sample",
+    // round 14 batch 7: purchase-only lag (the attribution band —
+    // orders below the raw feed) and the version-ordered band lag
+    // over the duplication-invariant scd2 change rows
+    "purchase_gaps", "band_migration")
 
   /** Join shapes where only the FACT side (lineitem) multiplies —
     * each order keeps its (now mult×) lines and every dim stays
@@ -158,7 +162,10 @@ object ScaleBench {
       // this corpus; the as-of family (asOfImpl's two-level running
       // last, rewritten after scd2_lookup measured 2.3× skewed)
       "interval_merge", "event_transitions", "scd2_lookup",
-      "asof_join", "asof_tolerance")
+      "asof_join", "asof_tolerance",
+      // purchase-only per-key lag: measured honestly alongside the
+      // sessionize family (the hot key owns 90% of the purchases)
+      "purchase_gaps")
 
   /** Fabricate the skewed twin of the staged corpus: 90% of event
     * rows re-keyed to ONE user and 90% of documents re-labeled to

@@ -171,7 +171,9 @@ object SparkEntry {
     "pmi_collocations" -> (LmFilter.pmiCollocations _),
     "growth_accounting" -> (Dimensional.growthAccounting _),
     "chi_square" -> (Analytics.chiSquare _),
-    "frame_sample" -> (Multimodal.frameSample _)
+    "frame_sample" -> (Multimodal.frameSample _),
+    "purchase_gaps" -> (StockOps.purchaseGaps _),
+    "band_migration" -> (StockOps.bandMigration _)
   )
 
   private val Dec = "decimal(28,6)"
@@ -2642,6 +2644,43 @@ object SparkEntry {
         |  cast((2 * frame_idx + 1) * duration_ms // 10 AS bigint)
         |    AS sample_ms,
         |  duration_ms
-        |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    // Gap-distribution twin: exact integer micros, hugeint sums.
+    "purchase_gaps" ->
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |g AS (SELECT us - prev_us AS gap_us FROM p
+        |  WHERE prev_us IS NOT NULL)
+        |SELECT gap_us // 14400000000 AS bucket,
+        |  cast(gap_us // 14400000000 * 4 AS bigint) AS from_hours,
+        |  count(*) AS n,
+        |  round((cast(sum(cast(gap_us AS hugeint)) AS double)
+        |    / count(*)) / 3600000000.0, 6) AS avg_gap_hours
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Band-migration twin: the scd2_dim change chain + integer
+    // micro-price banding, version-ordered lag.
+    "band_migration" ->
+      """WITH p AS (SELECT user_id, ts, event_id, value,
+        |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_value
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, event_id, value FROM p
+        |  WHERE prev_value IS NULL OR value <> prev_value),
+        |v AS (SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS version
+        |  FROM c),
+        |b AS (SELECT user_id, version,
+        |    cast(cast(value AS decimal(18,6)) * 1000000 AS bigint)
+        |      // 100000000 AS band
+        |  FROM v),
+        |m AS (SELECT band, lag(band) OVER (PARTITION BY user_id
+        |    ORDER BY version) AS from_band
+        |  FROM b)
+        |SELECT from_band, band AS to_band, count(*) AS n
+        |FROM m WHERE from_band IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

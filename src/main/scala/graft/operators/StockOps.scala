@@ -446,4 +446,67 @@ object StockOps {
 
   /** Noise gate for [[trendingActivity]]: a 1→3 jump is not a trend. */
   val TrendMinCount = 10L
+
+  /** Gap bucket width for [[purchaseGaps]] (hours). */
+  val GapBucketHours = 4L
+
+  /** #173 Inter-purchase gap distribution: hours between a ticker's
+    * consecutive trades, bucketed (4 h) into a corpus-wide histogram
+    * with exact counts and the exact-integer mean gap — the trading-
+    * frequency profile beside VWAP/OHLC ("how often does this
+    * instrument actually print").
+    *
+    * The lag runs over the PURCHASE-ONLY stream (orders below the
+    * raw feed — the attribution-band shape), gaps in exact integer
+    * micros; the histogram is |buckets| rows at any corpus size and
+    * the mean is Σmicros (128-bit) over count with one terminal
+    * round. */
+  def purchaseGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .withColumn("gap_us", unix_micros(col("ts")) - col("prev_us"))
+    val bucketUs = GapBucketHours * 3600L * 1000000L
+    gaps
+      .groupBy(expr(s"gap_us div $bucketUs").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        (Num.dsum128Raw(col("gap_us")) * lit(1000000L)).cast("decimal(38,0)")
+          .as("sum_us"))
+      .select(col("bucket"),
+        (col("bucket") * GapBucketHours).as("from_hours"),
+        col("n"),
+        round((col("sum_us").cast("double") / col("n").cast("double"))
+          / 3600000000.0, 6).as("avg_gap_hours"))
+      .orderBy("bucket")
+  }
+
+  /** Price-band width for [[bandMigration]] (dollars). */
+  val PriceBandWidth = 100L
+
+  /** #174 Price-band migration matrix: for every consecutive version
+    * pair in the #87 SCD2 dimension, the (from-band → to-band)
+    * transition count — "when this instrument reprices, how far does
+    * it move" as a state-transition matrix over the dimension's OWN
+    * history (the #156 Markov shape applied to slowly-changing state
+    * rather than the event stream). Bands are integer price div 100
+    * on the 6 dp-quantized price — engine-exact. The version lag runs
+    * over CHANGE rows only (orders below the stream); ≤|bands|²
+    * output rows at any scale. */
+  def bandMigration(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("ticker_id").orderBy("version")
+    val dim = Dimensional.scd2Dim(spark, dir)
+      .select(col("ticker_id"), col("version"),
+        Num.unscaled6(col("price")).as("price_u"))
+      .select(col("ticker_id"), col("version"),
+        expr(s"price_u div ${PriceBandWidth * 1000000L}").as("band"))
+    dim
+      .withColumn("from_band", lag(col("band"), 1).over(w))
+      .filter(col("from_band").isNotNull)
+      .groupBy(col("from_band"), col("band").as("to_band"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("from_band", "to_band")
+  }
 }
