@@ -5,10 +5,11 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
 
-/** Statistical quality gating over the documents corpus: the two
+/** Statistical text analysis over the documents corpus: the two
   * filters every published pretraining-data pipeline runs before
   * training — rule-based heuristics (Gopher / C4 style) and n-gram
-  * language-model perplexity scoring (CCNet / KenLM style). Both are
+  * language-model perplexity scoring (CCNet / KenLM style) — plus
+  * PMI collocation mining over the same bigram counts. All are
   * engine-exact: the rules are pure integer arithmetic (every ratio
   * threshold is a cross-multiplied integer comparison, never a float
   * divide), and the LM's per-bigram log-probs are quantized to 9 dp

@@ -456,21 +456,37 @@ object StockOps {
     * frequency profile beside VWAP/OHLC ("how often does this
     * instrument actually print").
     *
-    * The lag runs over the PURCHASE-ONLY stream (orders below the
-    * raw feed — the attribution-band shape), gaps in exact integer
-    * micros; the histogram is |buckets| rows at any corpus size and
-    * the mean is Σmicros (128-bit) over count with one terminal
-    * round. */
+    * TWO-LEVEL lag (the first form — one global per-user lag —
+    * measured 2.85× on the 90%-one-key kill-test: the hot ticker's
+    * whole purchase history sorted in one task): consecutive pairs
+    * are either WITHIN a (user, day) block — the block-local lag —
+    * or straddle two adjacent PRESENT blocks, reconstructed as
+    * first-of-block − last-of-previous-block from min/max-of-struct
+    * block summaries lag-chained over a ≤|days|-row per-user window.
+    * Exactly the global pair set (spec-asserted). Gaps in exact
+    * integer micros; |buckets| output rows, 128-bit bucket sums. */
   def purchaseGaps(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val gaps = Tables.load(spark, dir, "events")
+    val dayUs = 86400L * 1000000L
+    val p = Tables.load(spark, dir, "events")
       .filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts"), col("event_id"))
-      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+      .withColumn("blk", floor(col("us") / dayUs))
+    val wLoc = Window.partitionBy("user_id", "blk")
+      .orderBy(col("us"), col("event_id"))
+    val inBlock = p
+      .withColumn("prev_us", lag(col("us"), 1).over(wLoc))
       .filter(col("prev_us").isNotNull)
-      .withColumn("gap_us", unix_micros(col("ts")) - col("prev_us"))
+      .select((col("us") - col("prev_us")).as("gap_us"))
+    val wBlk = Window.partitionBy("user_id").orderBy("blk")
+    val boundary = p.groupBy("user_id", "blk")
+      .agg(min(struct(col("us"), col("event_id"))).as("f"),
+        max(struct(col("us"), col("event_id"))).as("l"))
+      .withColumn("prev_last", lag(col("l.us"), 1).over(wBlk))
+      .filter(col("prev_last").isNotNull)
+      .select((col("f.us") - col("prev_last")).as("gap_us"))
     val bucketUs = GapBucketHours * 3600L * 1000000L
-    gaps
+    inBlock.unionByName(boundary)
       .groupBy(expr(s"gap_us div $bucketUs").as("bucket"))
       .agg(count(lit(1)).as("n"),
         (Num.dsum128Raw(col("gap_us")) * lit(1000000L)).cast("decimal(38,0)")
