@@ -173,7 +173,8 @@ object SparkEntry {
     "chi_square" -> (Analytics.chiSquare _),
     "frame_sample" -> (Multimodal.frameSample _),
     "purchase_gaps" -> (StockOps.purchaseGaps _),
-    "band_migration" -> (StockOps.bandMigration _)
+    "band_migration" -> (StockOps.bandMigration _),
+    "dedup_curve" -> (Similarity.dedupCurve _)
   )
 
   private val Dec = "decimal(28,6)"
@@ -2681,6 +2682,30 @@ object SparkEntry {
         |  FROM b)
         |SELECT from_band, band AS to_band, count(*) AS n
         |FROM m WHERE from_band IS NOT NULL
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Threshold-curve twin: same sample, same 6 dp-rounded cosine
+    // membership, threshold spine keeps zero rows.
+    "dedup_curve" ->
+      """WITH e AS (SELECT vec_id, cast(embedding AS double[]) AS v
+        |  FROM embeddings WHERE vec_id < 2000),
+        |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |    round(list_cosine_similarity(a.v, b.v), 6) AS c
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id),
+        |th AS (SELECT unnest([0.30, 0.35, 0.40, 0.45, 0.50]) AS threshold),
+        |q AS (SELECT th.threshold, p.ia, p.ib
+        |  FROM p CROSS JOIN th WHERE th.threshold <= p.c),
+        |np AS (SELECT threshold, count(*) AS n_pairs
+        |  FROM q GROUP BY 1),
+        |nd AS (SELECT threshold, count(*) AS n_docs FROM (
+        |    SELECT DISTINCT threshold, vec FROM (
+        |      SELECT threshold, ia AS vec FROM q
+        |      UNION ALL SELECT threshold, ib FROM q))
+        |  GROUP BY 1)
+        |SELECT th.threshold,
+        |  cast(coalesce(np.n_pairs, 0) AS bigint) AS n_pairs,
+        |  cast(coalesce(nd.n_docs, 0) AS bigint) AS n_docs
+        |FROM th LEFT JOIN np USING (threshold)
+        |  LEFT JOIN nd USING (threshold)
+        |ORDER BY th.threshold""".stripMargin
   )
 }

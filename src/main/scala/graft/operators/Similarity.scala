@@ -43,6 +43,49 @@ object Similarity {
       .orderBy("vec_a")
   }
 
+  /** Sample cap + thresholds for [[dedupCurve]] — the curve is a
+    * TUNING report, computed exactly on a deterministic id-prefix
+    * sample so its cost is sample², independent of corpus size (the
+    * production dedup pass at the chosen threshold is the LSH/IVF
+    * family, #24/#93). Thresholds sit across the corpus' observed
+    * cosine range so every row discriminates. */
+  val CurveSample = 2000L
+  val CurveThresholds: Seq[Double] = Seq(0.30, 0.35, 0.40, 0.45, 0.50)
+
+  /** #175 Dedup threshold-tuning curve: for each candidate cosine
+    * threshold, the exact number of qualifying pairs and of distinct
+    * vectors involved — the "how aggressive is this cutoff" curve a
+    * curation team reads before committing a dedup pass. Pairs are
+    * scored once with the codegen cosine kernel (6 dp-rounded before
+    * every threshold compare, so membership is engine-exact), then a
+    * threshold-spine left join keeps zero rows visible. Broadcast
+    * self-join over the bounded sample; output |thresholds| rows. */
+  def dedupCurve(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).filter(col("vec_id") < CurveSample)
+    val a = e.select(col("vec_id").as("ia"), col("vec").as("va"))
+    val b = e.select(col("vec_id").as("ib"), col("vec").as("vb"))
+    val pairs = a.join(broadcast(b), col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        round(cosine(col("va"), col("vb")), 6).as("c"))
+      .filter(col("c") >= CurveThresholds.min)
+    val spine = spark.createDataFrame(
+      CurveThresholds.map(Tuple1(_))).toDF("threshold")
+    val q = pairs.select(col("ia"), col("ib"), col("c"),
+        explode(array(CurveThresholds.map(lit): _*)).as("threshold"))
+      .filter(col("threshold") <= col("c"))
+    val nPairs = q.groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+    val nDocs = q.select(col("threshold"), col("ia").as("vec"))
+      .unionByName(q.select(col("threshold"), col("ib").as("vec")))
+      .distinct()
+      .groupBy("threshold").agg(count(lit(1)).as("n_docs"))
+    spine.join(nPairs, Seq("threshold"), "left")
+      .join(nDocs, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy("threshold")
+  }
+
   /** #25 Brute-force ANN: top-5 cosine neighbors for query vectors
     * (vec_id < 8). The query side is broadcast; ranking is a per-query
     * window with deterministic tiebreak. */

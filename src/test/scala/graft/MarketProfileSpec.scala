@@ -38,4 +38,25 @@ class MarketProfileSpec extends SparkTestBase {
         r.getAs[Long]("to_band") >= 0L)
     }
   }
+
+  test("dedup_curve: monotone non-increasing, docs bounded by 2x pairs") {
+    val out = graft.operators.Similarity.dedupCurve(spark, SfDir)
+      .collect()
+    assert(out.length ===
+      graft.operators.Similarity.CurveThresholds.length)
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("n_pairs") >= b.getAs[Long]("n_pairs"))
+        assert(a.getAs[Long]("n_docs") >= b.getAs[Long]("n_docs"))
+      case _ => ()
+    }
+    out.foreach { r =>
+      val p = r.getAs[Long]("n_pairs"); val d = r.getAs[Long]("n_docs")
+      assert(d <= 2 * p)
+      assert(p == 0L || d >= 2L)
+    }
+    // the curve discriminates on this corpus
+    assert(out.head.getAs[Long]("n_pairs") >
+      out.last.getAs[Long]("n_pairs"))
+  }
 }
