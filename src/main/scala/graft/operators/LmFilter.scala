@@ -170,14 +170,23 @@ object LmFilter {
           slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0)))))
           .as("b"))
       .select(col("doc_id"), col("b.0").as("w1"), col("b.1").as("w2"))
-    // vocab size: |distinct unigrams| over ALL tokens (incl. final
-    // ones) — the smoothing denominator, a bounded scalar
-    val v = toks.select(explode(col("toks")).as("tok"))
-      .agg(countDistinct(col("tok"))).head().getLong(0)
-    // bigram-type counts, pinned: feeds BOTH the context totals and
-    // the scoring join (lazy, each consumer would re-explode the corpus)
+    // bigram-type counts, pinned: feeds the context totals, the
+    // scoring join AND the vocab count (lazy, each consumer would
+    // re-explode the corpus)
     val c2 = bigrams.groupBy("w1", "w2")
       .agg(count(lit(1)).as("c2")).localCheckpoint()
+    // vocab size — |distinct unigrams| — WITHOUT a third corpus-scale
+    // explode (it was the plan's top cost at ×100): every token type
+    // either occurs in some non-final position (⇒ appears as w1 in
+    // the pinned model) or only ever document-finally (⇒ it is some
+    // doc's last token, a doc-grain projection of the same scan).
+    // The union is exactly the vocabulary for ANY corpus, including
+    // single-token documents.
+    val v = c2.select(col("w1").as("tok"))
+      .unionByName(toks
+        .filter(size(col("toks")) > 0)
+        .select(element_at(col("toks"), -1).as("tok")))
+      .agg(countDistinct(col("tok"))).head().getLong(0)
     val ctx = c2.groupBy("w1").agg(sum(col("c2")).as("ctx"))
     val model = c2.join(ctx, "w1")
       .select(col("w1"), col("w2"),
