@@ -174,7 +174,12 @@ object SparkEntry {
     "frame_sample" -> (Multimodal.frameSample _),
     "purchase_gaps" -> (StockOps.purchaseGaps _),
     "band_migration" -> (StockOps.bandMigration _),
-    "dedup_curve" -> (Similarity.dedupCurve _)
+    "dedup_curve" -> (Similarity.dedupCurve _),
+    // §2.O segmentation, stats, graph, sampling (round 15)
+    "rfm_segments" -> (Dimensional.rfmSegments _),
+    "autocorr" -> (TimeSeries.autocorr _),
+    "khop_reach" -> (Components.khopReach _),
+    "winsorize" -> (Olap.winsorize _)
   )
 
   private val Dec = "decimal(28,6)"
@@ -2706,6 +2711,93 @@ object SparkEntry {
         |  cast(coalesce(nd.n_docs, 0) AS bigint) AS n_docs
         |FROM th LEFT JOIN np USING (threshold)
         |  LEFT JOIN nd USING (threshold)
-        |ORDER BY th.threshold""".stripMargin
+        |ORDER BY th.threshold""".stripMargin,
+    // RFM twin: single row_number windows + the identical integer
+    // NTILE identity q = (rn-1)*5 // n + 1 — rank-decomposition
+    // equivalence is the thing under test.
+    "rfm_segments" ->
+      """WITH u AS (SELECT user_id, max(epoch_us(ts)) AS last_us,
+        |    count(*) AS freq, sum(cast(value AS decimal(18,6))) AS mon
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |r AS (SELECT user_id, mon,
+        |    row_number() OVER (ORDER BY last_us DESC, user_id ASC) AS rr,
+        |    row_number() OVER (ORDER BY freq DESC, user_id ASC) AS fr,
+        |    row_number() OVER (ORDER BY mon DESC, user_id ASC) AS mr,
+        |    count(*) OVER () AS n
+        |  FROM u),
+        |s AS (SELECT user_id, mon,
+        |    6 - ((rr - 1) * 5 // n + 1) AS r_score,
+        |    6 - ((fr - 1) * 5 // n + 1) AS f_score,
+        |    6 - ((mr - 1) * 5 // n + 1) AS m_score
+        |  FROM r)
+        |SELECT cast(r_score AS bigint) AS r_score,
+        |  cast(f_score AS bigint) AS f_score,
+        |  cast(m_score AS bigint) AS m_score, count(*) AS n_users,
+        |  round(cast(sum(mon) AS double), 6) AS total_revenue
+        |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // ACF twin: whole-unit day revenue, centered as n*x - S in
+    // hugeint, rank self-join pairs — one terminal division per lag.
+    "autocorr" ->
+      """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |    sum(cast(value AS decimal(18,6))) AS rev
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |x AS (SELECT day,
+        |    cast(rev * 1000000 AS hugeint) // 1000000 AS xw FROM d),
+        |c AS (SELECT day,
+        |    cast(count(*) OVER () AS hugeint) * xw
+        |      - sum(xw) OVER () AS cv FROM x),
+        |r AS (SELECT cv, row_number() OVER (ORDER BY day) AS t FROM c),
+        |den AS (SELECT sum(cv * cv) AS dn FROM r),
+        |p AS (SELECT l.lg, count(*) AS n_pairs, sum(a.cv * b.cv) AS num
+        |  FROM (SELECT unnest(range(1, 8)) AS lg) l
+        |  JOIN r a ON true JOIN r b ON b.t = a.t + l.lg
+        |  GROUP BY 1)
+        |SELECT cast(lg AS bigint) AS lag, n_pairs,
+        |  round(cast(num AS double)
+        |    / cast((SELECT dn FROM den) AS double), 6) AS acf
+        |FROM p ORDER BY 1""".stripMargin,
+    // BFS twin: recursive CTE bounded at 3 hops, min-hop per node.
+    "khop_reach" ->
+      """WITH RECURSIVE lines AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lines x JOIN lines y ON x.l_orderkey = y.l_orderkey
+        |    AND x.l_partkey <> y.l_partkey),
+        |r AS (
+        |  SELECT p_partkey AS node, 0 AS hop FROM part
+        |  WHERE p_partkey % 97 = 0
+        |  UNION
+        |  SELECT e.b AS node, r.hop + 1 AS hop FROM r
+        |  JOIN e ON e.a = r.node WHERE r.hop < 3),
+        |m AS (SELECT node, min(hop) AS hop FROM r GROUP BY 1),
+        |per AS (SELECT cast(hop AS bigint) AS hop, count(*) AS n_parts,
+        |    cast(sum(node) AS bigint) AS sum_key FROM m GROUP BY 1),
+        |un AS (SELECT cast(-1 AS bigint) AS hop, count(*) AS n_parts,
+        |    cast(coalesce(sum(p_partkey), 0) AS bigint) AS sum_key
+        |  FROM part WHERE p_partkey NOT IN (SELECT node FROM m))
+        |SELECT * FROM (SELECT * FROM per UNION ALL SELECT * FROM un)
+        |ORDER BY hop""".stripMargin,
+    // Winsorize twin: 6 dp-rounded quantile_cont cuts, identical
+    // clamp comparisons, exact decimal means.
+    "winsorize" ->
+      """WITH cuts AS (SELECT event_type,
+        |    round(quantile_cont(value, 0.05), 6) AS lo,
+        |    round(quantile_cont(value, 0.95), 6) AS hi
+        |  FROM events GROUP BY 1),
+        |j AS (SELECT e.event_type, e.value, c.lo, c.hi,
+        |    CASE WHEN e.value < c.lo THEN c.lo
+        |         WHEN e.value > c.hi THEN c.hi
+        |         ELSE e.value END AS clamped
+        |  FROM events e JOIN cuts c USING (event_type))
+        |SELECT event_type, count(*) AS n, min(lo) AS lo, min(hi) AS hi,
+        |  cast(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS bigint)
+        |    AS n_lo,
+        |  cast(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS bigint)
+        |    AS n_hi,
+        |  round(cast(sum(cast(value AS decimal(18,6))) AS double)
+        |    / count(value), 6) AS mean_raw,
+        |  round(cast(sum(cast(clamped AS decimal(18,6))) AS double)
+        |    / count(clamped), 6) AS mean_winsor
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -304,4 +304,60 @@ object Components {
         (col("total_chars") - col("m.n_chars")).as("dropped_chars"))
       .orderBy("comp")
   }
+
+  /** BFS depth cap for [[khopReach]]. */
+  val KhopMaxHops = 3
+
+  /** #178 K-hop BFS reachability over the co-purchase part graph:
+    * min-hop distance from a deterministic seed set (partkey ≡ 0
+    * mod 97) out to [[KhopMaxHops]] hops — "what does this product
+    * family pull in within N recommendation steps", the bounded
+    * traversal beside the global fixed points (#75 components, #146
+    * PageRank). Output: per hop a population count + partkey-sum
+    * checksum, plus a hop = −1 row for parts unreachable within the
+    * cap (isolated parts included).
+    *
+    * Scale: textbook distributed BFS — per hop ONE frontier⋈edges
+    * hash join + a dst-grain map-side-combined distinct, then an
+    * anti-join against the visited set; work per round is bounded by
+    * the true frontier, never the graph. Edges are the pinned #143
+    * basket-bounded collapse (Σ basket², never catalog²). The hop
+    * cap bounds rounds; lineage truncated per round like the
+    * [[dedupComponents]] loop. */
+  def khopReach(spark: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .localCheckpoint()
+    val pairs = lines.select(col("l_orderkey"), col("l_partkey").as("a"))
+      .join(lines.select(col("l_orderkey"), col("l_partkey").as("b")),
+        "l_orderkey")
+      .filter(col("a") =!= col("b"))
+      .select("a", "b").distinct()
+      .localCheckpoint()
+    val part = Tables.load(spark, dir, "part").select("p_partkey")
+    var visited = part
+      .filter(col("p_partkey") % 97 === 0)
+      .select(col("p_partkey").as("node"), lit(0L).as("hop"))
+      .localCheckpoint()
+    var frontier = visited
+    for (h <- 1 to KhopMaxHops) {
+      val next = frontier
+        .join(pairs, frontier("node") === pairs("a"))
+        .select(col("b").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .select(col("node"), lit(h.toLong).as("hop"))
+        .localCheckpoint()
+      visited = visited.unionByName(next).localCheckpoint()
+      frontier = next
+    }
+    val perHop = visited.groupBy("hop")
+      .agg(count(lit(1)).as("n_parts"), sum(col("node")).as("sum_key"))
+    val unreached = part
+      .join(visited.select(col("node").as("p_partkey")),
+        Seq("p_partkey"), "left_anti")
+      .agg(count(lit(1)).as("n_parts"),
+        coalesce(sum(col("p_partkey")), lit(0L)).as("sum_key"))
+      .select(lit(-1L).as("hop"), col("n_parts"), col("sum_key"))
+    perHop.unionByName(unreached).orderBy("hop")
+  }
 }

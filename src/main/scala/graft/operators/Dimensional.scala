@@ -591,4 +591,57 @@ object Dimensional {
       .select("day", "n_active", "n_new", "cum_users")
       .orderBy("day")
   }
+
+  /** #176 RFM customer segmentation — the classic marketing
+    * base-table: every purchaser scored 1-5 on Recency (last
+    * purchase instant), Frequency (purchase count) and Monetary
+    * (exact decimal revenue), reported as the 5×5×5 segment grid
+    * with populations and revenue totals.
+    *
+    * Quintiles are RANK-based (equal-population, the marketing
+    * convention), and the rank is the [[Rank.twoLevelRank]]
+    * decomposition — the user grain is billions of rows at 100 TB,
+    * so no task may sort a whole metric axis. Each metric's block id
+    * is monotone in its order (recency: the day; frequency/monetary:
+    * the magnitude's log — engine-LOCAL, only rank equality matters).
+    * The quintile is the NTILE identity on integers,
+    * q = (rn−1)·5 div n + 1 (first buckets take the remainder —
+    * exactly SQL NTILE), applied to the SAME row_number arithmetic
+    * in the DuckDB oracle, so scores are engine-exact including at
+    * quintile boundaries. Score = 6 − q: 5 = best.
+    *
+    * Ties: every rank breaks on user_id; equal metric values order
+    * identically on both engines (monetary compares exact decimals,
+    * never floats). */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val users = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(max(unix_micros(col("ts"))).as("last_us"),
+        count(lit(1)).as("freq"),
+        Num.dsumExact(col("value")).as("mon"))
+      .localCheckpoint() // pinned: feeds all three rank branches
+    val r = Rank.twoLevelRank(users, Seq.empty,
+      expr(s"last_us div $dayUs"), blkAscending = false,
+      Seq(col("last_us").desc, col("user_id").asc), "__rnk", "__n")
+    val rScored = r.select(col("user_id"),
+      (lit(6L) - (expr("(__rnk - 1) * 5 div __n") + 1L)).as("r_score"))
+    val f = Rank.twoLevelRank(users, Seq.empty,
+      floor(log(2.0, col("freq"))).cast("long"), blkAscending = false,
+      Seq(col("freq").desc, col("user_id").asc), "__rnk", "__n")
+    val fScored = f.select(col("user_id"),
+      (lit(6L) - (expr("(__rnk - 1) * 5 div __n") + 1L)).as("f_score"))
+    val m = Rank.twoLevelRank(users, Seq.empty,
+      floor(log(10.0, col("mon").cast("double") + 1.0)).cast("long"),
+      blkAscending = false,
+      Seq(col("mon").desc, col("user_id").asc), "__rnk", "__n")
+    val mScored = m.select(col("user_id"), col("mon"),
+      (lit(6L) - (expr("(__rnk - 1) * 5 div __n") + 1L)).as("m_score"))
+    rScored.join(fScored, "user_id").join(mScored, "user_id")
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_users"),
+        round(sum(col("mon")).cast("double"), 6).as("total_revenue"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
 }

@@ -202,4 +202,109 @@ object LmFilter {
       .withColumn("kept", (col("avg_nll") <= NllKeepMax).cast("int"))
       .orderBy("doc_id")
   }
+
+  /** Rank cutoff for the [[zipfFit]] regression (the classic fit is
+    * over the head of the distribution; the tail is censored by
+    * corpus size and bends the log-log line). */
+  val ZipfTopRanks = 100L
+
+  /** #180 Zipf's-law fit per language: token frequencies ranked by
+    * the [[Rank.twoLevelRank]] decomposition (the type vocabulary is
+    * itself huge at 100 TB — no task sorts a language's vocab), then
+    * OLS of ln(freq) on ln(rank) over the top [[ZipfTopRanks]] ranks.
+    * The fitted slope (≈ −1 for natural text) is the corpus-health
+    * check a tokenizer/quality pipeline reads: scraped boilerplate
+    * and spam bend it far from −1.
+    *
+    * Exactness: both regressors are ln values of exact integers,
+    * rounded to 6 dp and carried as integer micro-units — Σx, Σy,
+    * Σxy, Σx², Σy² are exact long sums (bounded: 100 terms of ≤2e7
+    * micro each), the OLS numerators exact decimal(38,0) products at
+    * language grain, one terminal double division per statistic (the
+    * ols_brand shape). Corpus-scale work is ONE token explode + hash
+    * aggregate; everything after runs on ≤[[ZipfTopRanks]] rows per
+    * language. */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val docs = Tables.load(spark, dir, "documents")
+    val counts = docs.select(col("lang"),
+        explode(filter(split(lower(trim(col("text"))), "\\s+"),
+          t => t =!= "")).as("tok"))
+      .groupBy("lang", "tok")
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // pinned: feeds rank + the totals branch
+    val totals = counts.groupBy("lang")
+      .agg(count(lit(1)).as("n_types"), sum(col("cnt")).as("n_tokens"))
+    val ranked = Rank.twoLevelRank(counts, Seq("lang"),
+      floor(log(2.0, col("cnt"))).cast("long"), blkAscending = false,
+      Seq(col("cnt").desc, col("tok").asc), "rnk", "nn")
+      .filter(col("rnk") <= ZipfTopRanks)
+      .select(col("lang"),
+        // 6 dp-rounded ln carried as exact integer micro-units: the
+        // double→decimal(18,6) conversion is exact on an already-6dp
+        // value, and the ×10⁶ rescale happens in DECIMAL (a double
+        // ×1e6 + cast would truncate 4.599999…e6 on Spark while
+        // DuckDB's double→bigint cast rounds — engine mismatch)
+        (round(log(col("rnk").cast("double")), 6).cast("decimal(18,6)")
+          * 1000000L).cast("long").as("x"),
+        (round(log(col("cnt").cast("double")), 6).cast("decimal(18,6)")
+          * 1000000L).cast("long").as("y"))
+    val sums = ranked.groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast(dec).as("sx"),
+        sum(col("y")).cast(dec).as("sy"),
+        sum(col("x") * col("y")).cast(dec).as("sxy"),
+        sum(col("x") * col("x")).cast(dec).as("sx2"),
+        sum(col("y") * col("y")).cast(dec).as("sy2"))
+    sums
+      .select(col("lang"), col("n"),
+        (col("n").cast(dec) * col("sxy") - col("sx") * col("sy"))
+          .as("num"),
+        (col("n").cast(dec) * col("sx2") - col("sx") * col("sx"))
+          .as("den"),
+        (col("sy") * col("sx2") - col("sx") * col("sxy")).as("inum"),
+        (col("n").cast(dec) * col("sy2") - col("sy") * col("sy"))
+          .as("sst"))
+      .join(totals, "lang")
+      .select(col("lang"), col("n_types"), col("n_tokens"),
+        col("n").as("n_fit"),
+        round(col("num").cast("double") / col("den").cast("double"), 6)
+          .as("slope"),
+        round(col("inum").cast("double") / col("den").cast("double")
+          / 1e6, 6).as("intercept"),
+        round((col("num").cast("double") / col("den").cast("double"))
+          * (col("num").cast("double") / col("sst").cast("double")), 6)
+          .as("r2"))
+      .orderBy("lang")
+  }
+
+  /** #181 Lexical-diversity profile per document: token count, type
+    * count, hapax-legomenon count, type-token ratio (exact integer
+    * ppm) and Yule's K = 10⁴·(Σtf² − N)/N² — the
+    * vocabulary-richness column set a curation pipeline reads next
+    * to the #152 rule verdicts (a high-K doc is repetitive even when
+    * no single token trips the Gopher top-token rule).
+    *
+    * All-integer until the one terminal division in K; same
+    * explode → (doc, token) → doc-grain shape as [[gopherRules]],
+    * both aggregates partial-aggregating map-side. */
+  def lexicalDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val perTok = docs.select(col("doc_id"),
+        explode(filter(split(lower(trim(col("text"))), "\\s+"),
+          t => t =!= "")).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"))
+    perTok.groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tok"),
+        count(lit(1)).as("n_types"),
+        sum((col("tf") === 1L).cast("long")).as("hapax"),
+        sum(col("tf") * col("tf")).as("tf2"))
+      .select(col("doc_id"), col("n_tok"), col("n_types"), col("hapax"),
+        expr("n_types * 1000000 div n_tok").as("ttr_ppm"),
+        round((lit(10000L) * (col("tf2") - col("n_tok"))).cast("double")
+          / (col("n_tok") * col("n_tok")).cast("double"), 6)
+          .as("yule_k"))
+      .orderBy("doc_id")
+  }
 }

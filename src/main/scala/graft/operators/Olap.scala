@@ -397,4 +397,43 @@ object Olap {
         col("entropy"))
       .orderBy("column")
   }
+
+  /** #186 Winsorization — per-group tail clamping at the exact
+    * interpolated p05/p95 (the robust-preprocessing step run before
+    * any mean-based feature lands in a training set; the
+    * outlier-DETECTION twins are #85/#138, this one repairs instead
+    * of flags).
+    *
+    * Engine-exactness: the cut points are the #39 exact interpolated
+    * percentiles ROUNDED to 6 dp on both engines BEFORE any
+    * comparison — every clamp decision compares identical doubles
+    * against identical cuts, so membership (and therefore the
+    * clamped multiset) is bit-identical; means are exact decimal
+    * sums of 6 dp-quantized values with one terminal division.
+    *
+    * Scale: the exact per-group percentile sorts each group on one
+    * task — the documented #39 trade (the GK sketch #79 is the
+    * hot-group escape); the clamp pass is one broadcast join + a
+    * map-side-combined aggregate over the same scan. */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val cuts = ev.groupBy("event_type")
+      .agg(expr("percentile(value, array(0.05D, 0.95D))").as("ps"))
+      .select(col("event_type"),
+        round(element_at(col("ps"), 1), 6).as("lo"),
+        round(element_at(col("ps"), 2), 6).as("hi"))
+    ev.join(broadcast(cuts), "event_type")
+      .withColumn("clamped",
+        when(col("value") < col("lo"), col("lo"))
+          .when(col("value") > col("hi"), col("hi"))
+          .otherwise(col("value")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        min(col("lo")).as("lo"), min(col("hi")).as("hi"),
+        sum((col("value") < col("lo")).cast("long")).as("n_lo"),
+        sum((col("value") > col("hi")).cast("long")).as("n_hi"),
+        round(Num.davg(col("value")), 6).as("mean_raw"),
+        round(Num.davg(col("clamped")), 6).as("mean_winsor"))
+      .orderBy("event_type")
+  }
 }

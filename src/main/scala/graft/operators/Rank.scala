@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Shared TWO-LEVEL global-rank decomposition (SURVEY.md §5): a
+  * global `row_number` without any task ever sorting a whole key
+  * space. The pattern proved out across #96/#126/#139/#167 — this
+  * helper factors it for the round-15 consumers ([[Dimensional
+  * .rfmSegments]], [[LmFilter.zipfFit]], [[TrainExport]] ordinals).
+  *
+  * Decomposition: rows carry a caller-chosen BLOCK id that is
+  * monotone in the global order's leading key (so blocks partition
+  * the order into contiguous runs). Level 1 ranks inside each
+  * (partition, block) — bounded by the block's population, many
+  * tasks. Level 2 builds the |blocks|-row cumulative-offset table
+  * and broadcast-joins it back: global rank = block offset + local
+  * rank. Equivalence to the single-window form is oracle-checked on
+  * every consumer (the DuckDB twin ranks with ONE window).
+  */
+object Rank {
+
+  /** Adds `rankName` (1-based global row_number within `part` over
+    * `order`) and `nName` (the partition's row count) to `df`.
+    *
+    * @param blk   block id column — MUST be monotone non-increasing
+    *              ordering-wise with `order`'s leading key when
+    *              `blkAscending` matches the order direction; rows
+    *              with equal `order` prefixes may share blocks freely
+    * @param order total order WITHIN a partition (include a unique
+    *              tiebreak — ranks must be deterministic)
+    */
+  def twoLevelRank(df: DataFrame, part: Seq[String], blk: Column,
+      blkAscending: Boolean, order: Seq[Column],
+      rankName: String, nName: String): DataFrame = {
+    val withBlk = df.withColumn("__blk", blk)
+    val partCols = part.map(col)
+    val wLocal = Window.partitionBy((partCols :+ col("__blk")): _*)
+      .orderBy(order: _*)
+    val local = withBlk
+      .withColumn("__lrnk", row_number().over(wLocal).cast("long"))
+    val wOff = Window.partitionBy(partCols: _*)
+      .orderBy(if (blkAscending) col("__blk").asc else col("__blk").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wN =
+      if (part.isEmpty) Window.partitionBy(lit(0))
+      else Window.partitionBy(partCols: _*)
+    val offsets = withBlk
+      .groupBy((partCols :+ col("__blk")): _*)
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
+      .withColumn(nName, sum(col("__c")).over(wN))
+      .select((partCols ++ Seq(col("__blk"), col("__off"), col(nName))): _*)
+    local.join(broadcast(offsets), part :+ "__blk")
+      .withColumn(rankName, col("__off") + col("__lrnk"))
+      .drop("__blk", "__lrnk", "__off", "__c")
+  }
+}

@@ -196,4 +196,59 @@ object Sessions {
       .select("rnk", "path", "n")
       .orderBy("rnk")
   }
+
+  /** #182 Session entry/exit matrix — "where do sessions start, where
+    * do they die": per (first event type, last event type) the
+    * session count, single-event bounce count, and total events.
+    * The landing/exit-page report product analytics serves beside
+    * the #161 path mining and the #88 funnel.
+    *
+    * Same two-level session assembly as [[sessionize]] (block-local
+    * gap chains + per-user boundary stitch — bit-identical to the
+    * one-window form, skew kill-tested there); entry/exit ride the
+    * merge as min/max of (us, event_id, event_type) structs, whose
+    * lexicographic order IS the session's event order (event_id
+    * breaks ts ties), so no second pass over the events. Output is
+    * ≤|types|² rows at any scale. */
+  def sessionEntryExit(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = SessionGapMinutes * 60L * 1000000L
+    val blockUs = 86400L * 1000000L
+    val byBlock = Window.partitionBy("user_id", "block")
+      .orderBy(col("ts"), col("event_id"))
+    val local = Tables.load(spark, dir, "events")
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("block", floor(col("us") / blockUs))
+      .withColumn("prev_us", lag(col("us"), 1).over(byBlock))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("lsess", sum(col("new_sess")).over(
+        byBlock.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "block", "lsess")
+      .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"),
+        min(struct(col("us"), col("event_id"), col("event_type")))
+          .as("fst"),
+        max(struct(col("us"), col("event_id"), col("event_type")))
+          .as("lst"),
+        count(lit(1)).as("n_events"))
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("start_us"), col("lsess"))
+    local
+      .withColumn("prev_end", lag(col("end_us"), 1).over(byUser))
+      .withColumn("new_chain",
+        when(col("prev_end").isNull ||
+          col("start_us") - col("prev_end") > gapUs, 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("new_chain")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess_id")
+      .agg(min(col("fst")).as("fst"), max(col("lst")).as("lst"),
+        sum(col("n_events")).as("n_events"))
+      .select(col("fst.event_type").as("entry_type"),
+        col("lst.event_type").as("exit_type"), col("n_events"))
+      .groupBy("entry_type", "exit_type")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum((col("n_events") === 1L).cast("long")).as("n_bounces"),
+        sum(col("n_events")).as("total_events"))
+      .orderBy("entry_type", "exit_type")
+  }
 }

@@ -362,4 +362,61 @@ object TimeSeries {
         col("n_out"))
       .orderBy("event_type")
   }
+
+  /** Maximum lag reported by [[autocorr]]. */
+  val AcfMaxLag = 7
+
+  /** #177 Autocorrelation function of the daily purchase-revenue
+    * series at lags 1..[[AcfMaxLag]] — "does yesterday's revenue
+    * predict today's?", the memory diagnostic read before fitting any
+    * forecasting model on the stream.
+    *
+    * Exactness: the series is the per-day exact decimal revenue sum
+    * floored to WHOLE currency units (xw = Σ micro-units div 10⁶ —
+    * both engines floor the same exact integer, and whole-unit grain
+    * keeps the centered cross-products inside decimal(38,0) at any
+    * plausible scale, where micro-grain squares would overflow by
+    * ~10¹² at 100 TB). Centering without division: c_t = n·xw_t − S
+    * (Σc = 0 by construction), acf_l = Σ c_t·c_{t+l} / Σ c_t² — the
+    * n² factors cancel, so this IS the standard sample ACF with ONE
+    * terminal double division per lag.
+    *
+    * Scale: corpus-scale work is the day-grain map-side-combined
+    * aggregate; everything after runs on ≤|days| rows (calendar-
+    * bounded — thousands of rows at ANY corpus size), where the
+    * single day-ordered window is a deliberate bounded collapse, not
+    * a skew risk. */
+  def autocorr(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val days = purchases(spark, dir)
+      .groupBy(expr(s"unix_micros(ts) div $dayUs").as("day"))
+      .agg(Num.dsumExact(col("value")).as("rev_dec"))
+      .select(col("day"),
+        expr("cast(rev_dec * 1000000 as decimal(38,0)) div 1000000")
+          .as("xw"))
+    val n = Window.partitionBy(lit(0))
+    val centered = days
+      .withColumn("n", count(lit(1)).over(n))
+      .withColumn("s", sum(col("xw")).over(n))
+      .withColumn("c",
+        (col("n") * col("xw") - col("s")).cast("decimal(38,0)"))
+    val w = Window.partitionBy(lit(0)).orderBy("day")
+    val lagged = centered.select(
+      (col("c") * col("c")).cast("decimal(38,0)").as("den_term") +:
+        (1 to AcfMaxLag).map(l =>
+          (col("c") * lag(col("c"), l).over(w)).cast("decimal(38,0)")
+            .as(s"num_$l")): _*)
+    val lags = (1 to AcfMaxLag).map(l =>
+      s"${l}L, num_$l").mkString(s"stack($AcfMaxLag, ", ", ", ")")
+    lagged
+      .select(col("den_term"), expr(lags).as(Seq("lag", "num_term")))
+      .groupBy("lag")
+      .agg(sum(col("den_term")).as("den"),
+        sum(col("num_term")).as("num"),
+        count(col("num_term")).as("n_pairs"))
+      .select(col("lag"), col("n_pairs"),
+        round(col("num").cast("double") / col("den").cast("double"), 6)
+          .as("acf"))
+      .orderBy("lag")
+  }
 }
