@@ -179,7 +179,11 @@ object SparkEntry {
     "rfm_segments" -> (Dimensional.rfmSegments _),
     "autocorr" -> (TimeSeries.autocorr _),
     "khop_reach" -> (Components.khopReach _),
-    "winsorize" -> (Olap.winsorize _)
+    "winsorize" -> (Olap.winsorize _),
+    "zipf_fit" -> (LmFilter.zipfFit _),
+    "lexical_diversity" -> (LmFilter.lexicalDiversity _),
+    "session_entry_exit" -> (Sessions.sessionEntryExit _),
+    "cusum_alerts" -> (TimeSeries.cusumAlerts _)
   )
 
   private val Dec = "decimal(28,6)"
@@ -2798,6 +2802,109 @@ object SparkEntry {
         |    / count(value), 6) AS mean_raw,
         |  round(cast(sum(cast(clamped AS decimal(18,6))) AS double)
         |    / count(clamped), 6) AS mean_winsor
-        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Zipf twin: single-window per-lang rank, identical 6dp-ln
+    // micro-unit quantization, hugeint OLS numerators.
+    "zipf_fit" ->
+      """WITH t AS (SELECT lang, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> x <> '')) AS tok
+        |  FROM documents),
+        |c AS (SELECT lang, tok, count(*) AS cnt FROM t GROUP BY 1, 2),
+        |tot AS (SELECT lang, count(*) AS n_types,
+        |    cast(sum(cnt) AS bigint) AS n_tokens FROM c GROUP BY 1),
+        |r AS (SELECT lang, cnt, row_number() OVER (PARTITION BY lang
+        |    ORDER BY cnt DESC, tok ASC) AS rnk FROM c),
+        |q AS (SELECT lang,
+        |    cast(cast(round(ln(cast(rnk AS double)), 6)
+        |      AS decimal(18,6)) * 1000000 AS bigint) AS x,
+        |    cast(cast(round(ln(cast(cnt AS double)), 6)
+        |      AS decimal(18,6)) * 1000000 AS bigint) AS y
+        |  FROM r WHERE rnk <= 100),
+        |s AS (SELECT lang, count(*) AS n,
+        |    cast(sum(x) AS hugeint) AS sx, cast(sum(y) AS hugeint) AS sy,
+        |    cast(sum(x*y) AS hugeint) AS sxy,
+        |    cast(sum(x*x) AS hugeint) AS sx2,
+        |    cast(sum(y*y) AS hugeint) AS sy2
+        |  FROM q GROUP BY 1)
+        |SELECT s.lang, tot.n_types, tot.n_tokens, s.n AS n_fit,
+        |  round(cast(n*sxy - sx*sy AS double)
+        |    / cast(n*sx2 - sx*sx AS double), 6) AS slope,
+        |  round(cast(sy*sx2 - sx*sxy AS double)
+        |    / cast(n*sx2 - sx*sx AS double) / 1e6, 6) AS intercept,
+        |  round((cast(n*sxy - sx*sy AS double)
+        |      / cast(n*sx2 - sx*sx AS double))
+        |    * (cast(n*sxy - sx*sy AS double)
+        |      / cast(n*sy2 - sy*sy AS double)), 6) AS r2
+        |FROM s JOIN tot USING (lang) ORDER BY lang""".stripMargin,
+    // Lexical-diversity twin: same tokenization, integer TTR/Yule-K.
+    "lexical_diversity" ->
+      """WITH t AS (SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> x <> '')) AS tok
+        |  FROM documents),
+        |pt AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+        |d AS (SELECT doc_id, cast(sum(tf) AS bigint) AS n_tok,
+        |    count(*) AS n_types,
+        |    cast(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS bigint)
+        |      AS hapax,
+        |    cast(sum(tf*tf) AS bigint) AS tf2
+        |  FROM pt GROUP BY 1)
+        |SELECT doc_id, n_tok, n_types, hapax,
+        |  n_types * 1000000 // n_tok AS ttr_ppm,
+        |  round(cast(10000 * (tf2 - n_tok) AS double)
+        |    / cast(n_tok * n_tok AS double), 6) AS yule_k
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // Entry/exit twin: the sessionize session-id chain + arg_min/max
+    // on the (us, event_id) order key.
+    "session_entry_exit" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM g),
+        |sess AS (SELECT user_id, sess_id,
+        |    min(struct_pack(us := epoch_us(ts), eid := event_id,
+        |      et := event_type)).et AS entry_type,
+        |    max(struct_pack(us := epoch_us(ts), eid := event_id,
+        |      et := event_type)).et AS exit_type,
+        |    count(*) AS n_events
+        |  FROM s GROUP BY 1, 2)
+        |SELECT entry_type, exit_type, count(*) AS n_sessions,
+        |  cast(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS bigint)
+        |    AS n_bounces,
+        |  cast(sum(n_events) AS bigint) AS total_events
+        |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // CUSUM twin: the identical n-scaled integer recurrence unrolled
+    // by a recursive CTE over per-user day ranks.
+    "cusum_alerts" ->
+      """WITH RECURSIVE pd AS (SELECT user_id,
+        |    epoch_us(ts) // 86400000000 AS day, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |u AS (SELECT user_id, count(*) AS n,
+        |    cast(sum(cnt) AS bigint) AS t FROM pd GROUP BY 1),
+        |r AS (SELECT user_id, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY day) AS i, day, cnt FROM pd),
+        |c AS (
+        |  SELECT r.user_id, r.i, r.day,
+        |    greatest(0, u.n * r.cnt - u.t - u.t // 4) AS s
+        |  FROM r JOIN u USING (user_id) WHERE r.i = 1
+        |  UNION ALL
+        |  SELECT r.user_id, r.i, r.day,
+        |    greatest(0, c.s + u.n * r.cnt - u.t - u.t // 4) AS s
+        |  FROM c JOIN r ON r.user_id = c.user_id AND r.i = c.i + 1
+        |  JOIN u ON u.user_id = c.user_id)
+        |SELECT u.user_id, cast(u.n AS bigint) AS n_days, u.t AS total,
+        |  cast(max(c.s) AS bigint) AS max_cusum,
+        |  cast(sum(CASE WHEN c.s > u.t THEN 1 ELSE 0 END) AS bigint)
+        |    AS n_alerts,
+        |  min(CASE WHEN c.s > u.t THEN c.day END) AS first_alert_day
+        |FROM c JOIN u USING (user_id) GROUP BY 1, 2, 3
+        |ORDER BY 1""".stripMargin
   )
 }

@@ -419,4 +419,58 @@ object TimeSeries {
           .as("acf"))
       .orderBy("lag")
   }
+
+  /** #185 CUSUM changepoint alerts per stream key — the sequential
+    * drift detector beside the windowed screens (#85 z-score reacts
+    * to one spike, #148 PSI to a distribution move; CUSUM
+    * accumulates SMALL persistent shifts until they cross a
+    * threshold, the classic "slow leak" detector).
+    *
+    * Signal: each user's daily event count vs their own mean.
+    * Everything rides the n-scaled INTEGER recurrence
+    * S_t = max(0, S_{t−1} + (n·c_t − T) − T div 4), alert when
+    * S_t > T (with T = Σc the user's total and n their observed-day
+    * count, n·c_t − T is the mean-centered deviation scaled by n —
+    * no division anywhere, so the fold is bit-exact on any engine).
+    *
+    * Scale: corpus-scale work is the (user, day)-grain map-side
+    * count; the recurrence is inherently sequential but its domain
+    * is ≤|days| rows per user (calendar-bounded by construction), so
+    * it folds over one bounded sorted array per user — a Catalyst
+    * `aggregate` HOF on ≤|days| elements, the same bounded-collect
+    * contract as #161's paths. Never a window over raw events. */
+  def cusumAlerts(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val perDay = Tables.load(spark, dir, "events")
+      .groupBy(col("user_id"),
+        expr(s"unix_micros(ts) div $dayUs").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    perDay.groupBy("user_id")
+      .agg(count(lit(1)).as("n_days"), sum(col("cnt")).as("total"),
+        sort_array(collect_list(struct(col("day"), col("cnt"))))
+          .as("days"))
+      .withColumn("acc", expr(
+        """aggregate(
+          |  days,
+          |  struct(0L as s, 0L as mx, 0L as n_alerts,
+          |         cast(null as bigint) as first_day),
+          |  (a, e) -> named_struct(
+          |    's', greatest(0L, a.s + (n_days * e.cnt - total)
+          |                       - (total div 4)),
+          |    'mx', greatest(a.mx,
+          |      greatest(0L, a.s + (n_days * e.cnt - total)
+          |                       - (total div 4))),
+          |    'n_alerts', a.n_alerts +
+          |      if(greatest(0L, a.s + (n_days * e.cnt - total)
+          |                       - (total div 4)) > total, 1L, 0L),
+          |    'first_day', coalesce(a.first_day,
+          |      if(greatest(0L, a.s + (n_days * e.cnt - total)
+          |                       - (total div 4)) > total,
+          |         e.day, cast(null as bigint)))))""".stripMargin))
+      .select(col("user_id"), col("n_days"), col("total"),
+        col("acc.mx").as("max_cusum"),
+        col("acc.n_alerts").as("n_alerts"),
+        col("acc.first_day").as("first_alert_day"))
+      .orderBy("user_id")
+  }
 }
