@@ -183,7 +183,11 @@ object SparkEntry {
     "zipf_fit" -> (LmFilter.zipfFit _),
     "lexical_diversity" -> (LmFilter.lexicalDiversity _),
     "session_entry_exit" -> (Sessions.sessionEntryExit _),
-    "cusum_alerts" -> (TimeSeries.cusumAlerts _)
+    "cusum_alerts" -> (TimeSeries.cusumAlerts _),
+    "systematic_sample" -> (Sampling.systematicSample _),
+    "assign_ids" -> (TrainExport.assignIds _),
+    "random_projection" -> (Similarity.randomProjection _),
+    "embed_outliers" -> (Similarity.embedOutliers _)
   )
 
   private val Dec = "decimal(28,6)"
@@ -2905,6 +2909,86 @@ object SparkEntry {
         |    AS n_alerts,
         |  min(CASE WHEN c.s > u.t THEN c.day END) AS first_alert_day
         |FROM c JOIN u USING (user_id) GROUP BY 1, 2, 3
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+    // Systematic-PPS twin: single-window exclusive prefix sum in the
+    // same md5 order, identical non-negative integer hit arithmetic.
+    "systematic_sample" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |    cast(('0x'||substr(md5(77 || ':' || doc_id), 25, 8))::UBIGINT
+        |      AS bigint) AS skey
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_chars,
+        |    cast(coalesce(sum(n_chars) OVER (ORDER BY skey, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS bigint) AS cum,
+        |    cast(sum(n_chars) OVER () AS bigint) AS wtot
+        |  FROM d)
+        |SELECT doc_id, n_chars, cum,
+        |  cast(((100 * (cum + n_chars) + wtot - 1) // wtot + 1) // 2
+        |    - ((100 * cum + wtot - 1) // wtot + 1) // 2 AS bigint)
+        |    AS n_hits
+        |FROM c
+        |WHERE ((100 * (cum + n_chars) + wtot - 1) // wtot + 1) // 2
+        |    - ((100 * cum + wtot - 1) // wtot + 1) // 2 > 0
+        |ORDER BY doc_id""".stripMargin,
+    // Ordinal twin: per-cohort single-window row_number, new cohort
+    // offset by the base count.
+    "assign_ids" ->
+      """WITH d AS (SELECT doc_id, doc_id % 3 = 0 AS is_new,
+        |    cast(('0x'||substr(md5(101 || ':' || doc_id), 25, 8))::UBIGINT
+        |      AS bigint) AS skey
+        |  FROM documents),
+        |r AS (SELECT doc_id, is_new,
+        |    row_number() OVER (PARTITION BY is_new
+        |      ORDER BY skey, doc_id) AS rnk
+        |  FROM d),
+        |b AS (SELECT count(*) AS n_base FROM d WHERE NOT is_new)
+        |SELECT doc_id, cast(CASE WHEN is_new THEN 1 ELSE 0 END AS bigint)
+        |    AS is_new,
+        |  cast(CASE WHEN is_new THEN (SELECT n_base FROM b) ELSE 0 END
+        |    + rnk AS bigint) AS ordinal
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // JL-sketch twin: same md5-parity sign matrix, same 6dp
+    // micro-unit quantization, exact integer coordinate sums.
+    "random_projection" ->
+      """WITH e AS (SELECT vec_id, cast(embedding AS double[]) AS v
+        |  FROM embeddings),
+        |x AS (SELECT vec_id, dd.d AS d,
+        |    cast(cast(v[dd.d + 1] AS decimal(18,6)) * 1000000 AS bigint)
+        |      AS q
+        |  FROM e, (SELECT unnest(range(128)) AS d) dd
+        |  WHERE dd.d < len(v)),
+        |s AS (SELECT dd.d, jj.j,
+        |    CASE WHEN ('0x'||substr(md5(dd.d || '_' || jj.j), 25, 8))
+        |      ::UBIGINT % 2 = 0 THEN 1 ELSE -1 END AS sgn
+        |  FROM (SELECT unnest(range(128)) AS d) dd,
+        |       (SELECT unnest(range(8)) AS j) jj)
+        |SELECT x.vec_id, s.j AS proj_dim,
+        |  cast(sum(x.q * s.sgn) AS bigint) AS coord
+        |FROM x JOIN s USING (d) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Outlier-screen twin: the centroid_assign centroid CTE, cosine
+    // to the OWN label's centroid, 6dp-rounded membership.
+    "embed_outliers" ->
+      """WITH s AS (SELECT label, embedding,
+        |    unnest(range(len(embedding))) AS pos
+        |  FROM embeddings),
+        |d AS (SELECT label, pos,
+        |    cast(sum(cast(cast(embedding[pos + 1] AS double)
+        |      AS decimal(28,6))) AS double) / cast(count(*) AS double) AS m
+        |  FROM s GROUP BY 1, 2),
+        |c AS (SELECT label AS c_label, list(m ORDER BY pos) AS cvec
+        |  FROM d GROUP BY 1),
+        |e AS (SELECT vec_id, label, cast(embedding AS double[]) AS v
+        |  FROM embeddings),
+        |j AS (SELECT e.label,
+        |    round(list_cosine_similarity(e.v, c.cvec), 6) AS cs6
+        |  FROM e JOIN c ON e.label = c.c_label)
+        |SELECT label, count(*) AS n_vecs,
+        |  cast(sum(CASE WHEN cs6 < 0.0 THEN 1 ELSE 0 END) AS bigint)
+        |    AS n_outliers,
+        |  min(cs6) AS min_cos,
+        |  round(cast(sum(cast(cs6 AS decimal(28,6))) AS double)
+        |    / cast(count(*) AS double), 6) AS avg_cos
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

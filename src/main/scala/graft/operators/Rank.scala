@@ -56,4 +56,37 @@ object Rank {
       .withColumn(rankName, col("__off") + col("__lrnk"))
       .drop("__blk", "__lrnk", "__off", "__c")
   }
+
+  /** Adds `name` (EXCLUSIVE prefix sum of `value` in the global
+    * `order` within `part`) and `totalName` (the partition's total) —
+    * the same decomposition as [[twoLevelRank]] with sums instead of
+    * counts (and the #89 pack_sequences shape, factored): block-local
+    * running sums + broadcast cumulative block offsets. `blk` must be
+    * monotone ASCENDING with `order`'s leading key. */
+  def twoLevelPrefixSum(df: DataFrame, part: Seq[String], blk: Column,
+      order: Seq[Column], value: Column,
+      name: String, totalName: String): DataFrame = {
+    val withBlk = df.withColumn("__blk", blk).withColumn("__v", value)
+    val partCols = part.map(col)
+    val wLocal = Window.partitionBy((partCols :+ col("__blk")): _*)
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = withBlk
+      .withColumn("__lsum", coalesce(sum(col("__v")).over(wLocal), lit(0L)))
+    val wOff = Window.partitionBy(partCols: _*).orderBy(col("__blk").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wN =
+      if (part.isEmpty) Window.partitionBy(lit(0))
+      else Window.partitionBy(partCols: _*)
+    val offsets = withBlk
+      .groupBy((partCols :+ col("__blk")): _*)
+      .agg(sum(col("__v")).as("__bs"))
+      .withColumn("__off", coalesce(sum(col("__bs")).over(wOff), lit(0L)))
+      .withColumn(totalName, sum(col("__bs")).over(wN))
+      .select((partCols ++ Seq(col("__blk"), col("__off"),
+        col(totalName))): _*)
+    local.join(broadcast(offsets), part :+ "__blk")
+      .withColumn(name, col("__off") + col("__lsum"))
+      .drop("__blk", "__v", "__lsum", "__off", "__bs")
+  }
 }

@@ -146,4 +146,44 @@ object Sampling {
       .groupBy("event_type", "split")
       .agg(count(lit(1)).as("n_events"), Num.dsum(col("value")).as("sum_value"))
       .orderBy("event_type", "split")
+
+  /** Sample size for [[systematicSample]]. */
+  val SysK = 50L
+  /** Seed for the systematic order key (changing it reorders the
+    * circle — a different but equally valid systematic draw). */
+  val SysSeed = 77L
+
+  /** #183 Systematic PPS sampling without replacement — the exact,
+    * division-free alternative to the Poisson draw (#95 pps_sample):
+    * lay the corpus on a weight line in a seeded md5-permuted order,
+    * drop k midpoint-spaced grid points (2i+1)·W/2k, and select every
+    * document whose weight interval contains a point. Exactly k hits
+    * total (multi-hits when w > W/k), inclusion probability ∝ weight
+    * — the classic fixed-size PPS design, and every membership
+    * decision is INTEGER: with A = 2k·cum and B = 2k·(cum+w), the
+    * document's grid-index window is [⌈A/W⌉, ⌈B/W⌉) over odd j, so
+    * n_hits = ⌊(⌈B/W⌉+1)/2⌋ − ⌊(⌈A/W⌉+1)/2⌋ with every operand
+    * non-negative (floor ≡ truncate ≡ both engines' integer
+    * division — no signed-division semantics in sight).
+    *
+    * Scale: the exclusive prefix sum is [[Rank.twoLevelPrefixSum]]
+    * (block-local running sums + broadcast block offsets over the
+    * 2²⁴-wide key blocks) — no task ever scans the corpus in order;
+    * everything else is a per-row projection. */
+  def systematicSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars").as("w"),
+        conv(substring(md5(concat_ws(":", lit(SysSeed), col("doc_id"))),
+          25, 8), 16, 10).cast("long").as("skey"))
+    val k2 = 2L * SysK
+    Rank.twoLevelPrefixSum(docs, Seq.empty,
+        expr("skey div 16777216"), Seq(col("skey"), col("doc_id")),
+        col("w"), "cum", "wtot")
+      .select(col("doc_id"), col("w").as("n_chars"), col("cum"),
+        expr(s"((($k2 * (cum + w) + wtot - 1) div wtot + 1) div 2)" +
+          s" - ((($k2 * cum + wtot - 1) div wtot + 1) div 2)")
+          .as("n_hits"))
+      .filter(col("n_hits") > 0)
+      .orderBy("doc_id")
+  }
 }

@@ -905,4 +905,73 @@ object Similarity {
         round(col("max_v"), 6).as("max_v"), col("n_zero"))
       .orderBy("dim")
   }
+
+  /** Output dimensionality of [[randomProjection]]. */
+  val RpDims = 8L
+
+  /** #179 Random-projection dimensionality reduction (Achlioptas ±1 /
+    * JL sketch): project each embedding onto [[RpDims]] hyperplanes
+    * whose signs are a pure md5-affine function of (input-dim,
+    * output-dim) — no trained matrix, no model artifact, the
+    * projection any worker can recompute from the pair of indices.
+    * The cheap front-end of the ANN/dedup family: 8 exact integer
+    * coordinates per vector (inputs 6 dp-quantized, coordinates exact
+    * ±sums of micro-units — fully oracled, unlike any float sketch).
+    *
+    * Scale: one posexplode (rows × dim) + a broadcast join against
+    * the dim × [[RpDims]] sign table + a (vec, j)-grain map-side
+    * aggregate. Row-linear; no shuffle wider than the output. */
+  def randomProjection(spark: SparkSession, dir: String): DataFrame = {
+    val x = emb(spark, dir)
+      .select(col("vec_id"), posexplode(col("vec")).as(Seq("d", "xv")))
+      .select(col("vec_id"), col("d").cast("long").as("d"),
+        Num.unscaled6(col("xv")).as("q"))
+    val signs = spark.range(0, 128).select(col("id").as("d"))
+      .crossJoin(spark.range(0, RpDims).select(col("id").as("j")))
+      .withColumn("sgn",
+        when(pmod(conv(substring(md5(concat_ws("_", col("d"), col("j"))),
+          25, 8), 16, 10).cast("long"), lit(2L)) === 0L, 1L)
+          .otherwise(-1L))
+    x.join(broadcast(signs), "d")
+      .groupBy("vec_id", "j")
+      .agg(sum(col("q") * col("sgn")).as("coord"))
+      .select(col("vec_id"), col("j").as("proj_dim"), col("coord"))
+      .orderBy("vec_id", "proj_dim")
+  }
+
+  /** Own-centroid cosine floor for [[embedOutliers]] (6 dp-rounded
+    * compare — sf-calibrated: the synthetic corpus' own-label cosine
+    * runs ≈[−0.30, 0.47], so 0 flags the ~7% mislabeled-looking
+    * tail). */
+  val OutlierCosMax = 0.0
+
+  /** #187 Embedding-outlier screen: every vector's cosine to its OWN
+    * label centroid, flagged when below [[OutlierCosMax]] — the
+    * "probably mislabeled / off-distribution" report a labeling or
+    * embedding pipeline reads before training a classifier (the
+    * cross-label twin is #73's confusion matrix; #113 runs the same
+    * screen on binary payloads). Membership compares the 6 dp-rounded
+    * cosine on both engines; the mean is an exact decimal sum of the
+    * rounded values.
+    *
+    * Scale: |labels|-row broadcast centroid table (the bounded #72
+    * model artifact), one label-keyed broadcast join, label-grain
+    * map-side aggregate. */
+  def embedOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val cvecs = centroidDims(spark, dir)
+      .groupBy(col("label").as("c_label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m)))," +
+        " t -> t.m)").as("cvec"))
+    emb(spark, dir)
+      .join(broadcast(cvecs), col("label") === col("c_label"))
+      .select(col("label"), round(cosine(col("vec"), col("cvec")), 6)
+        .as("cs6"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum((col("cs6") < OutlierCosMax).cast("long")).as("n_outliers"),
+        min(col("cs6")).as("min_cos"),
+        round(Num.dsum(col("cs6")) / count(lit(1)).cast("double"), 6)
+          .as("avg_cos"))
+      .orderBy("label")
+  }
 }

@@ -251,4 +251,39 @@ object TrainExport {
           .as("sched_checksum"))
       .orderBy("bucket")
   }
+
+  /** Seed for the [[assignIds]] ordering key. */
+  val IdSeed = 101L
+
+  /** #184 Stable dense-ordinal assignment — distributed zipWithIndex
+    * with an append contract: every document gets a gap-free global
+    * ordinal 1..N in a deterministic md5-keyed order, and ordinals
+    * are assigned base-first (the "already registered" rows, modeled
+    * here as doc_id ≢ 0 mod 3) so appending the new batch EXTENDS
+    * the sequence — existing ordinals are reproduced bit-identically,
+    * never rewritten. The primitive behind stable row ids for
+    * training-example references, delta exports, and resumable
+    * epoch bookkeeping (Spark's `monotonically_increasing_id` is
+    * partition-dependent and neither dense nor stable).
+    *
+    * The global rank is [[Rank.twoLevelRank]] per cohort (no task
+    * sorts the corpus); the new cohort's offset is the base count,
+    * broadcast from the rank's own offsets table. */
+  def assignIds(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        (pmod(col("doc_id"), lit(3L)) === 0L).cast("long").as("is_new"),
+        conv(substring(md5(concat_ws(":", lit(IdSeed), col("doc_id"))),
+          25, 8), 16, 10).cast("long").as("skey"))
+    val ranked = Rank.twoLevelRank(docs, Seq("is_new"),
+      expr("skey div 16777216"), blkAscending = true,
+      Seq(col("skey").asc, col("doc_id").asc), "rnk", "nn")
+    val base = ranked.filter(col("is_new") === 0L)
+      .groupBy().agg(count(lit(1)).as("n_base"))
+    ranked.crossJoin(broadcast(base))
+      .select(col("doc_id"), col("is_new"),
+        (when(col("is_new") === 1L, col("n_base")).otherwise(0L)
+          + col("rnk")).as("ordinal"))
+      .orderBy("doc_id")
+  }
 }
