@@ -112,7 +112,17 @@ object ScaleBench {
     // round 14 batch 7: purchase-only lag (the attribution band —
     // orders below the raw feed) and the version-ordered band lag
     // over the duplication-invariant scd2 change rows
-    "purchase_gaps", "band_migration")
+    "purchase_gaps", "band_migration",
+    // round 15: user/day/token-grain collapses + two-level ranks and
+    // prefix sums, the broadcast-join projection/outlier scans, and
+    // the graph BFS over the duplication-invariant part domain.
+    // winsorize stays OUT (exact per-group percentile buffers the
+    // group on one task — the documented #39/robust_outliers trade;
+    // GK #79 is the escape).
+    "rfm_segments", "autocorr", "khop_reach", "zipf_fit",
+    "lexical_diversity", "session_entry_exit", "cusum_alerts",
+    "systematic_sample", "assign_ids", "random_projection",
+    "embed_outliers")
 
   /** Join shapes where only the FACT side (lineitem) multiplies —
     * each order keeps its (now mult×) lines and every dim stays
@@ -165,7 +175,13 @@ object ScaleBench {
       "asof_join", "asof_tolerance",
       // purchase-only per-key lag: measured honestly alongside the
       // sessionize family (the hot key owns 90% of the purchases)
-      "purchase_gaps")
+      "purchase_gaps",
+      // round 15: the entry/exit matrix rides the two-level session
+      // merge; cusum folds one ≤|days| array per user (the hot user
+      // still collapses to day grain map-side); rfm's user-grain
+      // collapse + global two-level ranks; zipf's per-LANG two-level
+      // rank on the 90%-one-lang corpus (the quality_filter shape)
+      "session_entry_exit", "cusum_alerts", "rfm_segments", "zipf_fit")
 
   /** Fabricate the skewed twin of the staged corpus: 90% of event
     * rows re-keyed to ONE user and 90% of documents re-labeled to
