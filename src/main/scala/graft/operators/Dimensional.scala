@@ -621,24 +621,48 @@ object Dimensional {
       .agg(max(unix_micros(col("ts"))).as("last_us"),
         count(lit(1)).as("freq"),
         Num.dsumExact(col("value")).as("mon"))
-      .localCheckpoint() // pinned: feeds all three rank branches
-    val r = Rank.twoLevelRank(users, Seq.empty,
-      expr(s"last_us div $dayUs"), blkAscending = false,
-      Seq(col("last_us").desc, col("user_id").asc), "__rnk", "__n")
-    val rScored = r.select(col("user_id"),
-      (lit(6L) - (expr("(__rnk - 1) * 5 div __n") + 1L)).as("r_score"))
-    val f = Rank.twoLevelRank(users, Seq.empty,
-      floor(log(2.0, col("freq"))).cast("long"), blkAscending = false,
-      Seq(col("freq").desc, col("user_id").asc), "__rnk", "__n")
-    val fScored = f.select(col("user_id"),
-      (lit(6L) - (expr("(__rnk - 1) * 5 div __n") + 1L)).as("f_score"))
-    val m = Rank.twoLevelRank(users, Seq.empty,
-      floor(log(10.0, col("mon").cast("double") + 1.0)).cast("long"),
-      blkAscending = false,
-      Seq(col("mon").desc, col("user_id").asc), "__rnk", "__n")
-    val mScored = m.select(col("user_id"), col("mon"),
-      (lit(6L) - (expr("(__rnk - 1) * 5 div __n") + 1L)).as("m_score"))
-    rScored.join(fScored, "user_id").join(mScored, "user_id")
+      .localCheckpoint() // pinned: feeds every rank branch
+    val nUsers = users.count() // metadata-cheap on the pinned table
+    val scored =
+      if (nUsers <= Rank.SingleTaskMax) {
+        // adaptive plan (the scd2_lookup pattern): at dim-sized user
+        // counts, three chained single-partition windows — ONE
+        // exchange, three in-place sorts — beat the decomposition's
+        // six exchanges + three user-keyed joins (measured 2.14 s vs
+        // 0.55 s at ×100). Bit-identical: rank equivalence is
+        // spec-proven, the quintile identity is shared arithmetic.
+        val W = org.apache.spark.sql.expressions.Window
+        users.select(col("user_id"), col("mon"),
+          row_number().over(W.orderBy(col("last_us").desc,
+            col("user_id").asc)).cast("long").as("rr"),
+          row_number().over(W.orderBy(col("freq").desc,
+            col("user_id").asc)).cast("long").as("fr"),
+          row_number().over(W.orderBy(col("mon").desc,
+            col("user_id").asc)).cast("long").as("mr"))
+      } else {
+        val r = Rank.twoLevelRank(users, Seq.empty,
+          expr(s"last_us div $dayUs"), blkAscending = false,
+          Seq(col("last_us").desc, col("user_id").asc), "rr", "__n")
+          .select("user_id", "rr")
+        val f = Rank.twoLevelRank(users, Seq.empty,
+          floor(log(2.0, col("freq"))).cast("long"), blkAscending = false,
+          Seq(col("freq").desc, col("user_id").asc), "fr", "__n")
+          .select("user_id", "fr")
+        val m = Rank.twoLevelRank(users, Seq.empty,
+          floor(log(10.0, col("mon").cast("double") + 1.0)).cast("long"),
+          blkAscending = false,
+          Seq(col("mon").desc, col("user_id").asc), "mr", "__n")
+          .select("user_id", "mon", "mr")
+        r.join(f, "user_id").join(m, "user_id")
+      }
+    scored
+      .select(col("mon"),
+        (lit(6L) - (expr(s"(rr - 1) * 5 div $nUsers") + 1L))
+          .as("r_score"),
+        (lit(6L) - (expr(s"(fr - 1) * 5 div $nUsers") + 1L))
+          .as("f_score"),
+        (lit(6L) - (expr(s"(mr - 1) * 5 div $nUsers") + 1L))
+          .as("m_score"))
       .groupBy("r_score", "f_score", "m_score")
       .agg(count(lit(1)).as("n_users"),
         round(sum(col("mon")).cast("double"), 6).as("total_revenue"))

@@ -21,6 +21,15 @@ import org.apache.spark.sql.functions._
   */
 object Rank {
 
+  /** Adaptive-plan threshold (the scd2_lookup pattern): below this
+    * row count the two-level decomposition's extra exchanges cost
+    * more than ONE task sorting the whole key space, so consumers
+    * switch to the plain single-window form (bit-identical by the
+    * spec-proven rank equivalence). 5M rows sort in well under a
+    * second on one core; above it the decomposition wins and is the
+    * only shape that survives 100 TB. */
+  val SingleTaskMax = 5000000L
+
   /** Adds `rankName` (1-based global row_number within `part` over
     * `order`) and `nName` (the partition's row count) to `df`.
     *

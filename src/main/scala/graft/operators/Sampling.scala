@@ -176,9 +176,23 @@ object Sampling {
         conv(substring(md5(concat_ws(":", lit(SysSeed), col("doc_id"))),
           25, 8), 16, 10).cast("long").as("skey"))
     val k2 = 2L * SysK
-    Rank.twoLevelPrefixSum(docs, Seq.empty,
-        expr("skey div 16777216"), Seq(col("skey"), col("doc_id")),
-        col("w"), "cum", "wtot")
+    val summed =
+      if (docs.count() <= Rank.SingleTaskMax) {
+        // adaptive plan (the scd2_lookup pattern): one partition, two
+        // frame sums — the decomposition's extra exchanges dominate
+        // at dim-sized corpora (footer-only count)
+        val W = org.apache.spark.sql.expressions.Window
+        val ord = W.orderBy(col("skey"), col("doc_id"))
+        docs
+          .withColumn("cum", coalesce(sum(col("w")).over(
+            ord.rowsBetween(org.apache.spark.sql.expressions
+              .Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("wtot", sum(col("w")).over(W.partitionBy(lit(0))))
+      } else
+        Rank.twoLevelPrefixSum(docs, Seq.empty,
+          expr("skey div 16777216"), Seq(col("skey"), col("doc_id")),
+          col("w"), "cum", "wtot")
+    summed
       .select(col("doc_id"), col("w").as("n_chars"), col("cum"),
         expr(s"((($k2 * (cum + w) + wtot - 1) div wtot + 1) div 2)" +
           s" - ((($k2 * cum + wtot - 1) div wtot + 1) div 2)")

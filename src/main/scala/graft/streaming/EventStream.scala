@@ -528,4 +528,55 @@ object EventStream {
           }
       }
   }
+
+  case class CusumPoint(user_id: Long, day: Long, s: Long,
+      alert: Boolean)
+  case class CusumState(day: Long, cnt: Long, s: Long)
+
+  /** #188 Streaming CUSUM monitor — the live twin of batch
+    * `TimeSeries.cusumAlerts` (#185): per-user frozen targets (n, T)
+    * broadcast in (yesterday's corpus, like [[driftMonitor]]'s
+    * reference histogram), state = the OPEN day's running count plus
+    * the CUSUM value through the last COMPLETED day. A day is folded
+    * the moment a later-day event arrives — the identical n-scaled
+    * integer recurrence S ← max(0, S + (n·c − T) − T div 4), so an
+    * in-order replay emits exactly the batch recurrence's points for
+    * every completed day (spec-asserted), each flagged at S > T.
+    * O(1) state per user regardless of history; days with no events
+    * contribute nothing (the batch observed-days contract); late
+    * arrivals (older than the open day) are dropped under the
+    * [[transitionFeed]] contract. */
+  def cusumMonitor(spark: SparkSession, events: DataFrame,
+      targets: Map[Long, (Long, Long)]): Dataset[CusumPoint] = {
+    import spark.implicits._
+    val dayUs = 86400L * 1000000L
+    events.as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[CusumState]) =>
+          targets.get(uid) match {
+            case None => Iterator.empty
+            case Some((n, t)) =>
+              val out = scala.collection.mutable.ListBuffer[CusumPoint]()
+              var st = state.getOption.orNull
+              rows.toSeq.sortBy(e => (microTime(e.ts), e.event_id))
+                .foreach { e =>
+                  val d = Math.floorDiv(microTime(e.ts), dayUs)
+                  st match {
+                    case null => st = CusumState(d, 1L, 0L)
+                    case CusumState(day, cnt, s) if d == day =>
+                      st = CusumState(day, cnt + 1L, s)
+                    case CusumState(day, cnt, s) if d > day =>
+                      val s2 = math.max(0L, s + (n * cnt - t) - t / 4L)
+                      out += CusumPoint(uid, day, s2, s2 > t)
+                      st = CusumState(d, 1L, s2)
+                    case _ => () // late arrival: drop
+                  }
+                }
+              if (st != null) state.update(st)
+              out.iterator
+          }
+      }
+  }
 }

@@ -540,4 +540,50 @@ class EventStreamSpec extends SparkTestBase {
     // one emission per user even though every user spans both batches
     assert(spark.table("fseen").count() === batch.size.toLong)
   }
+
+  test("streaming CUSUM monitor replays the batch recurrence over completed days") {
+    val dayUs = 86400L * 1000000L
+    // frozen targets = the full corpus' per-user (n_days, total) —
+    // the batch operator's own statistics, so completed-day points
+    // must equal the batch recurrence prefix exactly
+    val perDay = Tables.load(spark, SfDir, "events")
+      .groupBy(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(v => (v._2, v._3)).sortBy(_._1)).toMap
+    val targets = perDay.map { case (u, ds) =>
+      u -> (ds.length.toLong, ds.map(_._2).sum)
+    }
+    val dir = Files.createTempDirectory("graft_cusum").toString
+    val ev = Tables.load(spark, SfDir, "events").orderBy("ts", "event_id")
+    val cut = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    ev.filter(col("ts") < cut).coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val feed = EventStream.cusumMonitor(spark,
+      EventStream.readEvents(spark, dir), targets)
+    val q = feed.toDF().writeStream.format("memory").queryName("cusum")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      ev.filter(col("ts") >= cut).coalesce(1)
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cusum").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getBoolean(3)))
+      .toMap
+    // reference: the batch recurrence, truncated before the final
+    // (still-open) observed day of each user
+    val expected = perDay.toSeq.flatMap { case (u, ds) =>
+      val (n, t) = targets(u)
+      var s = 0L
+      ds.dropRight(1).toSeq.map { case (day, cnt) =>
+        s = math.max(0L, s + (n * cnt - t) - t / 4L)
+        (u, day) -> (s, s > t)
+      }
+    }.toMap
+    assert(got === expected)
+    assert(expected.nonEmpty && expected.exists(_._2._2))
+  }
 }
