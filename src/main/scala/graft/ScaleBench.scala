@@ -289,7 +289,10 @@ object ScaleBench {
           (System.nanoTime() - t0) / 1e9
         }.min
       }
-      val cells = SkewQueries.map { q =>
+      val skewOnly = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      val cells = SkewQueries
+        .filter(q => skewOnly.forall(_.contains(q))).map { q =>
         val u = best(q, uniform)
         val s = best(q, skewed)
         System.err.println(f"[skew] $q uniform=$u%.2f skewed=$s%.2f " +
