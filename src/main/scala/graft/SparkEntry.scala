@@ -187,7 +187,11 @@ object SparkEntry {
     "systematic_sample" -> (Sampling.systematicSample _),
     "assign_ids" -> (TrainExport.assignIds _),
     "random_projection" -> (Similarity.randomProjection _),
-    "embed_outliers" -> (Similarity.embedOutliers _)
+    "embed_outliers" -> (Similarity.embedOutliers _),
+    "lsh_eval" -> (Dedup.lshEval _),
+    "stickiness" -> (Dimensional.stickiness _),
+    "item_cf" -> (Analytics.itemCf _),
+    "containment" -> (Dedup.containmentPairs _)
   )
 
   private val Dec = "decimal(28,6)"
@@ -2989,6 +2993,113 @@ object SparkEntry {
         |  min(cs6) AS min_cos,
         |  round(cast(sum(cast(cs6 AS decimal(28,6))) AS double)
         |    / cast(count(*) AS double), 6) AS avg_cos
-        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // LSH-eval twin: the dedup_minhash candidate CTE + the df-capped
+    // exact-pair index, integer threshold + ppm arithmetic.
+    "lsh_eval" ->
+      s"""WITH t AS (SELECT doc_id, list_filter(
+        |    string_split_regex(lower(trim(text)), '\\s+'),
+        |    x -> x <> '') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |shl AS (SELECT doc_id,
+        |    unnest([array_to_string(list_slice(toks, i + 1, i + 2), ' ')
+        |      for i in range(len(toks) - 1)]) AS sh
+        |  FROM t WHERE len(toks) >= 2),
+        |dd AS (SELECT DISTINCT doc_id,
+        |    cast(('0x' || substr(md5(sh), 25, 8))::UBIGINT AS bigint) AS h
+        |  FROM shl),
+        |sz AS (SELECT doc_id, count(*) AS n FROM dd GROUP BY 1),
+        |keep AS (SELECT h FROM (
+        |    SELECT h, count(*) AS df FROM dd GROUP BY 1)
+        |  WHERE df <= ${Dedup.EvalDfCap}),
+        |capped AS (SELECT dd.* FROM dd JOIN keep USING (h)),
+        |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+        |  FROM capped x JOIN capped y USING (h)
+        |  WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+        |pos AS (SELECT a, b FROM inter
+        |  JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+        |  WHERE i * ${Dedup.EvalJacNum} >= sa.n + sb.n - i),
+        |mh AS (SELECT doc_id, i,
+        |    min((h * ([${Dedup.PortableA.mkString(",")}])[i + 1]
+        |         + ([${Dedup.PortableB.mkString(",")}])[i + 1])
+        |        % ${Dedup.PortableP}) AS mh
+        |  FROM dd CROSS JOIN range(${Dedup.PortableK}) r(i)
+        |  GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig
+        |  FROM mh GROUP BY 1),
+        |banded AS (SELECT doc_id, band,
+        |    sig[2 * band + 1] || ',' || sig[2 * band + 2] AS key
+        |  FROM sig CROSS JOIN range(${Dedup.PortableBands}) r(band)),
+        |ok AS (SELECT * FROM (
+        |    SELECT *, count(*) OVER (PARTITION BY band, key) AS cnt
+        |    FROM banded) WHERE cnt BETWEEN 2 AND ${Dedup.BucketCap}),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM ok x JOIN ok y
+        |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+        |m AS (SELECT
+        |  (SELECT count(*) FROM t) AS n_docs,
+        |  (SELECT count(*) FROM pos) AS n_pos,
+        |  (SELECT count(*) FROM cand) AS n_cand,
+        |  (SELECT count(*) FROM cand JOIN pos USING (a, b)) AS tp)
+        |SELECT n_docs, n_pos, n_cand, tp,
+        |  n_cand - tp AS fp, n_pos - tp AS fn,
+        |  CASE WHEN n_cand > 0 THEN tp * 1000000 // n_cand END
+        |    AS precision_ppm,
+        |  CASE WHEN n_pos > 0 THEN tp * 1000000 // n_pos END
+        |    AS recall_ppm
+        |FROM m""".stripMargin,
+    // Stickiness twin: same fan-to-window-days distinct collapse.
+    "stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+        |c AS (SELECT DISTINCT user_id, day + o.o AS day
+        |  FROM ud CROSS JOIN (SELECT unnest(range(7)) AS o) o),
+        |wau AS (SELECT day, count(*) AS wau FROM c GROUP BY 1)
+        |SELECT day, dau, wau,
+        |  dau * 1000000 // wau AS stickiness_ppm
+        |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
+    // Item-CF twin: same distinct collapse; sqrt of an exact integer
+    // product is IEEE-exact on both engines.
+    "item_cf" ->
+      """WITH lines AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pc AS (SELECT l_partkey, count(*) AS c FROM lines GROUP BY 1),
+        |pairs AS (SELECT x.l_partkey AS pa, y.l_partkey AS pb,
+        |    count(*) AS support
+        |  FROM lines x JOIN lines y ON x.l_orderkey = y.l_orderkey
+        |    AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2)
+        |SELECT pa, pb, support, ca.c AS ca, cb.c AS cb,
+        |  round(cast(support AS double)
+        |    / sqrt(cast(ca.c * cb.c AS double)), 6) AS cosine_sim
+        |FROM pairs JOIN pc ca ON ca.l_partkey = pa
+        |  JOIN pc cb ON cb.l_partkey = pb
+        |ORDER BY cosine_sim DESC, pa, pb LIMIT 20""".stripMargin,
+    // Containment twin: the ngram_jaccard blocking widened to ±5
+    // blocks, no length prefilter, 6dp int/int ratios.
+    "containment" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source, n_chars, n_chars // 20 AS blk,
+        |    list_distinct(list_transform(
+        |      range(greatest(length(lower(text)) - 2, 0)),
+        |      i -> substr(lower(text), cast(i + 1 AS int), 3))) AS grams
+        |  FROM documents),
+        |p AS (SELECT x.doc_id AS a, y.doc_id AS b,
+        |    cast(len(x.grams) AS bigint) AS na,
+        |    cast(len(y.grams) AS bigint) AS nb,
+        |    cast(len(list_intersect(x.grams, y.grams)) AS bigint)
+        |      AS inter
+        |  FROM d x JOIN d y ON x.lang = y.lang AND x.source = y.source
+        |    AND abs(x.blk - y.blk) <= 5 AND x.doc_id < y.doc_id
+        |  WHERE len(x.grams) > 0 AND len(y.grams) > 0)
+        |SELECT a, b, na, nb, inter,
+        |  round(cast(inter AS double) / cast(na AS double), 6) AS cont_a,
+        |  round(cast(inter AS double) / cast(nb AS double), 6) AS cont_b
+        |FROM p
+        |WHERE greatest(round(cast(inter AS double) / cast(na AS double), 6),
+        |    round(cast(inter AS double) / cast(nb AS double), 6)) >= 0.8
+        |ORDER BY greatest(cont_a, cont_b) DESC, a, b
+        |LIMIT 200""".stripMargin
   )
 }

@@ -167,6 +167,40 @@ object Analytics {
     * pair support is a hash aggregate on (part_a, part_b); the top-20
     * is TakeOrdered (no global sort materialized). A mega-basket is
     * the skew exposure and gets capped upstream in a real feed. */
+  /** #191 Item-item collaborative-filtering scores — cosine
+    * similarity over the co-purchase incidence matrix,
+    * sim(a,b) = c_ab / √(c_a·c_b): the normalized "customers who
+    * bought X also bought Y" ranking (the lift twin is #143 — lift
+    * favors rare coincidences, cosine favors consistent pairing;
+    * a recommender reads both). Same basket-bounded DISTINCT
+    * (order, part) collapse; √ of an exact integer product is
+    * IEEE-correctly-rounded on every platform, so the 6 dp-rounded
+    * score is engine-exact; top-20 with a deterministic tiebreak
+    * via TakeOrderedAndProject. */
+  def itemCf(spark: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .localCheckpoint()
+    val partCnt = lines.groupBy("l_partkey")
+      .agg(count(lit(1)).as("c"))
+    val pairs = lines.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      .join(lines.select(col("l_orderkey"), col("l_partkey").as("pb")),
+        "l_orderkey")
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("support"))
+    pairs
+      .join(partCnt.select(col("l_partkey").as("pa"), col("c").as("ca")),
+        "pa")
+      .join(partCnt.select(col("l_partkey").as("pb"), col("c").as("cb")),
+        "pb")
+      .select(col("pa"), col("pb"), col("support"), col("ca"), col("cb"),
+        round(col("support").cast("double") /
+          sqrt((col("ca") * col("cb")).cast("double")), 6)
+          .as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col("pa").asc, col("pb").asc)
+      .limit(20)
+  }
+
   def coOccurrence(spark: SparkSession, dir: String): DataFrame = {
     // pinned: the distinct collapse feeds the order count, the part
     // counts and BOTH sides of the pair self-join — lazy, each

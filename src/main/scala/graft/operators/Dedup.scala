@@ -506,4 +506,140 @@ object Dedup {
         col("n_a"), col("n_b"), col("canon_a"), col("canon_b"))
       .orderBy("p_brand", "a_name", "b_name")
   }
+
+  /** Document-frequency cap for [[lshEval]]'s exact-pair index: a
+    * shingle shared by more than this many docs contributes no
+    * discriminating signal and would square the posting join (the
+    * tfidf_docsim df-cap trade, documented there). */
+  val EvalDfCap = 50L
+  /** Ground-truth threshold: word-bigram Jaccard ≥ 1/2 (compared as
+    * 2·|∩| ≥ |∪| — integer, never a float). */
+  val EvalJacNum = 2L
+
+  /** #189 LSH quality evaluation — precision/recall of the #20
+    * MinHash-LSH candidate generator against exact word-bigram
+    * Jaccard ground truth: the report read BEFORE committing a band
+    * configuration to a 100 TB dedup pass (the threshold-curve twin
+    * is #175, which sweeps cosine cutoffs; this one grades the
+    * candidate generator itself).
+    *
+    * Ground truth is operational, not n²: pairs surfaced by a
+    * df-capped shingle inverted index (Σ df² bounded — the
+    * tfidf_docsim shape), scored by FULL exact bigram Jaccard
+    * (sizes from the uncapped per-doc distinct-shingle counts),
+    * thresholded at J ≥ 1/2 by integer cross-multiplication. A
+    * J ≥ 1/2 pair shares at least a third of either doc's shingles,
+    * so at any realistic cap it cannot hide exclusively behind
+    * >cap-frequency shingles on THIS corpus shape; the cap rule is
+    * part of the operator's contract and the oracle recomputes it
+    * identically. Candidates are the portable-signature band
+    * buckets ([[minhashLshPortable]]'s machinery, bucket-capped).
+    * Every count is exact integers; rates are integer ppm. */
+  def lshEval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+    // exact side: (doc, shingle-hash) at distinct grain — the md5
+    // tail-32 identity BOTH engines compute natively (PortableHash)
+    val dd = docs
+      .select(col("doc_id"),
+        filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "")
+          .as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(toks) - 2)," +
+          " i -> concat(toks[i], ' ', toks[i + 1]))")).as("sh"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("sh")), 25, 8), 16, 10).cast("long")
+          .as("h"))
+      .distinct()
+      .localCheckpoint() // pinned: sizes, df and both join sides
+    val sz = dd.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val keep = dd.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= EvalDfCap).select("h")
+    val capped = dd.join(keep, "h")
+    val inter = capped.select(col("doc_id").as("a"), col("h"))
+      .join(capped.select(col("doc_id").as("b"), col("h")), "h")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("i"))
+    val pos = inter
+      .join(sz.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .filter(col("i") * EvalJacNum >= col("na") + col("nb") - col("i"))
+      .select("a", "b")
+      .localCheckpoint() // pinned: tp join + fn count
+    // candidate side: the #20 portable band buckets, ids only
+    val bandKeys = docs
+      .select(col("doc_id"), graft.functions.TextFunctions
+        .portableMinhashSig(col("text"), PortableK).as("sig"))
+      .filter(size(col("sig")) === PortableK)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(PortableBands - 1))).as("band"),
+        col("sig"))
+      .select(col("doc_id"), col("band"),
+        concat_ws(",", slice(col("sig"), col("band") * 2 + 1, lit(2)))
+          .as("key"))
+    val cand = bucketPairs(bandKeys).select("a", "b").distinct()
+      .localCheckpoint() // pinned: counts + tp join
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val nPos = pos.select(count(lit(1)).as("n_pos"))
+    val nCand = cand.select(count(lit(1)).as("n_cand"))
+    val tp = cand.join(pos, Seq("a", "b")).select(count(lit(1)).as("tp"))
+    nDocs.crossJoin(nPos).crossJoin(nCand).crossJoin(tp)
+      .select(col("n_docs"), col("n_pos"), col("n_cand"), col("tp"),
+        (col("n_cand") - col("tp")).as("fp"),
+        (col("n_pos") - col("tp")).as("fn"),
+        when(col("n_cand") > 0,
+          expr("tp * 1000000 div n_cand")).as("precision_ppm"),
+        when(col("n_pos") > 0,
+          expr("tp * 1000000 div n_pos")).as("recall_ppm"))
+  }
+
+  /** Near-containment floor for [[containmentPairs]] (6 dp-rounded
+    * compare). */
+  val ContainMin = 0.8
+
+  /** #192 Containment dedup report — the ASYMMETRIC near-dup measure
+    * Jaccard misses: c(a→b) = |A∩B|/|A| is high when a short doc is
+    * swallowed by a longer one (quote inside article, chunk inside
+    * source) even though their Jaccard is low. The sub-document
+    * duplication screen beside #20/#22/#133.
+    *
+    * Same (lang, source, length-block) candidate blocking as
+    * [[ngramJaccardPairs]] — pair count governed by block fan-in,
+    * never n² — but WITHOUT the |Δchars| ≤ 20 prefilter (containment
+    * pairs are length-asymmetric by nature; the length-block probe
+    * fans to ±[[ContainBlkSpan]] blocks instead). Ratios are int/int
+    * double divisions rounded to 6 dp before the compare. */
+  val ContainBlkSpan = 5
+
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        floor(col("n_chars") / lit(20)).as("blk"),
+        TextFunctions.charNgrams(col("text"), 3).as("grams"))
+    val a = d.select(col("doc_id").as("a"), col("lang"), col("source"),
+        col("blk"), col("grams").as("grams_a"))
+      .withColumn("jblk", explode(sequence(col("blk") - ContainBlkSpan,
+        col("blk") + ContainBlkSpan)))
+      .drop("blk")
+    val b = d.select(col("doc_id").as("b"), col("lang"), col("source"),
+      col("blk").as("jblk"), col("grams").as("grams_b"))
+    a.join(b, Seq("lang", "source", "jblk"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        size(col("grams_a")).cast("long").as("na"),
+        size(col("grams_b")).cast("long").as("nb"),
+        size(array_intersect(col("grams_a"), col("grams_b")))
+          .cast("long").as("inter"))
+      .filter(col("na") > 0 && col("nb") > 0)
+      .select(col("a"), col("b"), col("na"), col("nb"), col("inter"),
+        round(col("inter").cast("double") / col("na").cast("double"), 6)
+          .as("cont_a"),
+        round(col("inter").cast("double") / col("nb").cast("double"), 6)
+          .as("cont_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= ContainMin)
+      .orderBy(greatest(col("cont_a"), col("cont_b")).desc,
+        col("a").asc, col("b").asc)
+      .limit(200)
+  }
 }

@@ -613,6 +613,36 @@ object Dimensional {
     * Ties: every rank breaks on user_id; equal metric values order
     * identically on both engines (monetary compares exact decimals,
     * never floats). */
+  /** #190 DAU/WAU stickiness curve — per observed day: distinct
+    * active users (DAU), trailing-7-day distinct actives (WAU), and
+    * the stickiness ratio as exact integer ppm. The product-health
+    * ratio served beside #162's growth curve and #170's accounting.
+    *
+    * Rolling distinct without a rolling-distinct engine primitive:
+    * the pinned (user, day) collapse fans each row to the ≤7 future
+    * days it covers, a second distinct collapses multi-active users
+    * within each window, and a day-grain count finishes — three
+    * map-side-combinable aggregates, never a window over raw events;
+    * fan-out is 7×|user-days|, linear. */
+  def stickiness(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val ud = Tables.load(spark, dir, "events")
+      .select(col("user_id"),
+        expr(s"unix_micros(ts) div $dayUs").as("day"))
+      .distinct()
+      .localCheckpoint() // pinned: feeds dau + the window fan-out
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        expr("dau * 1000000 div wau").as("stickiness_ppm"))
+      .orderBy("day")
+  }
+
   def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
     val dayUs = 86400L * 1000000L
     val users = Tables.load(spark, dir, "events")
