@@ -122,7 +122,12 @@ object ScaleBench {
     "rfm_segments", "autocorr", "khop_reach", "zipf_fit",
     "lexical_diversity", "session_entry_exit", "cusum_alerts",
     "systematic_sample", "assign_ids", "random_projection",
-    "embed_outliers")
+    "embed_outliers",
+    // round 15 batch D: duplication-invariant collapses (stickiness's
+    // (user, day) distinct; item_cf's basket distinct). lsh_eval and
+    // containment stay OUT: duplicated doc_ids square their pair
+    // sets (the cluster_split artifact, not the operators)
+    "stickiness", "item_cf")
 
   /** Join shapes where only the FACT side (lineitem) multiplies —
     * each order keeps its (now mult×) lines and every dim stays
@@ -181,7 +186,9 @@ object ScaleBench {
       // still collapses to day grain map-side); rfm's user-grain
       // collapse + global two-level ranks; zipf's per-LANG two-level
       // rank on the 90%-one-lang corpus (the quality_filter shape)
-      "session_entry_exit", "cusum_alerts", "rfm_segments", "zipf_fit")
+      "session_entry_exit", "cusum_alerts", "rfm_segments", "zipf_fit",
+      // the fan-to-window distinct collapse under a 90%-one-user feed
+      "stickiness")
 
   /** Fabricate the skewed twin of the staged corpus: 90% of event
     * rows re-keyed to ONE user and 90% of documents re-labeled to
