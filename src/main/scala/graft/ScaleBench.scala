@@ -127,7 +127,13 @@ object ScaleBench {
     // (user, day) distinct; item_cf's basket distinct). lsh_eval and
     // containment stay OUT: duplicated doc_ids square their pair
     // sets (the cluster_split artifact, not the operators)
-    "stickiness", "item_cf")
+    "stickiness", "item_cf",
+    // round 15 batch E: scan + bounded-grain aggregates (benford's
+    // 9×|groups| cells, target_encode's brand grain, wilson's user
+    // collapse) and the novelty df join-back (no pair join — df
+    // inflates with duplication but cost stays row-linear)
+    "benford_screen", "target_encode", "novelty_score",
+    "wilson_funnel")
 
   /** Join shapes where only the FACT side (lineitem) multiplies —
     * each order keeps its (now mult×) lines and every dim stays
@@ -188,7 +194,9 @@ object ScaleBench {
       // rank on the 90%-one-lang corpus (the quality_filter shape)
       "session_entry_exit", "cusum_alerts", "rfm_segments", "zipf_fit",
       // the fan-to-window distinct collapse under a 90%-one-user feed
-      "stickiness")
+      "stickiness",
+      // first-touch min-struct user collapse (latest_per_key family)
+      "wilson_funnel")
 
   /** Fabricate the skewed twin of the staged corpus: 90% of event
     * rows re-keyed to ONE user and 90% of documents re-labeled to

@@ -191,7 +191,11 @@ object SparkEntry {
     "lsh_eval" -> (Dedup.lshEval _),
     "stickiness" -> (Dimensional.stickiness _),
     "item_cf" -> (Analytics.itemCf _),
-    "containment" -> (Dedup.containmentPairs _)
+    "containment" -> (Dedup.containmentPairs _),
+    "benford_screen" -> (Olap.benfordScreen _),
+    "target_encode" -> (Analytics.targetEncode _),
+    "novelty_score" -> (TextOps.noveltyScore _),
+    "wilson_funnel" -> (Dimensional.wilsonFunnel _)
   )
 
   private val Dec = "decimal(28,6)"
@@ -3100,6 +3104,113 @@ object SparkEntry {
         |WHERE greatest(round(cast(inter AS double) / cast(na AS double), 6),
         |    round(cast(inter AS double) / cast(nb AS double), 6)) >= 0.8
         |ORDER BY greatest(cont_a, cont_b) DESC, a, b
-        |LIMIT 200""".stripMargin
+        |LIMIT 200""".stripMargin,
+    // Benford twin: leading digit from the unscaled-integer STRING,
+    // pinned expected-ppm literals, 9dp-quantized chi-square terms.
+    "benford_screen" ->
+      s"""WITH d AS (SELECT l_returnflag AS grp,
+        |    cast(cast(l_extendedprice AS decimal(18,6)) * 1000000
+        |      AS bigint) AS xu
+        |  FROM lineitem),
+        |c AS (SELECT grp,
+        |    cast(substr(cast(xu AS varchar), 1, 1) AS bigint) AS digit,
+        |    count(*) AS n
+        |  FROM d WHERE xu > 0 GROUP BY 1, 2),
+        |e AS (SELECT *, CASE digit ${Olap.BenfordPpm.zipWithIndex
+          .map { case (p, i) => s"WHEN ${i + 1} THEN $p" }
+          .mkString(" ")} END AS exp_ppm,
+        |    cast(sum(n) OVER (PARTITION BY grp) AS bigint) AS n_total
+        |  FROM c),
+        |t AS (SELECT *,
+        |    cast(round(
+        |      cast((cast(n AS hugeint) * 1000000
+        |            - cast(n_total AS hugeint) * exp_ppm)
+        |         * (cast(n AS hugeint) * 1000000
+        |            - cast(n_total AS hugeint) * exp_ppm) AS double)
+        |      / cast(cast(n_total AS hugeint) * exp_ppm * 1000000
+        |        AS double), 9) AS decimal(28,9)) AS term9
+        |  FROM e)
+        |SELECT grp, digit, n, n * 1000000 // n_total AS obs_ppm,
+        |  cast(exp_ppm AS bigint) AS exp_ppm,
+        |  round(cast(sum(term9) OVER (PARTITION BY grp) AS double), 6)
+        |    AS chi2
+        |FROM t ORDER BY grp, digit""".stripMargin,
+    // Target-encoding twin: enc = (N·Σy_c + m·Σy)/(N·(n_c+m)) in
+    // hugeint, one terminal division.
+    "target_encode" ->
+      """WITH li AS (SELECT l_partkey,
+        |    cast(cast(l_extendedprice AS decimal(18,6)) * 1000000
+        |      AS bigint) AS y
+        |  FROM lineitem),
+        |p AS (SELECT DISTINCT p_partkey, p_brand FROM part),
+        |pb AS (SELECT p_brand, count(*) AS n,
+        |    sum(cast(y AS hugeint)) AS sy
+        |  FROM li JOIN p ON l_partkey = p_partkey GROUP BY 1),
+        |t AS (SELECT cast(sum(n) AS hugeint) AS nn, sum(sy) AS syt
+        |  FROM pb)
+        |SELECT p_brand, n,
+        |  round(cast(sy AS double) / n / 1e6, 6) AS mean_raw,
+        |  round(cast(nn * sy + 20 * syt AS double)
+        |    / cast(nn * (n + 20) * 1000000 AS double), 6) AS encoding
+        |FROM pb, t ORDER BY p_brand""".stripMargin,
+    // Novelty twin: same md5 shingle identity, df > 10 boilerplate.
+    "novelty_score" ->
+      """WITH t AS (SELECT doc_id, list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> x <> '') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |shl AS (SELECT doc_id,
+        |    unnest([array_to_string(list_slice(toks, i + 1, i + 2), ' ')
+        |      for i in range(len(toks) - 1)]) AS sh
+        |  FROM t WHERE len(toks) >= 2),
+        |dd AS (SELECT DISTINCT doc_id,
+        |    cast(('0x' || substr(md5(sh), 25, 8))::UBIGINT AS bigint) AS h
+        |  FROM shl),
+        |df AS (SELECT h, count(*) AS df FROM dd GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_shingles,
+        |  cast(sum(CASE WHEN df > 10 THEN 1 ELSE 0 END) AS bigint)
+        |    AS n_common,
+        |  (cast(sum(CASE WHEN df > 10 THEN 1 ELSE 0 END) AS bigint)
+        |    * 1000000) // count(*) AS boilerplate_ppm
+        |FROM dd JOIN df USING (h) GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Wilson twin: identical expression-tree order so the IEEE
+    // doubles match bit-for-bit before the 6dp round.
+    "wilson_funnel" ->
+      """WITH u AS (SELECT user_id,
+        |    min(struct_pack(us := epoch_us(ts), eid := event_id,
+        |      et := event_type)).et AS channel,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS converted
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT channel, count(*) AS n_users,
+        |    cast(sum(converted) AS bigint) AS n_conv
+        |  FROM u GROUP BY 1)
+        |SELECT channel, n_users, n_conv,
+        |  n_conv * 1000000 // n_users AS rate_ppm,
+        |  round(
+        |    (cast(n_conv AS double) / cast(n_users AS double)
+        |      + (1.96 * 1.96) / (2.0 * cast(n_users AS double))
+        |      - 1.96 * sqrt(
+        |        (cast(n_conv AS double) / cast(n_users AS double))
+        |          * (1.0 - cast(n_conv AS double)
+        |            / cast(n_users AS double))
+        |          / cast(n_users AS double)
+        |        + (1.96 * 1.96) / (4.0 * cast(n_users AS double)
+        |          * cast(n_users AS double))))
+        |    / (1.0 + (1.96 * 1.96) / cast(n_users AS double)), 6)
+        |    AS wilson_lo,
+        |  round(
+        |    (cast(n_conv AS double) / cast(n_users AS double)
+        |      + (1.96 * 1.96) / (2.0 * cast(n_users AS double))
+        |      + 1.96 * sqrt(
+        |        (cast(n_conv AS double) / cast(n_users AS double))
+        |          * (1.0 - cast(n_conv AS double)
+        |            / cast(n_users AS double))
+        |          / cast(n_users AS double)
+        |        + (1.96 * 1.96) / (4.0 * cast(n_users AS double)
+        |          * cast(n_users AS double))))
+        |    / (1.0 + (1.96 * 1.96) / cast(n_users AS double)), 6)
+        |    AS wilson_hi
+        |FROM c ORDER BY channel""".stripMargin
   )
 }

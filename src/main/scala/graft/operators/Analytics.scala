@@ -167,6 +167,48 @@ object Analytics {
     * pair support is a hash aggregate on (part_a, part_b); the top-20
     * is TakeOrdered (no global sort materialized). A mega-basket is
     * the skew exposure and gets capped upstream in a real feed. */
+  /** Smoothing pseudo-count for [[targetEncode]] (the standard
+    * empirical-Bayes m-estimate). */
+  val EncodeSmoothM = 20L
+
+  /** #194 Smoothed target encoding — the ML feature-engineering
+    * primitive: each category (brand) replaced by its
+    * smoothed-toward-global mean target,
+    * enc = (Σy_c + m·μ) / (n_c + m), so rare categories shrink to
+    * the prior instead of memorizing noise. Engine-exact without
+    * ever materializing μ: enc = (N·Σy_c + m·Σy) / (N·(n_c + m)) —
+    * exact decimal integers, ONE terminal double division (and the
+    * raw mean beside it for the shrinkage audit).
+    *
+    * Scale: one fact scan + broadcast dim + brand-grain map-side
+    * aggregate; the global totals are a broadcast 1-row reduction of
+    * the SAME collapsed table (never a second fact scan). */
+  def targetEncode(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey"), Num.unscaled6(col("l_extendedprice"))
+        .as("y"))
+    val p = Tables.load(spark, dir, "part")
+      .select("p_partkey", "p_brand").distinct()
+    val perBrand = li
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        (Num.dsum128Raw(col("y")) * lit(1000000L)).cast(dec).as("sy"))
+      .localCheckpoint() // pinned: feeds rows + the 1-row totals
+    val totals = perBrand
+      .agg(sum(col("n")).as("nn"), sum(col("sy")).cast(dec).as("syt"))
+    perBrand.crossJoin(broadcast(totals))
+      .select(col("p_brand"), col("n"),
+        round(col("sy").cast("double") / col("n").cast("double") / 1e6,
+          6).as("mean_raw"),
+        round((col("nn").cast(dec) * col("sy")
+            + lit(EncodeSmoothM).cast(dec) * col("syt")).cast("double")
+          / (col("nn").cast(dec) * (col("n") + lit(EncodeSmoothM))
+            * lit(1000000L)).cast("double"), 6).as("encoding"))
+      .orderBy("p_brand")
+  }
+
   /** #191 Item-item collaborative-filtering scores — cosine
     * similarity over the co-purchase incidence matrix,
     * sim(a,b) = c_ab / √(c_a·c_b): the normalized "customers who

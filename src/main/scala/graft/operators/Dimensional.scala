@@ -613,6 +613,59 @@ object Dimensional {
     * Ties: every rank breaks on user_id; equal metric values order
     * identically on both engines (monetary compares exact decimals,
     * never floats). */
+  /** #196 First-touch conversion scorecard with Wilson intervals —
+    * per acquisition channel (the user's first-ever event type):
+    * users, converters (≥1 purchase), exact-ppm conversion rate and
+    * the 95% Wilson score interval — the uncertainty-aware funnel
+    * readout (#88 counts stages, #135 tests one A/B split; this
+    * scores EVERY channel with a CI so small channels aren't
+    * over-read).
+    *
+    * Engine-exact: channel via one min-of-struct aggregate (never a
+    * window over raw events), counts integers, and the Wilson bounds
+    * are IEEE arithmetic on identical exact operands (√ is
+    * correctly-rounded everywhere), rounded 6 dp. z = 1.96 pinned. */
+  def wilsonFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val z = 1.96
+    val ev = Tables.load(spark, dir, "events")
+    val users = ev.groupBy("user_id")
+      .agg(min(struct(unix_micros(col("ts")).as("us"), col("event_id"),
+        col("event_type"))).as("f"),
+        max((col("event_type") === "purchase").cast("long"))
+          .as("converted"))
+      .select(col("f.event_type").as("channel"), col("converted"))
+    users.groupBy("channel")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("converted")).as("n_conv"))
+      .select(col("channel"), col("n_users"), col("n_conv"),
+        expr("n_conv * 1000000 div n_users").as("rate_ppm"),
+        round(
+          (col("n_conv").cast("double") / col("n_users").cast("double")
+            + lit(z * z) / (lit(2.0) * col("n_users").cast("double"))
+            - lit(z) * sqrt(
+              (col("n_conv").cast("double") / col("n_users").cast("double"))
+                * (lit(1.0) - col("n_conv").cast("double")
+                  / col("n_users").cast("double"))
+                / col("n_users").cast("double")
+              + lit(z * z) / (lit(4.0) * col("n_users").cast("double")
+                * col("n_users").cast("double"))))
+          / (lit(1.0) + lit(z * z) / col("n_users").cast("double")), 6)
+          .as("wilson_lo"),
+        round(
+          (col("n_conv").cast("double") / col("n_users").cast("double")
+            + lit(z * z) / (lit(2.0) * col("n_users").cast("double"))
+            + lit(z) * sqrt(
+              (col("n_conv").cast("double") / col("n_users").cast("double"))
+                * (lit(1.0) - col("n_conv").cast("double")
+                  / col("n_users").cast("double"))
+                / col("n_users").cast("double")
+              + lit(z * z) / (lit(4.0) * col("n_users").cast("double")
+                * col("n_users").cast("double"))))
+          / (lit(1.0) + lit(z * z) / col("n_users").cast("double")), 6)
+          .as("wilson_hi"))
+      .orderBy("channel")
+  }
+
   /** #190 DAU/WAU stickiness curve — per observed day: distinct
     * active users (DAU), trailing-7-day distinct actives (WAU), and
     * the stickiness ratio as exact integer ppm. The product-health

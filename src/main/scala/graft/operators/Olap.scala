@@ -415,6 +415,60 @@ object Olap {
     * task — the documented #39 trade (the GK sketch #79 is the
     * hot-group escape); the clamp pass is one broadcast join + a
     * map-side-combined aggregate over the same scan. */
+  /** Benford expected first-digit shares in integer ppm,
+    * round(log₁₀(1+1/d)·10⁶) for d = 1..9 — pinned literals shared
+    * verbatim with the DuckDB twin (computed once, embedded, never
+    * re-derived through each engine's libm). */
+  val BenfordPpm: Array[Long] = Array(301030L, 176091L, 124939L,
+    96910L, 79181L, 66947L, 57992L, 51153L, 45757L)
+
+  /** #193 Benford first-digit screen — the classic fabricated-number
+    * audit: per (group, leading digit) the observed count and share
+    * vs Benford's law, plus the group's χ² distance. Fraud/quality
+    * screening a finance warehouse runs over any amount column.
+    *
+    * Engine-exact: the leading digit comes from the DECIMAL STRING
+    * of the 6 dp-unscaled integer (integer→string is
+    * representation-exact on every engine — never log₁₀ of a float,
+    * whose boundary cells could flip); expected shares are pinned
+    * integer literals; each χ² term (n_d·10⁶ − N·e_d)²/(N·e_d·10⁶)
+    * is exact-integer-derived, 9 dp-quantized before the decimal sum
+    * (the #171 discipline). One scan + a 9×|groups| aggregate. */
+  def benfordScreen(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val expected = BenfordPpm.zipWithIndex
+      .map { case (p, i) => s"WHEN ${i + 1} THEN ${p}L" }
+      .mkString("CASE digit ", " ", " END")
+    val digits = Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("grp"),
+        Num.unscaled6(col("l_extendedprice")).as("xu"))
+      .filter(col("xu") > 0)
+      .select(col("grp"),
+        substring(col("xu").cast("string"), 1, 1).cast("long")
+          .as("digit"))
+      .groupBy("grp", "digit")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("exp_ppm", expr(expected))
+    val wG = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+    digits
+      .withColumn("n_total", sum(col("n")).over(wG))
+      // (n_d·10⁶ − N·e_d)² / (N·e_d·10⁶): exact decimal(38,0)
+      // operands, ONE double division, 9 dp-quantized (#171)
+      .withColumn("dev", (col("n").cast(dec) * lit(1000000L)
+        - col("n_total").cast(dec) * col("exp_ppm")).cast(dec))
+      .withColumn("term9",
+        round((col("dev") * col("dev")).cast("double")
+          / (col("n_total").cast(dec) * col("exp_ppm")
+            * lit(1000000L)).cast("double"), 9)
+          .cast("decimal(28,9)"))
+      .withColumn("chi2", round(sum(col("term9")).over(wG)
+        .cast("double"), 6))
+      .select(col("grp"), col("digit"), col("n"),
+        expr("n * 1000000 div n_total").as("obs_ppm"),
+        col("exp_ppm"), col("chi2"))
+      .orderBy("grp", "digit")
+  }
+
   def winsorize(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
     val cuts = ev.groupBy("event_type")

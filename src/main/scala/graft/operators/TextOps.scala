@@ -395,4 +395,45 @@ object TextOps {
           .as("dropped_chars"))
       .orderBy("doc_id")
   }
+
+  /** A word-bigram shared by more than this many documents counts as
+    * corpus boilerplate for [[noveltyScore]]. */
+  val CommonDf = 10L
+
+  /** #195 Cross-document novelty score — what fraction of each
+    * document's distinct word-bigrams is CORPUS BOILERPLATE
+    * (df > [[CommonDf]]): the "is this doc mostly template chrome"
+    * signal. Complements #70's repetition_score (within-doc
+    * repetition) and #133's paragraph dedup (removal); this one
+    * SCORES without removing, the way quality-mix reports want it.
+    *
+    * Shape: one shingle explode → distinct (doc, h) → df at h grain
+    * (map-side combined) → join back → doc-grain counts — all
+    * key-hashed aggregates, integer ppm output. The shingle hash is
+    * the portable md5 tail-32 identity. */
+  def noveltyScore(spark: SparkSession, dir: String): DataFrame = {
+    val dd = Tables.load(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "")
+          .as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(toks) - 2)," +
+          " i -> concat(toks[i], ' ', toks[i + 1]))")).as("sh"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("sh")), 25, 8), 16, 10).cast("long")
+          .as("h"))
+      .distinct()
+      .localCheckpoint() // pinned: df branch + the join-back
+    val df = dd.groupBy("h").agg(count(lit(1)).as("df"))
+    dd.join(df, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum((col("df") > CommonDf).cast("long")).as("n_common"))
+      .select(col("doc_id"), col("n_shingles"), col("n_common"),
+        expr("n_common * 1000000 div n_shingles")
+          .as("boilerplate_ppm"))
+      .orderBy("doc_id")
+  }
 }
