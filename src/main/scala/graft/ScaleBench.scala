@@ -133,7 +133,11 @@ object ScaleBench {
     // collapse) and the novelty df join-back (no pair join — df
     // inflates with duplication but cost stays row-linear)
     "benford_screen", "target_encode", "novelty_score",
-    "wilson_funnel")
+    "wilson_funnel",
+    // round 15 batch F: contingency/lattice scans over orders, the
+    // (user, week)-grain LTV collapse, and the footer-bounded
+    // calendar spine
+    "mutual_info", "cube_agg", "ltv_curve", "date_dim")
 
   /** Join shapes where only the FACT side (lineitem) multiplies —
     * each order keeps its (now mult×) lines and every dim stays

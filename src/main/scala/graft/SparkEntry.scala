@@ -195,7 +195,11 @@ object SparkEntry {
     "benford_screen" -> (Olap.benfordScreen _),
     "target_encode" -> (Analytics.targetEncode _),
     "novelty_score" -> (TextOps.noveltyScore _),
-    "wilson_funnel" -> (Dimensional.wilsonFunnel _)
+    "wilson_funnel" -> (Dimensional.wilsonFunnel _),
+    "mutual_info" -> (Analytics.mutualInfo _),
+    "cube_agg" -> (Olap.cubeAgg _),
+    "ltv_curve" -> (Dimensional.ltvCurve _),
+    "date_dim" -> (Olap.dateDim _)
   )
 
   private val Dec = "decimal(28,6)"
@@ -3211,6 +3215,85 @@ object SparkEntry {
         |          * cast(n_users AS double))))
         |    / (1.0 + (1.96 * 1.96) / cast(n_users AS double)), 6)
         |    AS wilson_hi
-        |FROM c ORDER BY channel""".stripMargin
+        |FROM c ORDER BY channel""".stripMargin,
+    // MI twin: same contingency cells, identical ratio → ln → 9dp
+    // term quantization, 6dp total.
+    "mutual_info" ->
+      """WITH cu AS (SELECT DISTINCT c_custkey, c_mktsegment
+        |  FROM customer),
+        |cells AS (SELECT c_mktsegment AS seg, o_orderpriority AS prio,
+        |    count(*) AS n
+        |  FROM orders JOIN cu ON o_custkey = c_custkey GROUP BY 1, 2),
+        |r AS (SELECT seg, cast(sum(n) AS bigint) AS r FROM cells
+        |  GROUP BY 1),
+        |c AS (SELECT prio, cast(sum(n) AS bigint) AS c FROM cells
+        |  GROUP BY 1),
+        |nt AS (SELECT cast(sum(n) AS double) AS nn FROM cells),
+        |t AS (SELECT seg, prio, n,
+        |    ln((cast(n AS double) * nn) / cast(r.r * c.c AS double))
+        |      AS pmi
+        |  FROM cells JOIN r USING (seg) JOIN c USING (prio), nt),
+        |q AS (SELECT seg, prio, n, pmi,
+        |    cast(round(cast(n AS double) / (SELECT nn FROM nt) * pmi, 9)
+        |      AS decimal(28,9)) AS term9
+        |  FROM t)
+        |SELECT seg, prio, n, round(pmi, 6) AS pmi,
+        |  round(cast(sum(term9) OVER () AS double), 6) AS mi_nats
+        |FROM q ORDER BY seg, prio""".stripMargin,
+    // CUBE twin: the rollup oracle's aggregate over the full 2^k
+    // lattice.
+    "cube_agg" ->
+      s"""SELECT o_orderpriority, o_orderstatus,
+         |  cast(grouping(o_orderpriority) * 2 + grouping(o_orderstatus)
+         |    AS bigint) AS grp_id,
+         |  ${dsum("o_totalprice")} AS sum_price, count(*) AS n_orders
+         |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+         |ORDER BY grp_id, o_orderpriority NULLS FIRST,
+         |  o_orderstatus NULLS FIRST""".stripMargin,
+    // LTV twin: (user, week) exact micro revenue, min-week cohorts,
+    // cumulative window per cohort.
+    "ltv_curve" ->
+      """WITH uw AS (SELECT user_id,
+        |    epoch_us(ts) // 604800000000 AS week,
+        |    cast(sum(cast(value AS decimal(18,6))) * 1000000
+        |      AS hugeint) AS rev_u
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |co AS (SELECT user_id, min(week) AS cohort_week FROM uw
+        |  GROUP BY 1),
+        |sz AS (SELECT cohort_week, count(*) AS n_users FROM co
+        |  GROUP BY 1),
+        |cw AS (SELECT co.cohort_week,
+        |    uw.week - co.cohort_week AS age_week,
+        |    sum(uw.rev_u) AS wk_rev
+        |  FROM uw JOIN co USING (user_id) GROUP BY 1, 2),
+        |cum AS (SELECT cohort_week, age_week, wk_rev,
+        |    sum(wk_rev) OVER (PARTITION BY cohort_week ORDER BY age_week
+        |      ROWS UNBOUNDED PRECEDING) AS cum_rev
+        |  FROM cw)
+        |SELECT cohort_week, age_week, sz.n_users,
+        |  round(cast(wk_rev AS double) / 1e6, 6) AS week_revenue,
+        |  round(cast(cum_rev AS double)
+        |    / (cast(sz.n_users AS double) * 1e6), 6) AS ltv_per_user
+        |FROM cum JOIN sz USING (cohort_week)
+        |ORDER BY cohort_week, age_week""".stripMargin,
+    // Date-dim twin: integer epoch-day dow/week, civil fields on
+    // DATE values.
+    "date_dim" ->
+      """WITH b AS (SELECT min(cast(o_orderdate AS date)) AS lo,
+        |    max(cast(o_orderdate AS date)) AS hi FROM orders),
+        |s AS (SELECT unnest(generate_series(lo, hi,
+        |    INTERVAL 1 DAY))::DATE AS d FROM b),
+        |e AS (SELECT d, cast(date_diff('day', DATE '1970-01-01', d)
+        |    AS bigint) AS epoch_day FROM s)
+        |SELECT d, epoch_day,
+        |  (epoch_day + 4) % 7 AS dow,
+        |  (epoch_day + 3) // 7 AS week_idx,
+        |  cast(year(d) AS bigint) AS y,
+        |  cast(month(d) AS bigint) AS m,
+        |  cast(quarter(d) AS bigint) AS q,
+        |  cast(day(d) AS bigint) AS dom,
+        |  cast(CASE WHEN month(d + INTERVAL 1 DAY) <> month(d)
+        |    THEN 1 ELSE 0 END AS bigint) AS is_month_end
+        |FROM e ORDER BY d""".stripMargin
   )
 }

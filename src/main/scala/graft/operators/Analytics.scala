@@ -563,6 +563,45 @@ object Analytics {
         col("chi2"))
   }
 
+  /** #197 Mutual information of the segment × priority contingency —
+    * the dependence MAGNITUDE beside #171's χ² significance test
+    * (and the feature-selection score ML pipelines rank categorical
+    * features by): MI = Σ (n_xy/N)·ln(n_xy·N/(r_x·c_y)) in nats,
+    * with the per-cell pointwise MI reported beside the total.
+    *
+    * Exactness: every ratio operand is an exact integer; ln applied
+    * to ONE deterministic double ratio per cell; each MI term
+    * 9 dp-quantized before the exact decimal sum (the drift_psi
+    * discipline), total rounded 6 dp. Same one-scan + broadcast-dim
+    * + |cells| shape as [[chiSquare]]. */
+  def mutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+      .select("c_custkey", "c_mktsegment").distinct()
+    val cells = Tables.load(spark, dir, "orders")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"),
+        col("o_orderpriority").as("prio"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val rTot = cells.groupBy("seg").agg(sum(col("n")).as("r"))
+    val cTot = cells.groupBy("prio").agg(sum(col("n")).as("c"))
+    val n = cells.agg(sum(col("n"))).head().getLong(0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+    cells.join(broadcast(rTot), "seg")
+      .join(broadcast(cTot), "prio")
+      .withColumn("pmi",
+        log((col("n").cast("double") * lit(n.toDouble))
+          / (col("r") * col("c")).cast("double")))
+      .withColumn("term9",
+        round(col("n").cast("double") / lit(n.toDouble) * col("pmi"), 9)
+          .cast("decimal(28,9)"))
+      .withColumn("mi_nats",
+        round(sum(col("term9")).over(wAll).cast("double"), 6))
+      .select(col("seg"), col("prio"), col("n"),
+        round(col("pmi"), 6).as("pmi"), col("mi_nats"))
+      .orderBy("seg", "prio")
+  }
+
   /** #168 Shipping-lag SLA report: order-date → ship-date lag in
     * whole days per order priority — n, min/max, exact interpolated
     * p50/p90 (the #39 percentile contract), and the exact-integer

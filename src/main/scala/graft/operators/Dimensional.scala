@@ -613,6 +613,47 @@ object Dimensional {
     * Ties: every rank breaks on user_id; equal metric values order
     * identically on both engines (monetary compares exact decimals,
     * never floats). */
+  /** #199 Cohort LTV curve — per (signup-cohort week, age week): the
+    * cohort's per-user CUMULATIVE revenue — the lifetime-value curve
+    * read beside #94's retention triangle (retention counts who came
+    * back; LTV integrates what they spent). Cohort = the user's
+    * first PURCHASE week; revenue exact decimal micro-units; the
+    * cumulative window runs over ≤|weeks| rows per cohort
+    * (calendar-bounded), never over raw events.
+    *
+    * Scale: one purchase scan → (user, week)-grain collapse
+    * (map-side) → per-user cohort via min-aggregate → (cohort, age)
+    * grain — every wide stage is a hash aggregate at a bounded
+    * grain. */
+  def ltvCurve(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val uw = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"),
+        expr(s"unix_micros(ts) div ${dayUs * 7L}").as("week"))
+      .agg((Num.dsumExact(col("value")) * lit(1000000L))
+        .cast("decimal(38,0)").as("rev_u"))
+      .localCheckpoint() // pinned: cohort branch + the curve branch
+    val cohort = uw.groupBy("user_id")
+      .agg(min(col("week")).as("cohort_week"))
+    val sizes = cohort.groupBy("cohort_week")
+      .agg(count(lit(1)).as("n_users"))
+    val wCum = Window.partitionBy("cohort_week").orderBy("age_week")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    uw.join(cohort, "user_id")
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("age_week"))
+      .agg(sum(col("rev_u")).as("wk_rev"))
+      .withColumn("cum_rev", sum(col("wk_rev")).over(wCum))
+      .join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("age_week"), col("n_users"),
+        round(col("wk_rev").cast("double") / 1e6, 6).as("week_revenue"),
+        round(col("cum_rev").cast("double")
+          / (col("n_users").cast("double") * 1e6), 6)
+          .as("ltv_per_user"))
+      .orderBy("cohort_week", "age_week")
+  }
+
   /** #196 First-touch conversion scorecard with Wilson intervals —
     * per acquisition channel (the user's first-ever event type):
     * users, converters (≥1 purchase), exact-ppm conversion rate and

@@ -34,6 +34,55 @@ object Olap {
       .orderBy(col("grp_id"), col("o_orderpriority").asc_nulls_first,
         col("o_orderstatus").asc_nulls_first)
 
+  /** #200 Date-dimension build — the calendar table every star
+    * schema joins against: one row per day spanning the fact table's
+    * date range, with epoch-day, day-of-week, Monday-aligned week
+    * index, civil calendar fields and the month-end flag.
+    *
+    * Engine-exactness: dow and week index are INTEGER epoch-day
+    * arithmetic ((epd+4) mod 7, 0 = Sunday; (epd+3) div 7) — never
+    * an engine's locale-sensitive dayofweek; civil fields use
+    * year/month/quarter/day on DATE values, which are exact integer
+    * calendar functions on both engines. Spine = one sequence
+    * explode, |days| rows at any corpus size. */
+  def dateDim(spark: SparkSession, dir: String): DataFrame = {
+    val bounds = Tables.load(spark, dir, "orders")
+      .agg(min(to_date(col("o_orderdate"))).as("lo"),
+        max(to_date(col("o_orderdate"))).as("hi"))
+    bounds
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("d"))
+      .select(col("d"),
+        datediff(col("d"), lit(java.sql.Date.valueOf("1970-01-01")))
+          .cast("long").as("epoch_day"))
+      .select(col("d"), col("epoch_day"),
+        expr("(epoch_day + 4) % 7").as("dow"),
+        expr("(epoch_day + 3) div 7").as("week_idx"),
+        year(col("d")).cast("long").as("y"),
+        month(col("d")).cast("long").as("m"),
+        quarter(col("d")).cast("long").as("q"),
+        dayofmonth(col("d")).cast("long").as("dom"),
+        (month(date_add(col("d"), 1)) =!= month(col("d")))
+          .cast("long").as("is_month_end"))
+      .orderBy("d")
+  }
+
+  /** #198 CUBE aggregate — the remaining member of the OLAP lattice
+    * trio (#37 rollup = prefix hierarchy, #90 grouping sets =
+    * explicit list, cube = the FULL 2ᵏ power set): every
+    * (priority, status) margin in one Expand + ONE shuffle, the
+    * grouping_id discriminator distinguishing the four levels. The
+    * dashboard "slice by anything" base table. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(grouping_id().cast("long").as("grp_id"),
+        Num.dsum(col("o_totalprice")).as("sum_price"),
+        count(lit(1)).as("n_orders"))
+      .select("o_orderpriority", "o_orderstatus", "grp_id", "sum_price",
+        "n_orders")
+      .orderBy(col("grp_id"), col("o_orderpriority").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+
   /** #90 Grouping-sets aggregate: the general form of [[rollupAgg]] —
     * an EXPLICIT lattice of grouping levels, here both one-dimension
     * marginals plus the full cross and the grand total (a rollup
