@@ -137,7 +137,11 @@ object ScaleBench {
     // round 15 batch F: contingency/lattice scans over orders, the
     // (user, week)-grain LTV collapse, and the footer-bounded
     // calendar spine
-    "mutual_info", "cube_agg", "ltv_curve", "date_dim")
+    "mutual_info", "cube_agg", "ltv_curve", "date_dim",
+    // round 15 batch G: the user-grain KM collapse, the inverted-
+    // index keyword shape (doc-bounded rank windows), and the
+    // 3-cell hashing-trick explode
+    "survival_curve", "keyword_extract", "feature_hashing")
 
   /** Join shapes where only the FACT side (lineitem) multiplies —
     * each order keeps its (now mult×) lines and every dim stays

@@ -199,7 +199,10 @@ object SparkEntry {
     "mutual_info" -> (Analytics.mutualInfo _),
     "cube_agg" -> (Olap.cubeAgg _),
     "ltv_curve" -> (Dimensional.ltvCurve _),
-    "date_dim" -> (Olap.dateDim _)
+    "date_dim" -> (Olap.dateDim _),
+    "survival_curve" -> (Dimensional.survivalCurve _),
+    "keyword_extract" -> (Search.keywordExtract _),
+    "feature_hashing" -> (TrainExport.featureHashing _)
   )
 
   private val Dec = "decimal(28,6)"
@@ -3294,6 +3297,81 @@ object SparkEntry {
         |  cast(day(d) AS bigint) AS dom,
         |  cast(CASE WHEN month(d + INTERVAL 1 DAY) <> month(d)
         |    THEN 1 ELSE 0 END AS bigint) AS is_month_end
-        |FROM e ORDER BY d""".stripMargin
+        |FROM e ORDER BY d""".stripMargin,
+    // Kaplan-Meier twin: identical censoring rule, 9dp-quantized ln
+    // factors, exp of the exact cumulative sum.
+    "survival_curve" ->
+      """WITH u AS (SELECT user_id,
+        |    min(epoch_us(ts) // 86400000000) AS f,
+        |    max(epoch_us(ts) // 86400000000) AS l
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT max(l) AS md FROM u),
+        |lt AS (SELECT l - f AS t,
+        |    CASE WHEN l < (SELECT md FROM m) - 0 THEN 1 ELSE 0 END
+        |      AS ch
+        |  FROM u),
+        |g AS (SELECT t, cast(sum(ch) AS bigint) AS n_churn,
+        |    cast(sum(1 - ch) AS bigint) AS n_censored
+        |  FROM lt GROUP BY 1),
+        |r AS (SELECT *, cast(sum(n_churn + n_censored)
+        |    OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS bigint)
+        |      AS n_at_risk FROM g),
+        |lf AS (SELECT *,
+        |    CASE WHEN n_churn = 0 THEN cast(0 AS decimal(28,9))
+        |      WHEN n_churn = n_at_risk THEN NULL
+        |      ELSE cast(round(ln(1.0 - cast(n_churn AS double)
+        |        / cast(n_at_risk AS double)), 9) AS decimal(28,9))
+        |    END AS lnf FROM r),
+        |d AS (SELECT *,
+        |    max(CASE WHEN n_churn = n_at_risk THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS dead,
+        |    sum(lnf) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+        |      AS lnsum FROM lf)
+        |SELECT t, n_at_risk, n_churn, n_censored,
+        |  CASE WHEN dead = 1 THEN 0.0
+        |    ELSE round(exp(cast(lnsum AS double)), 6) END AS survival
+        |FROM d ORDER BY t""".stripMargin,
+    // Keyword twin: decimal-exact tf·idf9 ranking, per-doc top-3.
+    "keyword_extract" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents
+        |  WHERE text IS NOT NULL),
+        |t AS (SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> x <> '')) AS tok
+        |  FROM docs),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df,
+        |    cast(round(ln(cast((SELECT count(*) FROM docs) AS double)
+        |      / cast(count(*) AS double)), 9) AS decimal(28,9)) AS idf9
+        |  FROM tf GROUP BY 1),
+        |s AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+        |    cast(tf.tf AS decimal(10,0)) * df.idf9 AS score
+        |  FROM tf JOIN df USING (tok)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, tok ASC) AS rnk FROM s)
+        |SELECT doc_id, cast(rnk AS bigint) AS rnk, tok AS keyword,
+        |  cast(tf AS bigint) AS tf, cast(df AS bigint) AS df,
+        |  round(cast(score AS double), 6) AS score
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    // Hashing-trick twin: identical fv strings, md5-mod buckets.
+    "feature_hashing" ->
+      """WITH e AS (SELECT unnest([
+        |    'event_type=' || event_type,
+        |    'user_shard=' || cast(user_id % 1000 AS varchar),
+        |    CASE WHEN value IS NOT NULL
+        |      THEN 'value_bin=' || cast(cast(floor(value / 50.0)
+        |        AS bigint) AS varchar)
+        |      ELSE 'value_bin' END]) AS fv
+        |  FROM events),
+        |b AS (SELECT fv,
+        |    cast(('0x' || substr(md5(fv), 25, 8))::UBIGINT % 64
+        |      AS bigint) AS bucket
+        |  FROM e),
+        |grain AS (SELECT bucket, fv, count(*) AS n FROM b GROUP BY 1, 2)
+        |SELECT bucket, cast(sum(n) AS bigint) AS n_rows,
+        |  count(*) AS n_values,
+        |  cast(CASE WHEN count(*) > 1 THEN 1 ELSE 0 END AS bigint)
+        |    AS has_collision
+        |FROM grain GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -613,6 +613,69 @@ object Dimensional {
     * Ties: every rank breaks on user_id; equal metric values order
     * identically on both engines (monetary compares exact decimals,
     * never floats). */
+  /** #201 Kaplan-Meier survival curve over user lifetimes — THE
+    * churn statistic: for each lifetime day t, the share of users
+    * still active at t, correctly handling right-censoring (users
+    * still active at the corpus edge are censored, not churned —
+    * naive churn rates conflate the two; #170 counts churn events,
+    * this one estimates the survival FUNCTION).
+    *
+    * Lifetime = last−first active day; churn iff the user vanished
+    * more than [[ChurnQuietDays]] before the corpus edge. KM product
+    * S(t) = Π_{s≤t}(1 − d_s/n_s) computed as exp of a cumulative
+    * 9 dp-quantized ln sum (the psi discipline — a running double
+    * product would be order-sensitive; here the sum is an exact
+    * decimal over a calendar-bounded window), with the d = n
+    * terminal cell pinned to exactly 0. Corpus-scale work is ONE
+    * user-grain collapse; everything after runs on ≤|days| rows.
+    *
+    * Churn rule: not active on the final [[ChurnQuietDays]]+1
+    * observed days. 0 (strictest — absent from the last day) is the
+    * shipped default because the synthetic corpus keeps every user
+    * active to within a week of the edge; production deployments
+    * widen the quiet window. */
+  val ChurnQuietDays = 0L
+
+  def survivalCurve(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val users = Tables.load(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(min(expr(s"unix_micros(ts) div $dayUs")).as("f"),
+        max(expr(s"unix_micros(ts) div $dayUs")).as("l"))
+      .localCheckpoint() // pinned: feeds the edge max + the t grain
+    val maxDay = users.agg(max(col("l"))).head().getLong(0)
+    val byT = users
+      .select((col("l") - col("f")).as("t"),
+        (col("l") < maxDay - ChurnQuietDays).cast("long").as("churned"))
+      .groupBy("t")
+      .agg(sum(col("churned")).as("n_churn"),
+        sum(lit(1L) - col("churned")).as("n_censored"))
+    val wGe = Window.partitionBy(lit(0)).orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLe = Window.partitionBy(lit(0)).orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT
+      .withColumn("n_at_risk",
+        sum(col("n_churn") + col("n_censored")).over(wGe))
+      .withColumn("lnf",
+        when(col("n_churn") === 0L, lit(BigDecimal(0).bigDecimal))
+          .when(col("n_churn") === col("n_at_risk"), lit(null))
+          .otherwise(round(
+            log(lit(1.0) - col("n_churn").cast("double")
+              / col("n_at_risk").cast("double")), 9))
+          .cast("decimal(28,9)"))
+      .withColumn("dead",
+        max((col("n_churn") === col("n_at_risk")).cast("long"))
+          .over(wLe))
+      .withColumn("survival",
+        when(col("dead") === 1L, lit(0.0))
+          .otherwise(round(exp(sum(col("lnf")).over(wLe)
+            .cast("double")), 6)))
+      .select(col("t"), col("n_at_risk"), col("n_churn"),
+        col("n_censored"), col("survival"))
+      .orderBy("t")
+  }
+
   /** #199 Cohort LTV curve — per (signup-cohort week, age week): the
     * cohort's per-user CUMULATIVE revenue — the lifetime-value curve
     * read beside #94's retention triangle (retention counts who came

@@ -209,4 +209,47 @@ object Search {
         col("r_vec"))
       .orderBy("rnk")
   }
+
+  /** Keywords kept per document by [[keywordExtract]]. */
+  val KeywordsPerDoc = 3
+
+  /** #202 TF-IDF keyword extraction — each document's top
+    * [[KeywordsPerDoc]] terms by tf·idf: the per-document tag/topic
+    * column a corpus catalog or retrieval index materializes (#97
+    * scores document PAIRS through the same weighting; this labels
+    * single documents).
+    *
+    * Ranking is DECIMAL-exact: idf = ln(N/df) rounded to 9 dp, the
+    * score tf·idf₉ an exact decimal product — ties (equal tf and df)
+    * break on the token string, so the top-k set is engine-exact,
+    * never a float-ordering accident. The per-doc rank window is
+    * bounded by the document's own vocabulary (a document is finite
+    * at any corpus size); corpus-scale work is the one explode +
+    * (doc, term) and term-grain hash aggregates. */
+  def keywordExtract(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+    val n = docs.count()
+    val tf = docs.select(col("doc_id"),
+        explode(filter(split(lower(trim(col("text"))), "\\s+"),
+          t => t =!= "")).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // pinned: df branch + the scoring join
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      .withColumn("idf9",
+        round(log(lit(n.toDouble) / col("df").cast("double")), 9)
+          .cast("decimal(28,9)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("score").desc, col("tok").asc)
+    tf.join(df, "tok")
+      .withColumn("score", col("tf").cast("decimal(10,0)") * col("idf9"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= KeywordsPerDoc)
+      .select(col("doc_id"), col("rnk"), col("tok").as("keyword"),
+        col("tf"), col("df"),
+        round(col("score").cast("double"), 6).as("score"))
+      .orderBy("doc_id", "rnk")
+  }
 }

@@ -255,6 +255,45 @@ object TrainExport {
   /** Seed for the [[assignIds]] ordering key. */
   val IdSeed = 101L
 
+  /** Hashed feature-space width for [[featureHashing]]. */
+  val HashBuckets = 64L
+
+  /** #203 Feature hashing (the "hashing trick") — fixed-width
+    * featurization of unbounded categorical domains: every
+    * (feature, value) pair maps to one of [[HashBuckets]] buckets
+    * via the portable md5 hash, so the model's input width is fixed
+    * no matter how many users or event types exist. Reported as the
+    * bucket-occupancy audit (row mass + DISTINCT source pairs per
+    * bucket — the collision count that tells you whether the width
+    * is adequate BEFORE training on it).
+    *
+    * Three features of the event stream: event_type, a 1000-ary
+    * user shard, and the 50-wide value bin. All hashing integer/
+    * md5-portable; one scan, 3-cell explode, two bounded-grain
+    * aggregates. */
+  def featureHashing(spark: SparkSession, dir: String): DataFrame = {
+    val triples = Tables.load(spark, dir, "events")
+      .select(explode(array(
+        concat_ws("=", lit("event_type"), col("event_type")),
+        concat_ws("=", lit("user_shard"),
+          pmod(col("user_id"), lit(1000L))),
+        concat_ws("=", lit("value_bin"),
+          when(col("value").isNotNull,
+            floor(col("value") / 50.0).cast("long"))))).as("fv"))
+      .select(col("fv"),
+        pmod(conv(substring(md5(col("fv")), 25, 8), 16, 10).cast("long"),
+          lit(HashBuckets)).as("bucket"))
+    // (bucket, fv) grain first: both outputs derive map-side
+    val grain = triples.groupBy("bucket", "fv")
+      .agg(count(lit(1)).as("n"))
+    grain.groupBy("bucket")
+      .agg(sum(col("n")).as("n_rows"),
+        count(lit(1)).as("n_values"))
+      .select(col("bucket"), col("n_rows"), col("n_values"),
+        (col("n_values") > 1L).cast("long").as("has_collision"))
+      .orderBy("bucket")
+  }
+
   /** #184 Stable dense-ordinal assignment — distributed zipWithIndex
     * with an append contract: every document gets a gap-free global
     * ordinal 1..N in a deterministic md5-keyed order, and ordinals
