@@ -141,7 +141,11 @@ object ScaleBench {
     // round 15 batch G: the user-grain KM collapse, the inverted-
     // index keyword shape (doc-bounded rank windows), and the
     // 3-cell hashing-trick explode
-    "survival_curve", "keyword_extract", "feature_hashing")
+    "survival_curve", "keyword_extract", "feature_hashing",
+    // round 15 batch H: the regexp cleaning scan, the per-class
+    // two-level rank (duplication keeps class ratios), and the 2-D
+    // bounded-cell grid
+    "text_clean", "balance_downsample", "heatmap_2d")
 
   /** Join shapes where only the FACT side (lineitem) multiplies —
     * each order keeps its (now mult×) lines and every dim stays

@@ -202,7 +202,10 @@ object SparkEntry {
     "date_dim" -> (Olap.dateDim _),
     "survival_curve" -> (Dimensional.survivalCurve _),
     "keyword_extract" -> (Search.keywordExtract _),
-    "feature_hashing" -> (TrainExport.featureHashing _)
+    "feature_hashing" -> (TrainExport.featureHashing _),
+    "text_clean" -> (TextOps.textClean _),
+    "balance_downsample" -> (Sampling.balanceDownsample _),
+    "heatmap_2d" -> (Olap.heatmap2d _)
   )
 
   private val Dec = "decimal(28,6)"
@@ -3372,6 +3375,53 @@ object SparkEntry {
         |  count(*) AS n_values,
         |  cast(CASE WHEN count(*) > 1 THEN 1 ELSE 0 END AS bigint)
         |    AS has_collision
-        |FROM grain GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM grain GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Cleaning twin: identical character classes; DuckDB needs the
+    // 'g' flag to match Spark's replace-ALL regexp_replace.
+    "text_clean" ->
+      """WITH c AS (SELECT doc_id, text,
+        |    regexp_replace(text,
+        |      '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g') AS no_ctrl
+        |  FROM documents WHERE text IS NOT NULL),
+        |w AS (SELECT doc_id, text, no_ctrl,
+        |    regexp_replace(regexp_replace(no_ctrl, '[ \t\r\n]+', ' ',
+        |      'g'), '^ | $', '', 'g') AS cleaned
+        |  FROM c)
+        |SELECT doc_id,
+        |  cast(length(text) AS bigint) AS raw_chars,
+        |  cast(length(cleaned) AS bigint) AS clean_chars,
+        |  cast(length(text) - length(no_ctrl) AS bigint) AS ctrl_removed,
+        |  cast(length(no_ctrl) - length(cleaned) AS bigint)
+        |    AS ws_collapsed,
+        |  cast(CASE WHEN length(cleaned) = 0 THEN 1 ELSE 0 END
+        |    AS bigint) AS is_empty
+        |FROM w ORDER BY doc_id""".stripMargin,
+    // Balance twin: per-class single-window rank, broadcast min.
+    "balance_downsample" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    cast(('0x' || substr(md5(53 || ':' || doc_id), 25, 8))
+        |      ::UBIGINT AS bigint) AS skey
+        |  FROM documents),
+        |m AS (SELECT min(c) AS mc FROM (
+        |    SELECT lang, count(*) AS c FROM d GROUP BY 1)),
+        |r AS (SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang ORDER BY skey, doc_id) AS rnk FROM d)
+        |SELECT lang, count(*) AS n_before,
+        |  cast(sum(CASE WHEN rnk <= (SELECT mc FROM m) THEN 1 ELSE 0
+        |    END) AS bigint) AS n_kept,
+        |  cast(sum(CASE WHEN rnk <= (SELECT mc FROM m)
+        |    THEN doc_id % 1000003 ELSE 0 END) AS bigint)
+        |    AS kept_checksum
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Heat-grid twin: identical integer bucketing, exact sums.
+    "heatmap_2d" ->
+      """WITH l AS (SELECT cast(l_quantity AS bigint) // 10 AS qty_bin,
+        |    cast(cast(l_extendedprice AS decimal(18,6)) * 1000000
+        |      AS bigint) AS pu
+        |  FROM lineitem)
+        |SELECT qty_bin, pu // 5000000000 AS price_bin, count(*) AS n,
+        |  round(cast(sum(cast(pu AS hugeint)) AS double) / 1e6, 6)
+        |    AS revenue
+        |FROM l GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

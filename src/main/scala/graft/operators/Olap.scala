@@ -34,6 +34,23 @@ object Olap {
       .orderBy(col("grp_id"), col("o_orderpriority").asc_nulls_first,
         col("o_orderstatus").asc_nulls_first)
 
+  /** #206 2-D histogram (heat grid) — the (quantity × price-band)
+    * density/revenue grid a dashboard heatmap renders: exact integer
+    * bucketing on both axes (quantity div 10; unscaled-micro price
+    * div 5000·10⁶), counts + exact decimal revenue per cell. One
+    * scan, one bounded-cell aggregate — the 2-D member of #52's
+    * histogram family. */
+  def heatmap2d(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .select(expr("cast(l_quantity as bigint) div 10").as("qty_bin"),
+        Num.unscaled6(col("l_extendedprice")).as("pu"))
+      .select(col("qty_bin"), expr("pu div 5000000000").as("price_bin"),
+        col("pu"))
+      .groupBy("qty_bin", "price_bin")
+      .agg(count(lit(1)).as("n"),
+        round(Num.dsumUnscaled(col("pu")), 6).as("revenue"))
+      .orderBy("qty_bin", "price_bin")
+
   /** #200 Date-dimension build — the calendar table every star
     * schema joins against: one row per day spanning the fact table's
     * date range, with epoch-day, day-of-week, Monday-aligned week

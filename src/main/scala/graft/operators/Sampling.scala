@@ -147,6 +147,40 @@ object Sampling {
       .agg(count(lit(1)).as("n_events"), Num.dsum(col("value")).as("sum_value"))
       .orderBy("event_type", "split")
 
+  /** Seed for the [[balanceDownsample]] keep order. */
+  val BalanceSeed = 53L
+
+  /** #205 Balanced class downsampling — equalize class populations
+    * by keeping exactly min-class-count rows per class, chosen in
+    * deterministic md5 order (the hard-equalization rebalance next
+    * to #123's temperature mixing and #53's per-class rates; this
+    * one guarantees EQUAL counts, which loss-weighting-free
+    * training recipes want). Selection is a per-class
+    * [[Rank.twoLevelRank]] — the majority class IS the hot key, so
+    * no task sorts it — thresholded at the broadcast minimum;
+    * reported as the per-class audit with an id checksum over the
+    * kept set (the kept rows themselves are a filter consumers
+    * chain on). */
+  def balanceDownsample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        conv(substring(md5(concat_ws(":", lit(BalanceSeed),
+          col("doc_id"))), 25, 8), 16, 10).cast("long").as("skey"))
+      .localCheckpoint() // pinned: counts + the rank pass
+    val minCount = docs.groupBy("lang").agg(count(lit(1)).as("c"))
+      .agg(min(col("c"))).head().getLong(0)
+    Rank.twoLevelRank(docs, Seq("lang"),
+        expr("skey div 16777216"), blkAscending = true,
+        Seq(col("skey").asc, col("doc_id").asc), "rnk", "nn")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_before"),
+        sum((col("rnk") <= minCount).cast("long")).as("n_kept"),
+        sum(when(col("rnk") <= minCount,
+          pmod(col("doc_id"), lit(1000003L))).otherwise(0L))
+          .as("kept_checksum"))
+      .orderBy("lang")
+  }
+
   /** Sample size for [[systematicSample]]. */
   val SysK = 50L
   /** Seed for the systematic order key (changing it reorders the

@@ -396,6 +396,33 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** #204 Text normalization / cleaning pass — the first stage of
+    * every ingestion pipeline: strip control characters, collapse
+    * whitespace runs, trim, and report what changed (chars removed,
+    * whitespace runs collapsed, became-empty flag) so the cleaning
+    * is auditable rather than silent. Pure composed Catalyst
+    * regexp/length expressions (codegen'd, no UDF); the regexes use
+    * only explicit character classes both engines' regex dialects
+    * (Java util.regex / RE2) treat identically. */
+  def textClean(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+      .withColumn("no_ctrl",
+        regexp_replace(col("text"), "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", ""))
+      .withColumn("cleaned",
+        regexp_replace(regexp_replace(col("no_ctrl"), "[ \\t\\r\\n]+", " "),
+          "^ | $", ""))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("raw_chars"),
+        length(col("cleaned")).cast("long").as("clean_chars"),
+        (length(col("text")) - length(col("no_ctrl"))).cast("long")
+          .as("ctrl_removed"),
+        (length(col("no_ctrl")) - length(col("cleaned"))).cast("long")
+          .as("ws_collapsed"),
+        (length(col("cleaned")) === 0).cast("long").as("is_empty"))
+      .orderBy("doc_id")
+
   /** A word-bigram shared by more than this many documents counts as
     * corpus boilerplate for [[noveltyScore]]. */
   val CommonDf = 10L
