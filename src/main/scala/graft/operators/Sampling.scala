@@ -169,9 +169,21 @@ object Sampling {
       .localCheckpoint() // pinned: counts + the rank pass
     val minCount = docs.groupBy("lang").agg(count(lit(1)).as("c"))
       .agg(min(col("c"))).head().getLong(0)
-    Rank.twoLevelRank(docs, Seq("lang"),
-        expr("skey div 16777216"), blkAscending = true,
-        Seq(col("skey").asc, col("doc_id").asc), "rnk", "nn")
+    val ranked =
+      if (docs.count() <= Rank.SingleTaskMax) {
+        // adaptive plan (the scd2_lookup pattern): per-class window,
+        // one exchange. Measured ×100: parity with the decomposition
+        // (2.0 s either way — the cell is scan + checkpoint bound,
+        // not rank bound), kept for the simpler plan; the two-level
+        // branch remains the 100 TB path
+        val W = org.apache.spark.sql.expressions.Window
+        docs.withColumn("rnk", row_number().over(W.partitionBy("lang")
+          .orderBy(col("skey").asc, col("doc_id").asc)).cast("long"))
+      } else
+        Rank.twoLevelRank(docs, Seq("lang"),
+          expr("skey div 16777216"), blkAscending = true,
+          Seq(col("skey").asc, col("doc_id").asc), "rnk", "nn")
+    ranked
       .groupBy("lang")
       .agg(count(lit(1)).as("n_before"),
         sum((col("rnk") <= minCount).cast("long")).as("n_kept"),
