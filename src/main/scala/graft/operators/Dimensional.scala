@@ -394,6 +394,14 @@ object Dimensional {
     * broadcast range-join plan (rows; well under the default 10 MB
     * broadcast budget for the 4-column dim projection). */
   val PitBroadcastMaxRows = 2000000L
+  /** Longest per-key version chain the broadcast PIT plan accepts:
+    * above this, hot-key probe cost (clicks_k × versions_k) dwarfs
+    * the merge as-of's sort and the two-level path takes over. The
+    * uniform ×100 corpus runs ~10²-chain dims (broadcast wins
+    * 2.91 s vs 4.29 s); the 90%-one-key kill-test corpus runs a
+    * ~10⁴ chain on the hot key (broadcast measured 3.98× — the
+    * regression this gate closes). */
+  val PitBroadcastMaxChain = 1024L
 
   /** #157 Point-in-time SCD2 lookup — THE canonical use of the #87
     * dimension: each click enriched with the price version valid at
@@ -425,8 +433,17 @@ object Dimensional {
     val clicks = Tables.load(spark, dir, "events")
       .filter(col("event_type") === "click")
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    // The broadcast hash join probes EVERY version of the click's
+    // key before the range filter — O(clicks_k × versions_k) per
+    // key. Fine when version chains are short, quadratic on a hot
+    // key (the ×100 skew kill-test measured 3.98× when the adaptive
+    // plan looked only at total dim size), so the plan choice gates
+    // on the LONGEST chain as well.
+    val maxChain = dim.groupBy("d_user").agg(count(lit(1)).as("c"))
+      .agg(max(col("c"))).head().getLong(0)
     val joined =
-      if (dim.count() <= PitBroadcastMaxRows)
+      if (dim.count() <= PitBroadcastMaxRows
+          && maxChain <= PitBroadcastMaxChain)
         clicks.join(broadcast(dim),
           col("user_id") === col("d_user") &&
             col("ts") >= col("d_from") &&
