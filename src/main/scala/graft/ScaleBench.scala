@@ -145,7 +145,10 @@ object ScaleBench {
     // round 15 batch H: the regexp cleaning scan, the per-class
     // two-level rank (duplication keeps class ratios), and the 2-D
     // bounded-cell grid
-    "text_clean", "balance_downsample", "heatmap_2d")
+    "text_clean", "balance_downsample", "heatmap_2d",
+    // round 15 batch I: the 11-cell threshold explode and the
+    // canonical-string md5 fingerprint scan — both row-linear
+    "quality_curve", "table_fingerprint")
 
   /** Join shapes where only the FACT side (lineitem) multiplies —
     * each order keeps its (now mult×) lines and every dim stays

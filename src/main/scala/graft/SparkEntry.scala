@@ -205,7 +205,9 @@ object SparkEntry {
     "feature_hashing" -> (TrainExport.featureHashing _),
     "text_clean" -> (TextOps.textClean _),
     "balance_downsample" -> (Sampling.balanceDownsample _),
-    "heatmap_2d" -> (Olap.heatmap2d _)
+    "heatmap_2d" -> (Olap.heatmap2d _),
+    "quality_curve" -> (Curation.qualityCurve _),
+    "table_fingerprint" -> (Analytics.tableFingerprint _)
   )
 
   private val Dec = "decimal(28,6)"
@@ -3422,6 +3424,63 @@ object SparkEntry {
         |SELECT qty_bin, pu // 5000000000 AS price_bin, count(*) AS n,
         |  round(cast(sum(cast(pu AS hugeint)) AS double) / 1e6, 6)
         |    AS revenue
-        |FROM l GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM l GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Threshold-sweep twin: identical cross-multiplied integer gates
+    // over the same tokenizer stats.
+    "quality_curve" ->
+      """WITH t AS (SELECT doc_id, n_chars,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |d AS (SELECT doc_id, n_chars,
+        |    cast(len(toks) AS bigint) AS n_tok,
+        |    cast(len(list_filter(toks, x -> x IN ('the','a','and','of',
+        |      'to','in','is','el','la','los','de','que','y','en')))
+        |      AS bigint) AS n_stop
+        |  FROM t),
+        |s AS (SELECT d.*, t20h FROM d
+        |  CROSS JOIN (SELECT unnest(range(11)) AS t20h))
+        |SELECT t20h * 5 AS threshold_pct, count(*) AS n_docs,
+        |  cast(sum(CASE WHEN n_stop * 20 >= t20h * n_tok THEN 1
+        |    ELSE 0 END) AS bigint) AS n_kept,
+        |  cast(sum(CASE WHEN n_stop * 20 >= t20h * n_tok THEN n_chars
+        |    ELSE 0 END) AS bigint) AS kept_chars,
+        |  cast(sum(CASE WHEN n_stop * 20 >= t20h * n_tok THEN 1
+        |    ELSE 0 END) AS bigint) * 1000000 // count(*) AS keep_ppm
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Fingerprint twin: identical canonical strings, md5 tail-32,
+    // exact sum mod 1e9+7.
+    "table_fingerprint" ->
+      """WITH de AS (SELECT event_id || '|' || epoch_us(ts) || '|'
+        |    || user_id || '|' || event_type || '|'
+        |    || cast(cast(value AS decimal(18,6)) * 1000000 AS bigint)
+        |    || '|' || props AS canon
+        |  FROM events),
+        |dord AS (SELECT o_orderkey || '|' || o_custkey || '|'
+        |    || o_orderstatus || '|'
+        |    || cast(cast(o_totalprice AS decimal(18,6)) * 1000000
+        |       AS bigint)
+        |    || '|' || epoch_us(o_orderdate) || '|' || o_orderpriority
+        |    AS canon
+        |  FROM orders),
+        |ddoc AS (SELECT doc_id || '|' || text || '|' || lang || '|'
+        |    || source || '|' || n_chars AS canon
+        |  FROM documents),
+        |f AS (
+        |  SELECT 'documents' AS tbl, count(*) AS n_rows,
+        |    cast(sum(cast(('0x' || substr(md5(canon), 25, 8))::UBIGINT
+        |      AS hugeint)) % 1000000007 AS bigint) AS checksum
+        |  FROM ddoc
+        |  UNION ALL
+        |  SELECT 'events', count(*),
+        |    cast(sum(cast(('0x' || substr(md5(canon), 25, 8))::UBIGINT
+        |      AS hugeint)) % 1000000007 AS bigint)
+        |  FROM de
+        |  UNION ALL
+        |  SELECT 'orders', count(*),
+        |    cast(sum(cast(('0x' || substr(md5(canon), 25, 8))::UBIGINT
+        |      AS hugeint)) % 1000000007 AS bigint)
+        |  FROM dord)
+        |SELECT tbl AS "table", n_rows, checksum FROM f
+        |ORDER BY 1""".stripMargin
   )
 }

@@ -563,6 +563,50 @@ object Analytics {
         col("chi2"))
   }
 
+  /** #208 Order-invariant table fingerprint — one row per table:
+    * row count plus a content checksum that any engine can recompute
+    * and compare (replication / migration / backup verification —
+    * the cheap "are these two copies the same table?" handshake, the
+    * whole-table cousin of #158's row-level diff).
+    *
+    * Checksum = Σ over rows of the portable md5 tail-32 of the row's
+    * canonical string (every column cast to string, '|'-joined with
+    * a NUL-free separator), summed as plain longs — ADDITION is
+    * commutative, so the fingerprint is independent of row order,
+    * partitioning and engine. Canonicalization pins the fragile
+    * spots: timestamps via unix_micros (never engine string
+    * formats), doubles via the 6 dp decimal cast. Row-linear, one
+    * map-side-combinable aggregate per table, all three tables ONE
+    * unioned lazy plan. */
+  def tableFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    def fp(name: String, canon: DataFrame): DataFrame =
+      canon
+        .select(conv(substring(md5(col("canon")), 25, 8), 16, 10)
+          .cast("long").as("h"))
+        // exact decimal sum (a plain long Σ overflows at ~10¹² rows),
+        // published mod 1e9+7 so the fingerprint is a plain bigint
+        .agg(count(lit(1)).as("n_rows"),
+          expr("cast(sum(cast(h as decimal(38,0))) % 1000000007" +
+            " as bigint)").as("checksum"))
+        .select(lit(name).as("table"), col("n_rows"), col("checksum"))
+    val ev = Tables.load(spark, dir, "events")
+      .select(concat_ws("|", col("event_id"),
+        unix_micros(col("ts")), col("user_id"), col("event_type"),
+        Num.unscaled6(col("value")), col("props")).as("canon"))
+    val ords = Tables.load(spark, dir, "orders")
+      .select(concat_ws("|", col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), Num.unscaled6(col("o_totalprice")),
+        unix_micros(col("o_orderdate")), col("o_orderpriority"))
+        .as("canon"))
+    val docs = Tables.load(spark, dir, "documents")
+      .select(concat_ws("|", col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars")).as("canon"))
+    fp("documents", docs)
+      .unionByName(fp("events", ev))
+      .unionByName(fp("orders", ords))
+      .orderBy("table")
+  }
+
   /** #197 Mutual information of the segment × priority contingency —
     * the dependence MAGNITUDE beside #171's χ² significance test
     * (and the feature-selection score ML pipelines rank categorical

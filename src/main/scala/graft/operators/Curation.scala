@@ -148,6 +148,36 @@ object Curation {
     * rank, and the DuckDB oracle verifies exactly that equivalence
     * with its single-window form. Keep count is integer arithmetic
     * (`floor((3n+4)/5)` = ceil(0.6n)) — no float membership test. */
+  /** #207 Quality-gate threshold sweep — the keep-rate curve read
+    * BEFORE fixing a quality cutoff (the quality-side twin of #175's
+    * dedup curve): for stopword-ratio thresholds 0%..50% in 5%
+    * steps, how many documents and characters survive. Every
+    * membership test is the cross-multiplied INTEGER comparison
+    * 20·n_stop ≥ t20·n_tok (t20 = threshold in twentieths — no
+    * float ratio anywhere), so the curve is engine-exact. One scan →
+    * per-doc integer stats → an 11-cell threshold explode over the
+    * per-doc rows → map-side-combined aggregate. */
+  def qualityCurve(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        TextFunctions.qualityStruct(col("text")).as("s"))
+      .select(col("doc_id"), col("n_chars"),
+        col("s.n_tok").as("n_tok"), col("s.n_stop").as("n_stop"))
+    docs
+      .select(col("n_chars"), col("n_tok"), col("n_stop"),
+        explode(sequence(lit(0L), lit(10L))).as("t20h"))
+      .groupBy((col("t20h") * 5L).as("threshold_pct"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("n_stop") * 20L >= col("t20h") * col("n_tok"))
+          .cast("long")).as("n_kept"),
+        sum(when(col("n_stop") * 20L >= col("t20h") * col("n_tok"),
+          col("n_chars")).otherwise(0L)).as("kept_chars"))
+      .select(col("threshold_pct"), col("n_docs"), col("n_kept"),
+        col("kept_chars"),
+        expr("n_kept * 1000000 div n_docs").as("keep_ppm"))
+      .orderBy("threshold_pct")
+  }
+
   def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
     val blocked = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
