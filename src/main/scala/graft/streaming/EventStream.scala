@@ -529,6 +529,31 @@ object EventStream {
       }
   }
 
+  case class Fingerprint(n_rows: Long, checksum: Long)
+
+  /** #209 Streaming table fingerprint — the live twin of batch
+    * `Analytics.tableFingerprint` (#208): the events feed's
+    * order-invariant content checksum maintained INCREMENTALLY (one
+    * running (count, Σ md5-tail mod 1e9+7) state — addition is
+    * commutative, so arrival order and micro-batch boundaries are
+    * invisible), emitted per micro-batch in complete mode. The
+    * continuous replication-verification handshake: compare the live
+    * number against the batch fingerprint of the replica at any
+    * checkpoint. Replay converges to the batch value exactly
+    * (spec-asserted). */
+  def fingerprintFeed(spark: SparkSession, events: DataFrame)
+      : DataFrame = {
+    import org.apache.spark.sql.functions._
+    events
+      .select(conv(substring(md5(concat_ws("|", col("event_id"),
+        unix_micros(col("ts")), col("user_id"), col("event_type"),
+        graft.operators.Num.unscaled6(col("value")), col("props"))),
+        25, 8), 16, 10).cast("long").as("h"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("cast(sum(cast(h as decimal(38,0))) % 1000000007" +
+          " as bigint)").as("checksum"))
+  }
+
   case class CusumPoint(user_id: Long, day: Long, s: Long,
       alert: Boolean)
   case class CusumState(day: Long, cnt: Long, s: Long)

@@ -586,4 +586,27 @@ class EventStreamSpec extends SparkTestBase {
     assert(got === expected)
     assert(expected.nonEmpty && expected.exists(_._2._2))
   }
+
+  test("streaming fingerprint converges to the batch table fingerprint") {
+    val dir = Files.createTempDirectory("graft_fp_stream").toString
+    val ev = Tables.load(spark, SfDir, "events").orderBy("ts", "event_id")
+    val cut = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    ev.filter(col("ts") < cut).coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val feed = EventStream.fingerprintFeed(spark,
+      EventStream.readEvents(spark, dir))
+    val q = feed.writeStream.format("memory").queryName("fps")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      ev.filter(col("ts") >= cut).coalesce(1)
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("fps").collect().head
+    val batch = graft.operators.Analytics.tableFingerprint(spark, SfDir)
+      .filter(col("table") === "events").collect().head
+    assert(got.getAs[Long]("n_rows") === batch.getAs[Long]("n_rows"))
+    assert(got.getAs[Long]("checksum") === batch.getAs[Long]("checksum"))
+  }
 }
