@@ -148,7 +148,10 @@ object ScaleBench {
     "text_clean", "balance_downsample", "heatmap_2d",
     // round 15 batch I: the 11-cell threshold explode and the
     // canonical-string md5 fingerprint scan — both row-linear
-    "quality_curve", "table_fingerprint")
+    "quality_curve", "table_fingerprint",
+    // round 15 batch J: the duplication-invariant basket triple
+    // collapse and the user-grain feature export
+    "itemset_3", "user_features")
 
   /** Join shapes where only the FACT side (lineitem) multiplies —
     * each order keeps its (now mult×) lines and every dim stays

@@ -207,7 +207,9 @@ object SparkEntry {
     "balance_downsample" -> (Sampling.balanceDownsample _),
     "heatmap_2d" -> (Olap.heatmap2d _),
     "quality_curve" -> (Curation.qualityCurve _),
-    "table_fingerprint" -> (Analytics.tableFingerprint _)
+    "table_fingerprint" -> (Analytics.tableFingerprint _),
+    "itemset_3" -> (Analytics.itemset3 _),
+    "user_features" -> (graft.operators.TrainExport.userFeatures _)
   )
 
   private val Dec = "decimal(28,6)"
@@ -3481,6 +3483,56 @@ object SparkEntry {
         |      AS hugeint)) % 1000000007 AS bigint)
         |  FROM dord)
         |SELECT tbl AS "table", n_rows, checksum FROM f
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+    // 3-itemset twin: same distinct collapse, ordered triple join.
+    "itemset_3" ->
+      """WITH lines AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+        |  c.l_partkey AS pc, count(*) AS support
+        |FROM lines a
+        |JOIN lines b ON a.l_orderkey = b.l_orderkey
+        |  AND a.l_partkey < b.l_partkey
+        |JOIN lines c ON b.l_orderkey = c.l_orderkey
+        |  AND b.l_partkey < c.l_partkey
+        |GROUP BY 1, 2, 3
+        |ORDER BY support DESC, pa, pb, pc LIMIT 20""".stripMargin,
+    // Feature-store twin: one user-grain aggregate, integer div
+    // recency/activity, exact decimal revenue.
+    "user_features" ->
+      s"""WITH ev AS (SELECT user_id, event_type,
+         |    epoch_us(ts) // 86400000000 AS day,
+         |    epoch_us(ts) AS us, value FROM events),
+         |m AS (SELECT max(us) AS mx FROM ev),
+         |g AS (SELECT user_id, count(*) AS n_events,
+         |    max(day) - min(day) + 1 AS lifetime_days,
+         |    count(DISTINCT day) AS active_days,
+         |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |      AS n_click,
+         |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         |      AS n_view,
+         |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS n_purchase,
+         |    sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+         |      AS n_signup,
+         |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+         |      AS n_error,
+         |    ${dsum("CASE WHEN event_type = 'purchase' THEN value END")}
+         |      AS purchase_revenue,
+         |    max(us) AS last_us
+         |  FROM ev GROUP BY 1)
+         |SELECT user_id, n_events,
+         |  cast(lifetime_days AS bigint) AS lifetime_days,
+         |  cast(active_days AS bigint) AS active_days,
+         |  cast(n_click AS bigint) AS n_click,
+         |  cast(n_view AS bigint) AS n_view,
+         |  cast(n_purchase AS bigint) AS n_purchase,
+         |  cast(n_signup AS bigint) AS n_signup,
+         |  cast(n_error AS bigint) AS n_error,
+         |  purchase_revenue,
+         |  ((SELECT mx FROM m) - last_us) // 86400000000
+         |    AS recency_days,
+         |  active_days * 1000000 // lifetime_days AS activity_ppm
+         |FROM g ORDER BY user_id""".stripMargin
   )
 }

@@ -563,6 +563,29 @@ object Analytics {
         col("chi2"))
   }
 
+  /** #210 Frequent 3-itemsets — top part TRIPLES by order support
+    * (association mining one level above #143's pairs; distinct from
+    * #166's triangles, which count pairwise co-occurrence closures —
+    * a frequent triple requires all three in ONE basket): per order,
+    * C(basket, 3) triples from the DISTINCT collapse — cost
+    * Σ C(b,3), bounded by basket size cubed over orders, never
+    * catalog³; deterministic top-20. */
+  def itemset3(spark: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .localCheckpoint()
+    val a = lines.select(col("l_orderkey"), col("l_partkey").as("pa"))
+    val b = lines.select(col("l_orderkey"), col("l_partkey").as("pb"))
+    val c = lines.select(col("l_orderkey"), col("l_partkey").as("pc"))
+    a.join(b, "l_orderkey").filter(col("pa") < col("pb"))
+      .join(c, "l_orderkey").filter(col("pb") < col("pc"))
+      .groupBy("pa", "pb", "pc")
+      .agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("pa").asc, col("pb").asc,
+        col("pc").asc)
+      .limit(20)
+  }
+
   /** #208 Order-invariant table fingerprint — one row per table:
     * row count plus a content checksum that any engine can recompute
     * and compare (replication / migration / backup verification —

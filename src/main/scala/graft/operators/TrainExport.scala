@@ -255,6 +255,41 @@ object TrainExport {
   /** Seed for the [[assignIds]] ordering key. */
   val IdSeed = 101L
 
+  /** #211 User feature-store export — the per-entity wide feature
+    * table a churn/LTV model trains on, built in ONE event scan:
+    * lifetime span, active-day count, per-type event counts,
+    * exact-decimal purchase revenue, recency, and an integer
+    * activity-rate ppm. Every column is a conditional aggregate of
+    * the same user-grain hash aggregate (map-side combinable, no
+    * windows, no joins) — the "feature store materialization" shape,
+    * composing what #176/#201/#162 compute for their own reports
+    * into the training-ready export. */
+  def userFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        expr(s"unix_micros(ts) div $dayUs").as("day"),
+        unix_micros(col("ts")).as("us"), col("value"))
+    val maxUs = ev.agg(max(col("us"))).head().getLong(0)
+    def nOf(t: String) =
+      sum((col("event_type") === t).cast("long")).as(s"n_$t")
+    ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("day")) - min(col("day")) + 1L).as("lifetime_days"),
+        countDistinct(col("day")).as("active_days"),
+        nOf("click"), nOf("view"), nOf("purchase"), nOf("signup"),
+        nOf("error"),
+        Num.dsum(when(col("event_type") === "purchase", col("value")))
+          .as("purchase_revenue"),
+        max(col("us")).as("last_us"))
+      .withColumn("recency_days",
+        expr(s"(${maxUs}L - last_us) div $dayUs"))
+      .withColumn("activity_ppm",
+        expr("active_days * 1000000 div lifetime_days"))
+      .drop("last_us")
+      .orderBy("user_id")
+  }
+
   /** Hashed feature-space width for [[featureHashing]]. */
   val HashBuckets = 64L
 
