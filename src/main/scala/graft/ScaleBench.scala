@@ -151,7 +151,9 @@ object ScaleBench {
     "quality_curve", "table_fingerprint",
     // round 15 batch J: the duplication-invariant basket triple
     // collapse and the user-grain feature export
-    "itemset_3", "user_features")
+    "itemset_3", "user_features",
+    // order-grain point-in-time collapse (fact join is key-local)
+    "backlog_aging")
 
   /** Join shapes where only the FACT side (lineitem) multiplies —
     * each order keeps its (now mult×) lines and every dim stays

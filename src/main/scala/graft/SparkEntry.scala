@@ -209,7 +209,8 @@ object SparkEntry {
     "quality_curve" -> (Curation.qualityCurve _),
     "table_fingerprint" -> (Analytics.tableFingerprint _),
     "itemset_3" -> (Analytics.itemset3 _),
-    "user_features" -> (graft.operators.TrainExport.userFeatures _)
+    "user_features" -> (graft.operators.TrainExport.userFeatures _),
+    "backlog_aging" -> (Analytics.backlogAging _)
   )
 
   private val Dec = "decimal(28,6)"
@@ -3533,6 +3534,32 @@ object SparkEntry {
          |  ((SELECT mx FROM m) - last_us) // 86400000000
          |    AS recency_days,
          |  active_days * 1000000 // lifetime_days AS activity_ppm
-         |FROM g ORDER BY user_id""".stripMargin
+         |FROM g ORDER BY user_id""".stripMargin,
+    // Backlog twin: per-line open membership collapsed to order
+    // grain, identical integer midpoint snapshot instant.
+    "backlog_aging" ->
+      """WITH o AS (SELECT o_orderkey, o_orderpriority,
+        |    epoch_us(o_orderdate) // 86400000000 AS oday FROM orders),
+        |dd AS (SELECT (min(oday) + max(oday)) // 2 AS d FROM o),
+        |li AS (SELECT l_orderkey,
+        |    epoch_us(l_shipdate) // 86400000000 AS sday,
+        |    cast(cast(l_extendedprice AS decimal(18,6)) * 1000000
+        |      AS bigint) AS pu
+        |  FROM lineitem),
+        |per AS (SELECT o.o_orderkey, o.o_orderpriority, o.oday,
+        |    sum(CASE WHEN sday > (SELECT d FROM dd) THEN 1 ELSE 0 END)
+        |      AS open_lines,
+        |    sum(CASE WHEN sday > (SELECT d FROM dd)
+        |      THEN cast(pu AS hugeint) END) AS open_u
+        |  FROM o JOIN li ON o_orderkey = l_orderkey
+        |  WHERE o.oday <= (SELECT d FROM dd)
+        |  GROUP BY 1, 2, 3)
+        |SELECT o_orderpriority,
+        |  ((SELECT d FROM dd) - oday) // 7 AS age_bucket,
+        |  count(*) AS n_orders,
+        |  cast(sum(open_lines) AS bigint) AS open_lines,
+        |  round(cast(sum(open_u) AS double) / 1e6, 6) AS open_value
+        |FROM per WHERE open_lines > 0
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -563,6 +563,48 @@ object Analytics {
         col("chi2"))
   }
 
+  /** Snapshot instant for [[backlogAging]]: the corpus midpoint
+    * keeps both open and shipped orders populated at any SF. */
+  /** #212 Order-backlog aging snapshot — "as of date D, which orders
+    * are not yet fully shipped, and how old are they": the
+    * fulfillment-backlog report a commerce warehouse serves beside
+    * #168's completed-lag SLA. An order is OPEN at D iff it was
+    * placed on/before D and has at least one line shipping after D;
+    * aged into integer 7-day buckets of D − orderdate, with open
+    * line counts and exact decimal open value.
+    *
+    * Point-in-time correctness without a time-travel store: shipdate
+    * > D membership is evaluated per LINE and collapsed to order
+    * grain with conditional aggregates (one fact⋈fact equi-join on
+    * the order key — hash at scale), never by filtering the order
+    * table alone. D derives deterministically from the corpus
+    * (median order date via integer epoch-day midpoint of min/max) —
+    * both engines compute the identical instant. */
+  def backlogAging(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        expr("unix_micros(o_orderdate) div 86400000000").as("oday"))
+      .localCheckpoint() // pinned: bounds probe + the join
+    val d = o.agg(expr("(min(oday) + max(oday)) div 2")).head().getLong(0)
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"),
+        expr("unix_micros(l_shipdate) div 86400000000").as("sday"),
+        Num.unscaled6(col("l_extendedprice")).as("pu"))
+    o.filter(col("oday") <= d)
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey", "o_orderpriority", "oday")
+      .agg(sum((col("sday") > d).cast("long")).as("open_lines"),
+        Num.dsum128Raw(when(col("sday") > d, col("pu"))
+          .otherwise(lit(null))).as("open_dec"))
+      .filter(col("open_lines") > 0)
+      .groupBy(col("o_orderpriority"),
+        expr(s"(${d}L - oday) div 7").as("age_bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("open_lines")).as("open_lines"),
+        round(sum(col("open_dec")).cast("double"), 6).as("open_value"))
+      .orderBy("o_orderpriority", "age_bucket")
+  }
+
   /** #210 Frequent 3-itemsets — top part TRIPLES by order support
     * (association mining one level above #143's pairs; distinct from
     * #166's triangles, which count pairwise co-occurrence closures —

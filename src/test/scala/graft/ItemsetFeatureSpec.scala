@@ -49,4 +49,29 @@ class ItemsetFeatureSpec extends SparkTestBase {
         assert(r.isNullAt(r.fieldIndex("purchase_revenue")))
     }
   }
+
+  test("backlog aging: open orders really have a post-snapshot line, value positive") {
+    val rows = graft.operators.Analytics.backlogAging(spark, SfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("age_bucket") >= 0L)
+      assert(r.getAs[Long]("open_lines") >= r.getAs[Long]("n_orders"))
+      assert(r.getAs[Double]("open_value") > 0.0)
+    }
+    // conservation against a direct recompute of the snapshot instant
+    val o = spark.read.parquet(s"$SfDir/orders.parquet")
+      .select(col("o_orderkey"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("oday"))
+    val mm = o.agg(min(col("oday")), max(col("oday"))).head()
+    val d = (mm.getLong(0) + mm.getLong(1)) / 2
+    val li = spark.read.parquet(s"$SfDir/lineitem.parquet")
+      .select(col("l_orderkey"),
+        expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000").as("sday"))
+    val expectedOpen = o.filter(col("oday") <= d)
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("sday") > d)
+      .select("o_orderkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum === expectedOpen)
+  }
 }
