@@ -151,9 +151,12 @@ object ScaleBench {
     "quality_curve", "table_fingerprint",
     // round 15 batch J: the duplication-invariant basket triple
     // collapse and the user-grain feature export
-    "itemset_3", "user_features",
-    // order-grain point-in-time collapse (fact join is key-local)
-    "backlog_aging")
+    "itemset_3", "user_features")
+  // backlog_aging stays OUT of the multiplied set: hardlink
+  // duplication multiplies BOTH join sides of its o⋈li key join
+  // (100× orders × 100× lines = 10⁴× pairs per key — the
+  // snapshot_diff artifact; measured 19 s BOTH engines at ×100,
+  // ratio 1.01×)
 
   /** Join shapes where only the FACT side (lineitem) multiplies —
     * each order keeps its (now mult×) lines and every dim stays
