@@ -216,6 +216,13 @@ object SparkEntry {
   private val Dec = "decimal(28,6)"
   private def dsum(x: String) = s"cast(sum(cast($x as $Dec)) as double)"
 
+  /** DuckDB twin of Analytics.canonField — length-prefixed canonical
+    * field with NULL rendered as the marker 'N'. Must stay
+    * character-identical to the Spark side. */
+  private def cf(x: String) =
+    s"CASE WHEN ($x) IS NULL THEN 'N' ELSE length(cast(($x) AS varchar))" +
+      s" || ':' || cast(($x) AS varchar) END"
+
   /** Exact cosine top-5 per query vector — the oracle for BOTH
     * `ann_brute` and `ann_ivf_exact` (exhaustive IVF degenerates to
     * brute force; see Similarity.annIvfExact). */
@@ -2635,10 +2642,13 @@ object SparkEntry {
         |  WHERE (next_day IS NULL OR next_day - day > 1)
         |    AND day < mx.max_day
         |  GROUP BY 1)
-        |SELECT pd.day, pd.n_active, pd.n_new, pd.n_retained,
-        |  pd.n_resurrected,
+        |SELECT coalesce(pd.day, ch.day) AS day,
+        |  cast(coalesce(pd.n_active, 0) AS bigint) AS n_active,
+        |  cast(coalesce(pd.n_new, 0) AS bigint) AS n_new,
+        |  cast(coalesce(pd.n_retained, 0) AS bigint) AS n_retained,
+        |  cast(coalesce(pd.n_resurrected, 0) AS bigint) AS n_resurrected,
         |  cast(coalesce(ch.n_churned, 0) AS bigint) AS n_churned
-        |FROM pd LEFT JOIN ch USING (day) ORDER BY pd.day""".stripMargin,
+        |FROM pd FULL JOIN ch ON pd.day = ch.day ORDER BY 1""".stripMargin,
     // Chi-square twin: exact integer marginals, 9 dp-quantized
     // (n-e)^2/e terms, exact decimal sum.
     "chi_square" ->
@@ -3450,23 +3460,25 @@ object SparkEntry {
         |  cast(sum(CASE WHEN n_stop * 20 >= t20h * n_tok THEN 1
         |    ELSE 0 END) AS bigint) * 1000000 // count(*) AS keep_ppm
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
-    // Fingerprint twin: identical canonical strings, md5 tail-32,
+    // Fingerprint twin: identical canonical strings (length-prefixed
+    // fields, NULL → 'N' — see Analytics.canonField), md5 tail-32,
     // exact sum mod 1e9+7.
     "table_fingerprint" ->
-      """WITH de AS (SELECT event_id || '|' || epoch_us(ts) || '|'
-        |    || user_id || '|' || event_type || '|'
-        |    || cast(cast(value AS decimal(18,6)) * 1000000 AS bigint)
-        |    || '|' || props AS canon
+      s"""WITH de AS (SELECT ${cf("event_id")} || '|'
+        |    || ${cf("epoch_us(ts)")} || '|' || ${cf("user_id")} || '|'
+        |    || ${cf("event_type")} || '|'
+        |    || ${cf("cast(cast(value AS decimal(18,6)) * 1000000 AS bigint)")}
+        |    || '|' || ${cf("props")} AS canon
         |  FROM events),
-        |dord AS (SELECT o_orderkey || '|' || o_custkey || '|'
-        |    || o_orderstatus || '|'
-        |    || cast(cast(o_totalprice AS decimal(18,6)) * 1000000
-        |       AS bigint)
-        |    || '|' || epoch_us(o_orderdate) || '|' || o_orderpriority
-        |    AS canon
+        |dord AS (SELECT ${cf("o_orderkey")} || '|' || ${cf("o_custkey")}
+        |    || '|' || ${cf("o_orderstatus")} || '|'
+        |    || ${cf("cast(cast(o_totalprice AS decimal(18,6)) * 1000000 AS bigint)")}
+        |    || '|' || ${cf("epoch_us(o_orderdate)")} || '|'
+        |    || ${cf("o_orderpriority")} AS canon
         |  FROM orders),
-        |ddoc AS (SELECT doc_id || '|' || text || '|' || lang || '|'
-        |    || source || '|' || n_chars AS canon
+        |ddoc AS (SELECT ${cf("doc_id")} || '|' || ${cf("text")} || '|'
+        |    || ${cf("lang")} || '|' || ${cf("source")} || '|'
+        |    || ${cf("n_chars")} AS canon
         |  FROM documents),
         |f AS (
         |  SELECT 'documents' AS tbl, count(*) AS n_rows,

@@ -577,9 +577,12 @@ object Analytics {
     * > D membership is evaluated per LINE and collapsed to order
     * grain with conditional aggregates (one fact⋈fact equi-join on
     * the order key — hash at scale), never by filtering the order
-    * table alone. D derives deterministically from the corpus
-    * (median order date via integer epoch-day midpoint of min/max) —
-    * both engines compute the identical instant. */
+    * table alone. D derives deterministically from the corpus — the
+    * integer epoch-day midpoint of the order-date RANGE,
+    * (min+max) div 2 (NOT a median: on a non-uniform date
+    * distribution the two differ; the range midpoint is chosen
+    * because it needs only the min/max bounds probe) — so both
+    * engines compute the identical instant. */
   def backlogAging(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.load(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_orderpriority"),
@@ -635,14 +638,39 @@ object Analytics {
     * whole-table cousin of #158's row-level diff).
     *
     * Checksum = Σ over rows of the portable md5 tail-32 of the row's
-    * canonical string (every column cast to string, '|'-joined with
-    * a NUL-free separator), summed as plain longs — ADDITION is
+    * canonical string (every column length-prefixed via [[canonField]]
+    * and '|'-joined), summed as plain longs — ADDITION is
     * commutative, so the fingerprint is independent of row order,
     * partitioning and engine. Canonicalization pins the fragile
     * spots: timestamps via unix_micros (never engine string
-    * formats), doubles via the 6 dp decimal cast. Row-linear, one
+    * formats), doubles via the 6 dp decimal cast; NULL fields render
+    * as the explicit marker 'N' (Spark's concat_ws silently SKIPS
+    * nulls and SQL '||' nullifies the whole row — either would make
+    * the two engines disagree the moment any field is NULL), and the
+    * length prefix makes a '|' inside text/props unable to alias a
+    * field boundary. Row-linear, one
     * map-side-combinable aggregate per table, all three tables ONE
     * unioned lazy plan. */
+  /** NULL-safe, boundary-proof canonical rendering of one field:
+    * `<char-length>:<string-value>`, NULL → the marker `N`. Shared by
+    * the batch fingerprint, the streaming twin
+    * (EventStream.fingerprintFeed) and the DuckDB oracle
+    * (SparkEntry.canonFieldSql), which must stay character-identical. */
+  def canonField(c: Column): Column = {
+    val s = c.cast("string")
+    when(s.isNull, lit("N"))
+      .otherwise(concat(length(s).cast("string"), lit(":"), s))
+  }
+
+  /** The fingerprint's full canonical row for the events feed —
+    * shared with the streaming twin so batch and stream can never
+    * drift. */
+  def eventCanon: Column =
+    concat_ws("|", canonField(col("event_id")),
+      canonField(unix_micros(col("ts"))), canonField(col("user_id")),
+      canonField(col("event_type")),
+      canonField(Num.unscaled6(col("value"))), canonField(col("props")))
+
   def tableFingerprint(spark: SparkSession, dir: String): DataFrame = {
     def fp(name: String, canon: DataFrame): DataFrame =
       canon
@@ -654,18 +682,18 @@ object Analytics {
           expr("cast(sum(cast(h as decimal(38,0))) % 1000000007" +
             " as bigint)").as("checksum"))
         .select(lit(name).as("table"), col("n_rows"), col("checksum"))
-    val ev = Tables.load(spark, dir, "events")
-      .select(concat_ws("|", col("event_id"),
-        unix_micros(col("ts")), col("user_id"), col("event_type"),
-        Num.unscaled6(col("value")), col("props")).as("canon"))
+    val ev = Tables.load(spark, dir, "events").select(eventCanon.as("canon"))
     val ords = Tables.load(spark, dir, "orders")
-      .select(concat_ws("|", col("o_orderkey"), col("o_custkey"),
-        col("o_orderstatus"), Num.unscaled6(col("o_totalprice")),
-        unix_micros(col("o_orderdate")), col("o_orderpriority"))
-        .as("canon"))
+      .select(concat_ws("|", canonField(col("o_orderkey")),
+        canonField(col("o_custkey")), canonField(col("o_orderstatus")),
+        canonField(Num.unscaled6(col("o_totalprice"))),
+        canonField(unix_micros(col("o_orderdate"))),
+        canonField(col("o_orderpriority"))).as("canon"))
     val docs = Tables.load(spark, dir, "documents")
-      .select(concat_ws("|", col("doc_id"), col("text"), col("lang"),
-        col("source"), col("n_chars")).as("canon"))
+      .select(concat_ws("|", canonField(col("doc_id")),
+        canonField(col("text")), canonField(col("lang")),
+        canonField(col("source")), canonField(col("n_chars")))
+        .as("canon"))
     fp("documents", docs)
       .unionByName(fp("events", ev))
       .unionByName(fp("orders", ords))

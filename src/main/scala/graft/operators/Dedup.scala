@@ -609,7 +609,17 @@ object Dedup {
     * never n² — but WITHOUT the |Δchars| ≤ 20 prefilter (containment
     * pairs are length-asymmetric by nature; the length-block probe
     * fans to ±[[ContainBlkSpan]] blocks instead). Ratios are int/int
-    * double divisions rounded to 6 dp before the compare. */
+    * double divisions rounded to 6 dp before the compare.
+    *
+    * CONTRACT / recall bound: the ±[[ContainBlkSpan]] probe admits
+    * only pairs whose char-length difference is ≤ ~(span+1)×20
+    * ≈ 120 chars — this operator detects NEAR-length containment
+    * (boilerplate-wrapped copies, light edits), NOT a short quote
+    * swallowed by an arbitrarily longer article. Unbounded-asymmetry
+    * containment needs content-keyed blocking (e.g. rare-shingle
+    * anchors) whose candidate cost is corpus-dependent; the bounded
+    * length probe is the deliberate scale-safe default, and the
+    * DuckDB oracle replicates the same bound. */
   val ContainBlkSpan = 5
 
   def containmentPairs(spark: SparkSession, dir: String): DataFrame = {

@@ -586,10 +586,16 @@ object Dimensional {
         col("day") < lit(maxDay))
       .select(date_add(col("day"), 1).as("day"))
       .groupBy("day").agg(count(lit(1)).as("n_churned"))
-    perDay.join(churn, Seq("day"), "left")
-      .withColumn("n_churned", coalesce(col("n_churned"), lit(0L)))
-      .select("day", "n_active", "n_new", "n_retained",
-        "n_resurrected", "n_churned")
+    // FULL join, not left: churn is attributed to day+1, and a
+    // calendar day with zero actives must still surface its churn
+    // events as an n_active=0 row instead of silently vanishing.
+    perDay.join(churn, Seq("day"), "full")
+      .select(col("day"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
       .orderBy("day")
   }
 

@@ -545,9 +545,7 @@ object EventStream {
       : DataFrame = {
     import org.apache.spark.sql.functions._
     events
-      .select(conv(substring(md5(concat_ws("|", col("event_id"),
-        unix_micros(col("ts")), col("user_id"), col("event_type"),
-        graft.operators.Num.unscaled6(col("value")), col("props"))),
+      .select(conv(substring(md5(graft.operators.Analytics.eventCanon),
         25, 8), 16, 10).cast("long").as("h"))
       .agg(count(lit(1)).as("n_rows"),
         expr("cast(sum(cast(h as decimal(38,0))) % 1000000007" +
