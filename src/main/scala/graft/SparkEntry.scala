@@ -241,6 +241,61 @@ object SparkEntry {
       |  round(cos, 6) AS cos_sim
       |FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 
+  /** Portable sign-LSH band keys as SQL CTEs (the DuckDB twin of the
+    * PortableSignBandKeys kernel): integer md5-affine hyperplanes
+    * (h32('hp|p|j') − 2^31), 6 dp-quantized components via
+    * floor(x·10⁶ + 0.5) ≡ Java Math.round, exact integer dot signs.
+    * Emits `planes/qcomp/dots/keys`; `keys(vec_id, band, kb)`. */
+  private def lshKeysCtes(bands: Int, bits: Int): String =
+    s"""planes AS (SELECT p, j,
+       |    CAST(('0x' || substr(md5('hp|' || cast(p AS varchar) ||
+       |      '|' || cast(j AS varchar)), 25, 8))::UBIGINT AS BIGINT)
+       |      - 2147483648 AS w
+       |  FROM range(${bands * bits}) rp(p) CROSS JOIN range(64) rj(j)),
+       |qcomp AS (SELECT vec_id, j,
+       |    CAST(floor(cast(embedding[j + 1] AS double) * 1000000 + 0.5)
+       |      AS BIGINT) AS qc
+       |  FROM embeddings CROSS JOIN range(64) rj(j)),
+       |dots AS (SELECT vec_id, p, sum(qc * w) AS dot
+       |  FROM qcomp JOIN planes USING (j) GROUP BY 1, 2),
+       |keys AS (SELECT vec_id, p // $bits AS band,
+       |    cast(sum(CASE WHEN dot > 0 THEN (1::BIGINT << (p % $bits))
+       |      ELSE 0 END) AS BIGINT) AS kb
+       |  FROM dots GROUP BY 1, 2)""".stripMargin
+
+  /** The portable Lloyd loop as SQL: seed = 32 rows ordered by the
+    * md5 tail-32 of the id string (Similarity.trainCentroidsOf),
+    * then `iters` unrolled assign/recompute rounds — assignment
+    * argmax on the 6 dp-ROUNDED cosine with c_id tiebreak, means via
+    * the exact decimal(28,6) sum / double count (the davg identity
+    * the label_centroids oracle already pins). Emits c0..c{iters},
+    * each `(c_id, cvec)`; callers read `c$iters`. Requires an `e`
+    * CTE of (vec_id, v double[]). */
+  private def kmeansCtes(iters: Int, cells: Int): String = {
+    val seed =
+      s"""c0 AS (SELECT vec_id AS c_id, v AS cvec FROM (
+         |  SELECT vec_id, v,
+         |    CAST(('0x' || substr(md5(cast(vec_id AS varchar)), 25, 8))
+         |      ::UBIGINT AS BIGINT) AS h
+         |  FROM e ORDER BY h, vec_id LIMIT $cells))""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""a$i AS (SELECT e.vec_id, e.v, c.c_id,
+         |    list_cosine_similarity(e.v, c.cvec) AS cs
+         |  FROM e CROSS JOIN c${i - 1} c),
+         |b$i AS (SELECT vec_id, v, c_id, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY round(cs, 6) DESC, c_id)
+         |    AS rn FROM a$i),
+         |m$i AS (SELECT c_id, j,
+         |    cast(sum(cast(v[j + 1] AS decimal(28,6))) AS double)
+         |      / cast(count(*) AS double) AS m
+         |  FROM b$i CROSS JOIN range(64) rj(j) WHERE rn = 1
+         |  GROUP BY 1, 2),
+         |c$i AS (SELECT c_id, list(m ORDER BY j) AS cvec
+         |  FROM m$i GROUP BY 1)""".stripMargin
+    }
+    (seed +: rounds).mkString(",\n")
+  }
+
   /** The near-dup connected-components fixed point (blocked
     * trigram-Jaccard edges ≥ 0.5, min-label recursive closure) up to
     * `c(id, comp)` — shared by the `dedup_components` oracle and the
@@ -357,10 +412,93 @@ object SparkEntry {
         |FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin
 
   /** DuckDB oracle SQL per query (same parquet tables, same column
-    * names — SURVEY.md §6). Approximate/non-SQL operators
-    * (dedup_minhash, dedup_simhash, dedup_embed, ann_lsh)
-    * are intentionally omitted → rows-only gate. */
+    * names — SURVEY.md §6). Genuinely statistical operators (tuned
+    * IVF/PQ probes, GK sketches, BPE) are intentionally omitted →
+    * rows-only gate; every hash-portable pipeline (minhash, simhash,
+    * sign-LSH, semantic dedup's k-means) carries a full oracle. */
   def oracleSql: Map[String, String] = Map(
+    // Portable sign-LSH twin (round 13): integer hyperplane banding
+    // (lshKeysCtes ≡ PortableSignBandKeys), bucket probe on
+    // (band, key), exact 6 dp-rounded cosine re-rank.
+    "ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, cast(embedding AS double[]) AS v
+         |  FROM embeddings),
+         |${lshKeysCtes(graft.operators.Similarity.LshBands,
+             graft.operators.Similarity.LshBitsPerBand)},
+         |pairs AS (SELECT DISTINCT q.vec_id AS q_id,
+         |    k.vec_id AS cand_id
+         |  FROM keys q JOIN keys k
+         |    ON q.band = k.band AND q.kb = k.kb
+         |  WHERE q.vec_id < 8 AND k.vec_id <> q.vec_id),
+         |scored AS (SELECT p.q_id, p.cand_id,
+         |    list_cosine_similarity(a.v, b.v) AS cos
+         |  FROM pairs p JOIN e a ON a.vec_id = p.q_id
+         |  JOIN e b ON b.vec_id = p.cand_id),
+         |ranked AS (SELECT q_id, cand_id, cos, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rnk
+         |  FROM scored)
+         |SELECT q_id, cast(rnk AS bigint) AS rnk, cand_id,
+         |  round(cos, 6) AS cos_sim
+         |FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    // Near-dup sign-LSH twin: 12-bit bands, capped buckets
+    // (Dedup.bucketPairs' 2..cap membership), ranked rounded cosine.
+    "dedup_embed" ->
+      s"""WITH e AS (SELECT vec_id, cast(embedding AS double[]) AS v
+         |  FROM embeddings),
+         |${lshKeysCtes(graft.operators.Similarity.LshBands,
+             graft.operators.Similarity.NearDupBitsPerBand)},
+         |ok AS (SELECT * FROM (SELECT *, count(*) OVER (
+         |    PARTITION BY band, kb) AS cnt FROM keys)
+         |  WHERE cnt BETWEEN 2 AND
+         |    ${graft.operators.Similarity.EmbBucketCap}),
+         |pairs AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         |  FROM ok x JOIN ok y ON x.band = y.band AND x.kb = y.kb
+         |    AND x.vec_id < y.vec_id),
+         |scored AS (SELECT p.a, p.b,
+         |    round(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
+         |  FROM pairs p JOIN e ea ON ea.vec_id = p.a
+         |  JOIN e eb ON eb.vec_id = p.b)
+         |SELECT a, b, cos_sim FROM scored
+         |ORDER BY cos_sim DESC, a, b LIMIT 100""".stripMargin,
+    // SemDeDup twin: the FULL portable k-means (8 unrolled Lloyd
+    // rounds — kmeansCtes ≡ Similarity.kmeansRefine) + one final
+    // rounded-argmax assignment, capped within-cell pairs, threshold
+    // + best-smaller-id verdict.
+    "semantic_dedup" -> {
+      val iters = graft.operators.Similarity.IvfKmeansIters
+      s"""WITH e AS (SELECT vec_id, cast(embedding AS double[]) AS v
+         |  FROM embeddings),
+         |${kmeansCtes(iters, graft.operators.Similarity.IvfCells)},
+         |fa AS (SELECT e.vec_id, c.c_id,
+         |    list_cosine_similarity(e.v, c.cvec) AS cs
+         |  FROM e CROSS JOIN c$iters c),
+         |assigned AS (SELECT vec_id, c_id AS cell FROM (
+         |    SELECT vec_id, c_id, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY round(cs, 6) DESC, c_id)
+         |      AS rn FROM fa) WHERE rn = 1),
+         |ok AS (SELECT * FROM (SELECT *, count(*) OVER (
+         |    PARTITION BY cell) AS cnt FROM assigned)
+         |  WHERE cnt BETWEEN 2 AND
+         |    ${graft.operators.Similarity.SemCellCap}),
+         |pairs AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         |  FROM ok x JOIN ok y ON x.cell = y.cell
+         |    AND x.vec_id < y.vec_id),
+         |scored AS (SELECT p.a, p.b,
+         |    list_cosine_similarity(ea.v, eb.v) AS cos
+         |  FROM pairs p JOIN e ea ON ea.vec_id = p.a
+         |  JOIN e eb ON eb.vec_id = p.b
+         |  WHERE cos >= ${graft.operators.Similarity.SemThreshold}),
+         |verd AS (SELECT b AS vec_id, a AS dup_of, cos,
+         |    row_number() OVER (PARTITION BY b ORDER BY cos DESC, a)
+         |      AS rn FROM scored)
+         |SELECT s.vec_id, s.cell, v.dup_of,
+         |  round(v.cos, 6) AS max_cos,
+         |  CASE WHEN v.dup_of IS NULL THEN 'keep' ELSE 'drop' END
+         |    AS verdict
+         |FROM assigned s LEFT JOIN (SELECT * FROM verd WHERE rn = 1) v
+         |  ON s.vec_id = v.vec_id
+         |ORDER BY s.vec_id""".stripMargin
+    },
     "ingest_typed" ->
       """SELECT event_id, ts, cast(user_id AS double) AS ticker_fl,
         |  event_type, value

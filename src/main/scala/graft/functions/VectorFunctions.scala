@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
-import graft.functions.expressions.{CosineSim, DotProduct, Fnv64, IntCosine, PqAdc, QuantizeI8, SignBandKeys}
+import graft.functions.expressions.{CosineSim, DotProduct, Fnv64, IntCosine, PqAdc, PortableSignBandKeys, QuantizeI8, SignBandKeys}
 
 /** Column-level vector API over the custom Catalyst kernels plus the
   * random-hyperplane LSH used by the similarity operators
@@ -78,6 +78,16 @@ object VectorFunctions {
   def signBandKeys(vec: Column, bands: Int, bits: Int, seed: Long = 42L,
       dim: Int = 64): Column =
     c(SignBandKeys(e(vec), seed, dim, bands, bits))
+
+  /** PORTABLE sign-LSH band keys — integer md5-affine hyperplanes +
+    * 6 dp-quantized components + exact integer dots, so bucket
+    * membership is replicable in any engine with `md5` (see
+    * PortableSignBandKeys). The production LSH operators (#24, #26)
+    * run on this form so their full pipelines are DuckDB-oracled;
+    * same kernel/codegen discipline as [[signBandKeys]]. */
+  def portableSignBandKeys(vec: Column, bands: Int, bits: Int,
+      dim: Int = 64): Column =
+    c(PortableSignBandKeys(e(vec), bands, bits, dim))
 
   /** Per-band LSH keys straight from the hyperplanes (no packed-int
     * cap on plane count): band b's key is the `bitsPerBand`-bit sign

@@ -244,3 +244,78 @@ object PortableSimHash32 {
     }
   }
 }
+
+/** Portable sign-LSH band keys over an embedding vector (round 13:
+  * the embedding twin of [[PortableMinHashSig]]): hyperplane
+  * component (p, j) is the md5 tail-32 of the string `hp|p|j` minus
+  * 2^31 (a symmetric-around-zero 32-bit integer BOTH engines derive
+  * from `md5` alone), the vector is 6 dp-quantized to integers
+  * (`floor(v·10^6 + 0.5)` — exactly Java's `Math.round(double)`,
+  * replicated in SQL as `cast(floor(x*1000000 + 0.5) AS bigint)`),
+  * and each plane's sign comes from the EXACT INTEGER dot product —
+  * no float summation order anywhere, so bucket membership is
+  * engine-exact and the whole LSH pipeline downstream is
+  * hash-verifiable against DuckDB. Overflow bound: |component| <
+  * 2^21 (6 dp-scaled unit-range values) × |plane| < 2^31 × dim 64 →
+  * |dot| < 2^58, inside signed-64.
+  *
+  * Output: array<long> of length `bands`; element b = the `bits`-bit
+  * sign pattern of planes [b·bits, (b+1)·bits), bit i set iff
+  * dot > 0. Plane matrix is cached per JVM (re-derived from (bands ×
+  * bits, dim) — nothing ships with the task), generated code is one
+  * static call, same codegen discipline as [[SignBandKeys]]. */
+case class PortableSignBandKeys(child: Expression, bands: Int,
+    bits: Int, dim: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    PortableSignBandKeys.compute(v.asInstanceOf[ArrayData], bands, bits, dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.PortableSignBandKeys" +
+        s".compute($c, $bands, $bits, $dim);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PortableSignBandKeys {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Long]]
+
+  /** Flattened row-major integer plane matrix: element p·dim+j =
+    * h32("hp|p|j") − 2^31. */
+  def planesFlat(n: Int, dim: Int): Array[Long] =
+    cache.computeIfAbsent((n, dim), _ =>
+      Array.tabulate(n * dim) { idx =>
+        PortableHash.h32("hp|" + (idx / dim) + "|" + (idx % dim)) -
+          2147483648L
+      })
+
+  def compute(vec: ArrayData, bands: Int, bits: Int,
+      dim: Int): GenericArrayData = {
+    val planes = planesFlat(bands * bits, dim)
+    val n = math.min(vec.numElements(), dim)
+    val q = new Array[Long](n)
+    var j = 0
+    while (j < n) {
+      q(j) = math.floor(vec.getDouble(j) * 1e6 + 0.5d).toLong
+      j += 1
+    }
+    val keys = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var key = 0L
+      var i = 0
+      while (i < bits) {
+        val base = (b * bits + i) * dim
+        var dot = 0L
+        var k = 0
+        while (k < n) { dot += q(k) * planes(base + k); k += 1 }
+        if (dot > 0L) key |= (1L << i)
+        i += 1
+      }
+      keys(b) = key
+      b += 1
+    }
+    new GenericArrayData(keys)
+  }
+}

@@ -114,14 +114,20 @@ object Similarity {
   // recall moderate-cosine neighbors, not just twins.
   val NearDupBitsPerBand = 12
 
-  /** Append (band, key) per band via the single-call SignBandKeys
-    * kernel (one codegen'd static call per row — the per-plane
-    * literal-expression form costs seconds of Janino compile time in
-    * every stage that embeds it). */
+  /** Append (band, key) per band via the single-call
+    * PortableSignBandKeys kernel (one codegen'd static call per row —
+    * the per-plane literal-expression form costs seconds of Janino
+    * compile time in every stage that embeds it). PORTABLE since
+    * round 13: integer md5-affine hyperplanes + 6 dp-quantized
+    * components + exact integer dot signs, so bucket membership —
+    * and therefore the ENTIRE ann_lsh / dedup_embed pipeline — is
+    * hash-verifiable against the DuckDB oracle (the move that
+    * converted dedup_minhash/dedup_simhash from rows-only to
+    * hash-exact in round 11). */
   private def withBands(df: DataFrame, vecCol: String = "vec",
       bits: Int = LshBitsPerBand): DataFrame =
     df.select(col("*"),
-        posexplode(signBandKeys(col(vecCol), LshBands, bits)))
+        posexplode(portableSignBandKeys(col(vecCol), LshBands, bits, Dim)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "key")
 
@@ -130,9 +136,10 @@ object Similarity {
     * probe and the distinct both move only (q_id, cand_id) id pairs —
     * the 64-dim vectors are joined back afterwards (queries broadcast;
     * the corpus side is an id-keyed join the planner broadcasts at
-    * small SF and hash-shuffles at scale). Approximate → rows-only in
-    * the driver gate; recall vs annBrute is asserted in
-    * SimilaritySpec. */
+    * small SF and hash-shuffles at scale). Fully DuckDB-oracled since
+    * round 13: portable integer banding makes the candidate set
+    * engine-exact, and the re-rank cosine is 6 dp-rounded — recall vs
+    * annBrute is additionally asserted in SimilaritySpec. */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val cands = withBands(e.select(col("vec_id"), col("vec")))
@@ -201,8 +208,17 @@ object Similarity {
     * the plan shape is identical. */
   def kmeansRefine(e: DataFrame, seedCentroids: DataFrame,
       iters: Int): DataFrame = {
+    // assignment argmax on the 6 dp-ROUNDED cosine (c_id tiebreak):
+    // a full-precision argmax would let a boundary vector whose top-2
+    // cells sit within float-noise of each other flip cells between
+    // engines and cascade into every later iteration's means — the
+    // round-13 discipline that makes the whole Lloyd loop (and the
+    // semantic_dedup oracle built on it) engine-exact. Recall impact
+    // is nil: a ≤1e-6 cosine gap is far below any meaningful
+    // cluster-quality difference.
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("cs").desc, col("c_id").asc)
+      .partitionBy("vec_id").orderBy(round(col("cs"), 6).desc,
+        col("c_id").asc)
     var c = seedCentroids
     for (_ <- 1 to iters) {
       val assigned = e.crossJoin(broadcast(c))
@@ -248,9 +264,14 @@ object Similarity {
       key: String, iters: Int): DataFrame = {
     val cached = centroidCache.computeIfAbsent(key, _ => {
       val seed = e
+        // PORTABLE pseudo-random sample order (round 13): the md5
+        // tail-32 of the id string, not Murmur3 `hash` — so the
+        // DuckDB semantic_dedup oracle can replay seed selection
+        // exactly. Same spread properties; nothing else changes.
         .select(col("vec_id").as("c_id"), col("vec").as("cvec"),
-          hash(col("vec_id")).as("h"))
-        // vec_id tiebreak: hash alone is not a total order, and the
+          conv(substring(md5(col("vec_id").cast("string")), 25, 8),
+            16, 10).cast("long").as("h"))
+        // c_id tiebreak: hash alone is not a total order, and the
         // limit boundary must be run-independent
         .orderBy(col("h"), col("c_id")).limit(IvfCells).drop("h")
       import spark.implicits._
@@ -373,8 +394,12 @@ object Similarity {
     * index (a derived artifact, rebuilt when the corpus regenerates
     * — same mtime-guard pattern as Bench.stage). */
   private def indexRoot(dir: String, tag: String = ""): String = {
+    // v2: centroid derivation changed in round 13 (portable seed hash
+    // + rounded-argmax Lloyd) — the version bump orphans any index a
+    // previous build left in /tmp, which the mtime guard alone cannot
+    // catch (the corpus didn't change; the model code did).
     val root = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_ivf_index${tag}_${graft.sources.StagePath.key(dir)}")
+      s"graft_ivf_index_v2${tag}_${graft.sources.StagePath.key(dir)}")
     val marker = new java.io.File(root, "_BUILT")
     val srcMtime =
       new java.io.File(dir, "embeddings.parquet").lastModified
@@ -575,14 +600,20 @@ object Similarity {
     * keys are cell ids, pairs are generated ids-only inside capped
     * cells, vectors join back by id — so the cost is
     * Σ_cells |cell|², never corpus², and each cell's pair explosion
-    * is bounded by the cap. Rows-only (k-means model);
-    * SimilaritySpec checks the verdicts against a brute-force pair
-    * scan of the whole corpus. */
+    * is bounded by the cap. Fully DuckDB-oracled since round 13: the
+    * portable seed hash + rounded-argmax Lloyd loop make the trained
+    * cells engine-exact, so the oracle replays the ENTIRE k-means
+    * (8 unrolled iterations) + cell-scoped pair search in SQL;
+    * SimilaritySpec additionally checks the verdicts against a
+    * brute-force pair scan of the whole corpus. */
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).select(col("vec_id"), col("vec"))
     val centroids = broadcast(trainedCentroids(spark, dir))
+    // rounded-argmax assignment — same engine-exactness discipline as
+    // kmeansRefine (see its comment); required for the DuckDB oracle.
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("cs").desc, col("c_id").asc)
+      .partitionBy("vec_id").orderBy(round(col("cs"), 6).desc,
+        col("c_id").asc)
     val assigned = e.crossJoin(centroids)
       .select(col("vec_id"), col("c_id"),
         cosine(col("vec"), col("cvec")).as("cs"))
@@ -615,7 +646,8 @@ object Similarity {
     * 512-byte vector does not ride the bucket shuffle or the pair
     * explode (that materializes |pairs|×2 vector copies). The two
     * vector join-backs are id-keyed joins the planner broadcasts at
-    * small SF and hash-shuffles at scale. Rows-only. */
+    * small SF and hash-shuffles at scale. Fully DuckDB-oracled since
+    * round 13 (portable banding, 6 dp-rounded cosine). */
   def dedupEmbed(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).select(col("vec_id"), col("vec"))
     val banded = withBands(e, "vec", NearDupBitsPerBand)

@@ -87,4 +87,38 @@ class PortableSignatureSpec extends SparkTestBase {
         s"pair ($a,$b): est $est vs exact $exact")
     }
   }
+
+  test("portable sign-band kernel == SQL-built keys, every vector") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val bands = 8; val bits = 5; val dim = 64
+    val e = graft.sources.Tables.load(spark, SfDir, "embeddings")
+      .select(col("vec_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+    val viaKernel = e.select(col("vec_id"),
+        posexplode(graft.functions.VectorFunctions
+          .portableSignBandKeys(col("v"), bands, bits, dim)))
+      .select(col("vec_id"), col("pos").as("band"), col("col").as("kb"))
+    // the SQL form the DuckDB oracle mirrors: md5-derived integer
+    // planes, floor(x*1e6+0.5) quantization, integer dots
+    val planes = spark.range(bands * bits).select(col("id").as("p"))
+      .crossJoin(spark.range(dim).select(col("id").as("j")))
+      .select(col("p"), col("j"),
+        (conv(substring(md5(concat(lit("hp|"), col("p").cast("string"),
+          lit("|"), col("j").cast("string"))), 25, 8), 16, 10)
+          .cast("long") - 2147483648L).as("w"))
+    val qc = e.select(col("vec_id"), posexplode(col("v")))
+      .select(col("vec_id"), col("pos").cast("long").as("j"),
+        floor(col("col") * lit(1e6) + lit(0.5)).cast("long").as("qc"))
+    val dots = qc.join(planes, "j")
+      .groupBy("vec_id", "p").agg(sum(col("qc") * col("w")).as("dot"))
+    val viaSql = dots
+      .groupBy(col("vec_id"), expr(s"p div $bits").as("band"))
+      .agg(expr(s"sum(CASE WHEN dot > 0 THEN shiftleft(1L, " +
+        s"cast(p % $bits AS int)) ELSE 0L END)").as("kb"))
+    assert(viaKernel.count() === 500L * bands)
+    assert(viaKernel.join(viaSql.withColumnRenamed("kb", "kb2"),
+        Seq("vec_id", "band"))
+      .filter(col("kb") =!= col("kb2")).count() === 0L,
+      "kernel and SQL-built band keys must agree bit-for-bit")
+  }
 }
