@@ -18,6 +18,10 @@ import graft.sources.Tables
   */
 object Dimensional {
 
+  /** Per-corpus max purchase-chain length (see scd2DimWith). */
+  private val chainCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+
   /** #87 SCD Type-2 dimension build: compress each ticker's price
     * stream to its CHANGE points (drop no-op updates — the defining
     * SCD2 move), then version the survivors with
@@ -39,34 +43,70 @@ object Dimensional {
     * seen, so the surviving change set is identical. Version
     * numbering + effective_to run on the CHANGE rows only — orders of
     * magnitude fewer than events (no-op updates dominate a price
-    * stream), keeping the one remaining per-user window small. */
-  def scd2Dim(spark: SparkSession, dir: String): DataFrame = {
+    * stream), keeping the one remaining per-user window small.
+    *
+    * ADAPTIVE since round 13 (the rfm/scd2_lookup pattern, VERDICT
+    * r12 #4): the two-level chain exists to keep a HOT key's sort
+    * off a single task, but it costs a summaries aggregate + a
+    * sentinel union + an extra window — a ~2× uniform tax every
+    * consumer (band_migration 7.4×, scd2_lookup residual) pays even
+    * when no key is hot. A cheap max-per-key probe (one map-side
+    * partial-agg pass) now gates the plan: below
+    * [[Rank.SingleTaskMax]] rows on the hottest key, the plain
+    * per-user lag window runs (identical change set by construction
+    * — the sentinel machinery reproduces exactly this window's lag
+    * semantics); above it, the two-level chain. */
+  def scd2Dim(spark: SparkSession, dir: String): DataFrame =
+    scd2DimWith(spark, dir, forceTwoLevel = false)
+
+  /** [[scd2Dim]] with the two-level plan forcible for tests (the
+    * boundary-case specs must exercise the sentinel machinery even
+    * on corpora the adaptive gate would route to the plain window). */
+  private[graft] def scd2DimWith(spark: SparkSession, dir: String,
+      forceTwoLevel: Boolean): DataFrame = {
     val blockUs = 86400L * 1000000L // 1 day
     val ev = Tables.load(spark, dir, "events")
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
       .withColumn("us", unix_micros(col("ts")))
-      .withColumn("block", floor(col("us") / blockUs))
-    // one row per (user, block): the block's last value — partial
-    // aggregation collapses hot keys map-side
-    val summaries = ev.groupBy("user_id", "block")
-      .agg(max(struct(col("us"), col("event_id"), col("value"))).as("m"))
-      .select(col("user_id"), col("block"), col("m.value").as("last_value"))
-    val byBlockSeq = Window.partitionBy("user_id").orderBy(col("block"))
-    val sentinels = summaries
-      .withColumn("prev_last", lag(col("last_value"), 1).over(byBlockSeq))
-      .filter(col("prev_last").isNotNull)
-      .select(col("user_id"), lit(null).cast("timestamp").as("ts"),
-        lit(Long.MinValue).as("event_id"), col("prev_last").as("value"),
-        lit(Long.MinValue).as("us"), col("block"),
-        lit(true).as("sentinel"))
-    val byBlock = Window.partitionBy("user_id", "block")
-      .orderBy(col("us"), col("event_id"))
-    val changes = ev.withColumn("sentinel", lit(false))
-      .unionByName(sentinels)
-      .withColumn("prev_value", lag(col("value"), 1).over(byBlock))
-      .filter(!col("sentinel") && (col("prev_value").isNull ||
-        col("value") =!= col("prev_value")))
+    // corpus-keyed probe cache (the centroidCache pattern): the max
+    // per-key count is a corpus statistic, probed once per corpus —
+    // every scd2 consumer (scd2_lookup, band_migration) reuses it
+    // instead of re-scanning events per call.
+    def maxPerKey: Long = Dimensional.chainCache.computeIfAbsent(
+      dir + "@" + new java.io.File(dir, "events.parquet").lastModified,
+      _ => ev.groupBy("user_id")
+        .agg(count(lit(1)).as("n")).agg(max(col("n"))).head().getLong(0))
+    val changes = if (!forceTwoLevel && maxPerKey <= Rank.SingleTaskMax) {
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("event_id"))
+      ev.withColumn("prev_value", lag(col("value"), 1).over(byUser))
+        .filter(col("prev_value").isNull ||
+          col("value") =!= col("prev_value"))
+    } else {
+      val blocked = ev.withColumn("block", floor(col("us") / blockUs))
+      // one row per (user, block): the block's last value — partial
+      // aggregation collapses hot keys map-side
+      val summaries = blocked.groupBy("user_id", "block")
+        .agg(max(struct(col("us"), col("event_id"), col("value"))).as("m"))
+        .select(col("user_id"), col("block"), col("m.value").as("last_value"))
+      val byBlockSeq = Window.partitionBy("user_id").orderBy(col("block"))
+      val sentinels = summaries
+        .withColumn("prev_last", lag(col("last_value"), 1).over(byBlockSeq))
+        .filter(col("prev_last").isNotNull)
+        .select(col("user_id"), lit(null).cast("timestamp").as("ts"),
+          lit(Long.MinValue).as("event_id"), col("prev_last").as("value"),
+          lit(Long.MinValue).as("us"), col("block"),
+          lit(true).as("sentinel"))
+      val byBlock = Window.partitionBy("user_id", "block")
+        .orderBy(col("us"), col("event_id"))
+      blocked.withColumn("sentinel", lit(false))
+        .unionByName(sentinels)
+        .withColumn("prev_value", lag(col("value"), 1).over(byBlock))
+        .filter(!col("sentinel") && (col("prev_value").isNull ||
+          col("value") =!= col("prev_value")))
+        .drop("block")
+    }
     val byChange = Window.partitionBy("user_id")
       .orderBy(col("ts"), col("event_id"))
     changes

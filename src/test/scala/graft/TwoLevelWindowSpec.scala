@@ -122,7 +122,11 @@ class TwoLevelWindowSpec extends SparkTestBase {
 
   test("two-level scd2 equals the one-window form on boundary cases") {
     val dir = eventsDir(corpus)
-    val got = Dimensional.scd2Dim(spark, dir).collect().toSeq
+    // force the sentinel plan: the round-13 adaptive gate would route
+    // this tiny corpus to the plain window and skip the machinery
+    // under test
+    val got = Dimensional.scd2DimWith(spark, dir, forceTwoLevel = true)
+      .collect().toSeq
     val want = naiveScd2(dir).collect().toSeq
     assert(got === want)
     val versions = got.groupBy(_.getLong(0)).view.mapValues(_.size).toMap
@@ -139,6 +143,9 @@ class TwoLevelWindowSpec extends SparkTestBase {
     val dir = "/root/testdata/sf0.001"
     assert(Sessions.sessionize(spark, dir).collect().toSeq ===
       naiveSessionize(dir).collect().toSeq)
+    assert(Dimensional.scd2DimWith(spark, dir, forceTwoLevel = true)
+      .collect().toSeq === naiveScd2(dir).collect().toSeq)
+    // and the adaptive gate's plain-window route agrees too
     assert(Dimensional.scd2Dim(spark, dir).collect().toSeq ===
       naiveScd2(dir).collect().toSeq)
   }
