@@ -256,14 +256,22 @@ object TrainExport {
   val IdSeed = 101L
 
   /** #211 User feature-store export — the per-entity wide feature
-    * table a churn/LTV model trains on, built in ONE event scan:
-    * lifetime span, active-day count, per-type event counts,
-    * exact-decimal purchase revenue, recency, and an integer
-    * activity-rate ppm. Every column is a conditional aggregate of
-    * the same user-grain hash aggregate (map-side combinable, no
-    * windows, no joins) — the "feature store materialization" shape,
-    * composing what #176/#201/#162 compute for their own reports
-    * into the training-ready export. */
+    * table a churn/LTV model trains on: lifetime span, active-day
+    * count, per-type event counts, exact-decimal purchase revenue,
+    * recency, and an integer activity-rate ppm.
+    *
+    * CASCADED aggregation (round 13, VERDICT r12 #7): a direct
+    * user-grain `countDistinct(day)` forces Spark's two-phase
+    * distinct expansion — every row duplicated into the expand, two
+    * full exchanges (measured 4.8× vs DuckDB at ×100). Instead the
+    * scan collapses to (user, day) grain first (map-side combinable
+    * partials: per-day counts, per-type counts, exact unscaled
+    * revenue partial, max instant), and the user-grain pass then
+    * counts ROWS for active_days and re-sums the partials — two
+    * thin hash aggregates, no expand, both skew-immune. The revenue
+    * re-sum is the exact 128-bit micro-unit sum of exact per-day
+    * long partials, so the published double is bit-identical to the
+    * single-pass decimal sum (the salted phase-1 discipline). */
   def userFeatures(spark: SparkSession, dir: String): DataFrame = {
     val dayUs = 86400L * 1000000L
     val ev = Tables.load(spark, dir, "events")
@@ -273,15 +281,24 @@ object TrainExport {
     val maxUs = ev.agg(max(col("us"))).head().getLong(0)
     def nOf(t: String) =
       sum((col("event_type") === t).cast("long")).as(s"n_$t")
-    ev.groupBy("user_id")
+    val perDay = ev.groupBy("user_id", "day")
       .agg(count(lit(1)).as("n_events"),
-        (max(col("day")) - min(col("day")) + 1L).as("lifetime_days"),
-        countDistinct(col("day")).as("active_days"),
         nOf("click"), nOf("view"), nOf("purchase"), nOf("signup"),
         nOf("error"),
-        Num.dsum(when(col("event_type") === "purchase", col("value")))
-          .as("purchase_revenue"),
+        sum(Num.unscaled6(when(col("event_type") === "purchase",
+          col("value")))).as("rev_u"),
         max(col("us")).as("last_us"))
+    perDay.groupBy("user_id")
+      .agg(sum(col("n_events")).as("n_events"),
+        (max(col("day")) - min(col("day")) + 1L).as("lifetime_days"),
+        count(lit(1)).as("active_days"),
+        sum(col("n_click")).as("n_click"),
+        sum(col("n_view")).as("n_view"),
+        sum(col("n_purchase")).as("n_purchase"),
+        sum(col("n_signup")).as("n_signup"),
+        sum(col("n_error")).as("n_error"),
+        Num.dsumUnscaled(col("rev_u")).as("purchase_revenue"),
+        max(col("last_us")).as("last_us"))
       .withColumn("recency_days",
         expr(s"(${maxUs}L - last_us) div $dayUs"))
       .withColumn("activity_ppm",
