@@ -431,14 +431,14 @@ object SparkEntry {
          |    ON q.band = k.band AND q.kb = k.kb
          |  WHERE q.vec_id < 8 AND k.vec_id <> q.vec_id),
          |scored AS (SELECT p.q_id, p.cand_id,
-         |    list_cosine_similarity(a.v, b.v) AS cos
+         |    round(list_cosine_similarity(a.v, b.v), 6) AS cos
          |  FROM pairs p JOIN e a ON a.vec_id = p.q_id
          |  JOIN e b ON b.vec_id = p.cand_id),
          |ranked AS (SELECT q_id, cand_id, cos, row_number() OVER (
          |    PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rnk
          |  FROM scored)
          |SELECT q_id, cast(rnk AS bigint) AS rnk, cand_id,
-         |  round(cos, 6) AS cos_sim
+         |  cos AS cos_sim
          |FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     // Near-dup sign-LSH twin: 12-bit bands, capped buckets
     // (Dedup.bucketPairs' 2..cap membership), ranked rounded cosine.
@@ -484,15 +484,16 @@ object SparkEntry {
          |  FROM ok x JOIN ok y ON x.cell = y.cell
          |    AND x.vec_id < y.vec_id),
          |scored AS (SELECT p.a, p.b,
-         |    list_cosine_similarity(ea.v, eb.v) AS cos
+         |    round(list_cosine_similarity(ea.v, eb.v), 6) AS cos
          |  FROM pairs p JOIN e ea ON ea.vec_id = p.a
          |  JOIN e eb ON eb.vec_id = p.b
-         |  WHERE cos >= ${graft.operators.Similarity.SemThreshold}),
+         |  WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >=
+         |    ${graft.operators.Similarity.SemThreshold}),
          |verd AS (SELECT b AS vec_id, a AS dup_of, cos,
          |    row_number() OVER (PARTITION BY b ORDER BY cos DESC, a)
          |      AS rn FROM scored)
          |SELECT s.vec_id, s.cell, v.dup_of,
-         |  round(v.cos, 6) AS max_cos,
+         |  v.cos AS max_cos,
          |  CASE WHEN v.dup_of IS NULL THEN 'keep' ELSE 'drop' END
          |    AS verdict
          |FROM assigned s LEFT JOIN (SELECT * FROM verd WHERE rn = 1) v

@@ -257,7 +257,9 @@ object PortableSimHash32 {
   * engine-exact and the whole LSH pipeline downstream is
   * hash-verifiable against DuckDB. Overflow bound: |component| <
   * 2^21 (6 dp-scaled unit-range values) × |plane| < 2^31 × dim 64 →
-  * |dot| < 2^58, inside signed-64.
+  * |dot| < 2^58, inside signed-64 — ASSERTED per component in
+  * [[PortableSignBandKeys.compute]], so an out-of-contract embedding
+  * fails loudly here exactly as DuckDB's BIGINT overflow does.
   *
   * Output: array<long> of length `bands`; element b = the `bits`-bit
   * sign pattern of planes [b·bits, (b+1)·bits), bit i set iff
@@ -298,6 +300,16 @@ object PortableSignBandKeys {
     var j = 0
     while (j < n) {
       q(j) = math.floor(vec.getDouble(j) * 1e6 + 0.5d).toLong
+      // out-of-contract components must fail LOUDLY on both engines
+      // (ADVICE r13): DuckDB raises on BIGINT overflow, but the JVM
+      // dot product would wrap silently — assert the scaladoc bound
+      // (|qc| < 2^21, i.e. |component| < ~2.1) so the two engines
+      // diverge by error, never by value
+      if (q(j) <= -2097152L || q(j) >= 2097152L)
+        throw new IllegalArgumentException(
+          s"PortableSignBandKeys: quantized component ${q(j)} at index $j " +
+            "exceeds the |qc| < 2^21 overflow contract (embedding " +
+            "components must lie in (-2.097152, 2.097152))")
       j += 1
     }
     val keys = new Array[Long](bands)

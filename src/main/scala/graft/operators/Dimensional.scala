@@ -73,10 +73,22 @@ object Dimensional {
     // per-key count is a corpus statistic, probed once per corpus —
     // every scd2 consumer (scd2_lookup, band_migration) reuses it
     // instead of re-scanning events per call.
-    def maxPerKey: Long = Dimensional.chainCache.computeIfAbsent(
-      dir + "@" + new java.io.File(dir, "events.parquet").lastModified,
-      _ => ev.groupBy("user_id")
-        .agg(count(lit(1)).as("n")).agg(max(col("n"))).head().getLong(0))
+    def maxPerKey: Long = {
+      def probe: Long = ev.groupBy("user_id")
+        .agg(count(lit(1)).as("n")).agg(max(col("n"))).head().getLong(0)
+      val mtime = new java.io.File(dir, "events.parquet").lastModified
+      // mtime == 0 means the events table is not laid out as a single
+      // `events.parquet` under dir (ADVICE r13): the key would then be
+      // CONSTANT across corpus regenerations and a stale chain length
+      // could route a newly hot-keyed corpus to the single-task plain
+      // window — re-probe instead of caching. Bounded: corpora seen
+      // per JVM are a handful; clear() guards the pathological case.
+      if (mtime == 0L) probe
+      else {
+        if (Dimensional.chainCache.size > 64) Dimensional.chainCache.clear()
+        Dimensional.chainCache.computeIfAbsent(dir + "@" + mtime, _ => probe)
+      }
+    }
     val changes = if (!forceTwoLevel && maxPerKey <= Rank.SingleTaskMax) {
       val byUser = Window.partitionBy("user_id")
         .orderBy(col("us"), col("event_id"))

@@ -169,10 +169,18 @@ object Sampling {
     // the checkpoint, and its |langs|-row collect also answers the
     // adaptive gate's total. The md5 sort key is then computed
     // exactly once, inside the single ranked pass.
+    // SNAPSHOT ASSUMPTION (ADVICE r13): the count probe and the
+    // ranked pass below are two independent scans of the same path —
+    // correct because testdata corpora are immutable within a run; a
+    // corpus rewritten in place between the two actions would need
+    // both derived from one pinned scan (the VersionedTable snapshot
+    // protocol is the repo's answer to mutable tables).
     val classCounts = Tables.load(spark, dir, "documents")
       .groupBy("lang").agg(count(lit(1)).as("c"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
-    val minCount = classCounts.map(_._2).min
+    // empty corpus: every class audit row vanishes downstream anyway;
+    // min on an empty collection would throw (ADVICE r13)
+    val minCount = if (classCounts.isEmpty) 0L else classCounts.map(_._2).min
     val total = classCounts.map(_._2).sum
     val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),

@@ -152,17 +152,20 @@ object Similarity {
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("cand_id"))
       .distinct()
+    // 6 dp-round BEFORE ranking (the kmeansRefine discipline, ADVICE
+    // r13): ordering on the raw double would silently rely on Spark's
+    // cosine being bit-identical to DuckDB's — rounding both engines
+    // first makes the rank (and its cand_id tiebreak) engine-exact.
     val matched = idPairs
       .join(broadcast(qside.select(col("q_id"), col("qvec"))), "q_id")
       .join(e.select(col("vec_id").as("cand_id"), col("vec")), "cand_id")
       .select(col("q_id"), col("cand_id"),
-        cosine(col("qvec"), col("vec")).as("cos"))
+        round(cosine(col("qvec"), col("vec")), 6).as("cos_sim"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(col("cos").desc, col("cand_id").asc)
+      .partitionBy("q_id").orderBy(col("cos_sim").desc, col("cand_id").asc)
     matched.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 5)
-      .select(col("q_id"), col("rnk"), col("cand_id"),
-        round(col("cos"), 6).as("cos_sim"))
+      .select(col("q_id"), col("rnk"), col("cand_id"), col("cos_sim"))
       .orderBy("q_id", "rnk")
   }
 
@@ -623,17 +626,22 @@ object Similarity {
     val idPairs = Dedup.bucketPairs(
       assigned.select(col("vec_id").as("doc_id"), lit(0).as("band"),
         col("cell").as("key")), SemCellCap)
+    // 6 dp-round BEFORE the threshold gate and the argmax (the
+    // kmeansRefine / dedupCurve discipline, ADVICE r13): a boundary
+    // pair whose raw cosines differ only past 6 dp must pass/fail and
+    // rank identically on both engines.
     val scored = idPairs
       .join(e.select(col("vec_id").as("a"), col("vec").as("va")), "a")
       .join(e.select(col("vec_id").as("b"), col("vec").as("vb")), "b")
-      .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cos"))
+      .select(col("a"), col("b"),
+        round(cosine(col("va"), col("vb")), 6).as("cos"))
       .filter(col("cos") >= SemThreshold)
     // verdict for the LARGER id of each qualifying pair: duplicate of
     // its most-similar smaller-id cluster-mate (id tiebreak)
     val verdicts = scored.groupBy(col("b").as("vec_id"))
       .agg(max(struct(col("cos"), (-col("a")).as("na"))).as("best"))
       .select(col("vec_id"), (-col("best.na")).as("dup_of"),
-        round(col("best.cos"), 6).as("max_cos"))
+        col("best.cos").as("max_cos"))
     assigned.join(verdicts, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"), col("dup_of"),
         col("max_cos"),

@@ -116,6 +116,11 @@ class PortableSignatureSpec extends SparkTestBase {
       .agg(expr(s"sum(CASE WHEN dot > 0 THEN shiftleft(1L, " +
         s"cast(p % $bits AS int)) ELSE 0L END)").as("kb"))
     assert(viaKernel.count() === 500L * bands)
+    // both sides must be TOTAL (ADVICE r13): an inner join alone
+    // would pass if the SQL derivation silently dropped (vec_id,
+    // band) rows — equal cardinality + zero inner-join mismatches
+    // together pin full bijective agreement
+    assert(viaSql.count() === 500L * bands)
     assert(viaKernel.join(viaSql.withColumnRenamed("kb", "kb2"),
         Seq("vec_id", "band"))
       .filter(col("kb") =!= col("kb2")).count() === 0L,
