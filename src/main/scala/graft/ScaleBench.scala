@@ -116,9 +116,6 @@ object ScaleBench {
     // round 15: user/day/token-grain collapses + two-level ranks and
     // prefix sums, the broadcast-join projection/outlier scans, and
     // the graph BFS over the duplication-invariant part domain.
-    // winsorize stays OUT (exact per-group percentile buffers the
-    // group on one task — the documented #39/robust_outliers trade;
-    // GK #79 is the escape).
     "rfm_segments", "autocorr", "khop_reach", "zipf_fit",
     "lexical_diversity", "session_entry_exit", "cusum_alerts",
     "systematic_sample", "assign_ids", "random_projection",
@@ -151,7 +148,15 @@ object ScaleBench {
     "quality_curve", "table_fingerprint",
     // round 15 batch J: the duplication-invariant basket triple
     // collapse and the user-grain feature export
-    "itemset_3", "user_features")
+    "itemset_3", "user_features",
+    // round 14 (r13 verdict #1): the percentile family is ADMITTED —
+    // Pctl's blocked route bounds every task (geometry cached as a
+    // corpus statistic, steady state = one value-range fetch pass),
+    // so winsorize / percentiles / robust_outliers no longer buffer
+    // a multiplied group on one task. ship_lag stays OUT (its o⋈li
+    // equi-join squares under hardlink duplication — the
+    // snapshot_diff artifact, not the operator).
+    "winsorize", "percentiles", "robust_outliers")
   // backlog_aging stays OUT of the multiplied set: hardlink
   // duplication multiplies BOTH join sides of its o⋈li key join
   // (100× orders × 100× lines = 10⁴× pairs per key — the

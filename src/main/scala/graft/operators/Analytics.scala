@@ -744,28 +744,36 @@ object Analytics {
     * p50/p90 (the #39 percentile contract), and the exact-integer
     * mean. One fact⋈fact equi-join on the order key (broadcast at
     * small SF, sort-merge at scale), |priorities| output rows. The
-    * exact per-group percentile buffers a group's lags on one task —
-    * the documented #39 trade (GK #79 is the hot-group escape). */
+    * percentiles route through [[Pctl.grouped]] (VERDICT r13 #1) —
+    * one-agg exact below the size gate, blocked-exact above it (the
+    * lag re-read re-runs the equi-join, trading a second pruned pass
+    * for O(block) task memory — the right side of that trade at any
+    * hot-priority cardinality). */
   def shipLag(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.load(spark, dir, "orders")
       .select("o_orderkey", "o_orderdate", "o_orderpriority")
-    Tables.load(spark, dir, "lineitem")
+    val lagged = Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_shipdate"))
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .withColumn("lag_days",
         datediff(col("l_shipdate"), col("o_orderdate")).cast("long"))
+    val pc = Pctl.grouped(lagged, Seq("o_orderpriority"), col("lag_days"),
+        Seq(0.5, 0.9), Seq("plo", "phi"),
+        Pctl.key(dir, "lineitem", "ship_lag"))
+      .select(col("o_orderpriority"),
+        round(col("plo"), 6).as("p50_days"),
+        round(col("phi"), 6).as("p90_days"))
+    lagged
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"),
         min(col("lag_days")).as("min_days"),
         max(col("lag_days")).as("max_days"),
-        expr("percentile(lag_days, array(0.5D, 0.9D))").as("ps"),
         // exact integer sum, one terminal double division
         round(sum(col("lag_days")).cast("double") /
           count(lit(1)).cast("double"), 6).as("avg_days"))
+      .join(broadcast(pc), "o_orderpriority")
       .select(col("o_orderpriority"), col("n"), col("min_days"),
-        col("max_days"),
-        round(element_at(col("ps"), 1), 6).as("p50_days"),
-        round(element_at(col("ps"), 2), 6).as("p90_days"),
+        col("max_days"), col("p50_days"), col("p90_days"),
         col("avg_days"))
       .orderBy("o_orderpriority")
   }

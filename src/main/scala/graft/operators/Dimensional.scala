@@ -363,19 +363,27 @@ object Dimensional {
     * oracle-pinned #39 interpolation, one terminal round.
     *
     * Scale: rides [[funnelPerUser]] (user-keyed window chain, one
-    * shuffle); the percentile sorts |completers| values per stage —
-    * the #39 trade, GK (#79) is the escape at extreme user counts. */
+    * shuffle); the percentiles route through [[Pctl.grouped]]
+    * (VERDICT r13 #1) — one-agg exact below the size gate, the
+    * blocked exact decomposition above it. */
   def funnelTimes(spark: SparkSession, dir: String): DataFrame = {
-    val perUser = funnelPerUser(spark, dir)
-    def stage(name: String, tCol: String): DataFrame =
-      perUser.filter(col(tCol).isNotNull)
+    // PINNED: perUser is the user-grain collapse (one row per user —
+    // output-bounded, never event-bounded); four consumers below
+    // (per-stage count + percentile probe/fetch) would each re-run
+    // the event-scan window chain if left lazy
+    val perUser = funnelPerUser(spark, dir).localCheckpoint()
+    def stage(name: String, tCol: String): DataFrame = {
+      val hours = perUser.filter(col(tCol).isNotNull)
         .select(((unix_micros(col(tCol)) - unix_micros(col("t1")))
           .cast("double") / lit(3600e6)).as("h"))
-        .agg(count(lit(1)).as("n_users"),
-          round(expr("percentile(h, 0.5D)"), 6).as("p50_hours"),
-          round(expr("percentile(h, 0.9D)"), 6).as("p90_hours"))
+      val pc = Pctl.grouped(hours, Seq.empty, col("h"), Seq(0.5, 0.9),
+        Seq("plo", "phi"), Pctl.key(dir, "events", s"funnel_times_$name"))
+      hours.agg(count(lit(1)).as("n_users"))
+        .crossJoin(broadcast(pc))
         .select(lit(name).as("stage"), col("n_users"),
-          col("p50_hours"), col("p90_hours"))
+          round(col("plo"), 6).as("p50_hours"),
+          round(col("phi"), 6).as("p90_hours"))
+    }
     stage("2_click", "t2").unionByName(stage("3_purchase", "t3"))
       .orderBy("stage")
   }

@@ -137,19 +137,18 @@ object Olap {
 
   /** #39 Exact percentiles per group (interpolated, the engine-
     * standard (n-1)·p definition — matches DuckDB quantile_cont).
-    * Exact percentile needs the full value multiset per group; the
-    * approximate path for heavy groups is percentile_approx with a
-    * bounded sketch. Rounded so both engines' float paths agree. */
+    * Routed through [[Pctl.grouped]] (VERDICT r13 #1): the one-agg
+    * `percentile` plan below the group-size gate, the blocked exact
+    * decomposition above it, GK only under degenerate ties. Rounded
+    * so both engines' float paths agree. */
   def percentiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "events")
-      .groupBy("event_type")
-      .agg(expr("percentile(value, array(0.25D, 0.5D, 0.9D, 0.99D))")
-        .as("ps"))
+    Pctl.grouped(Tables.load(spark, dir, "events"),
+        Seq("event_type"), col("value"),
+        Seq(0.25, 0.5, 0.9, 0.99), Seq("p25", "p50", "p90", "p99"),
+        Pctl.key(dir, "events", "percentiles"))
       .select(col("event_type"),
-        round(element_at(col("ps"), 1), 6).as("p25"),
-        round(element_at(col("ps"), 2), 6).as("p50"),
-        round(element_at(col("ps"), 3), 6).as("p90"),
-        round(element_at(col("ps"), 4), 6).as("p99"))
+        round(col("p25"), 6).as("p25"), round(col("p50"), 6).as("p50"),
+        round(col("p90"), 6).as("p90"), round(col("p99"), 6).as("p99"))
       .orderBy("event_type")
 
   /** #79 Mergeable quantile sketch: the same percentiles as [[percentiles]]
@@ -229,11 +228,59 @@ object Olap {
     * with k from a cheap min/max pre-pass) so block population stays
     * bounded wherever the data has spread at all.
     * For 100 TB features the sketch cut points (#79) remain the
-    * stateless-projection alternative. */
-  def quantileBins(spark: SparkSession, dir: String): DataFrame = {
+    * stateless-projection alternative.
+    *
+    * DRIVER-COLLECT CAP (VERDICT r13 #4): the block table is bounded
+    * by |types|×|distinct floor(value)| — fine for price-like
+    * domains, UNBOUNDED for heavy-tailed doubles whose value range
+    * grows with the corpus. A block-count probe gates the collect:
+    * above [[QuantileBinsBlockCap]] rows the operator routes to the
+    * fully distributed [[Rank.twoLevelRank]] form (global rank per
+    * type without any task sorting a type, no driver state) — hash-
+    * identical output (QuantileBinsFallbackSpec pins both routes),
+    * trading the stats-driven block pruning for unbounded-domain
+    * safety. */
+  val QuantileBinsBlockCap = 100000L
+
+  private val blockCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+
+  def quantileBins(spark: SparkSession, dir: String): DataFrame =
+    quantileBinsWith(spark, dir, QuantileBinsBlockCap)
+
+  private[graft] def quantileBinsWith(spark: SparkSession, dir: String,
+      blockCap: Long): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
       .select(col("event_type"), col("value"), col("event_id"))
       .withColumn("blk", floor(col("value")).cast("long"))
+    // the probe is one count-distinct-shaped aggregate over the
+    // two-column scan, corpus-keyed like every other route probe
+    // (chainCache / Pctl pattern; uncached when mtime is unreadable);
+    // above the cap the block table never leaves the executors
+    def probe: Long = ev.select(col("event_type"), col("blk"))
+      .distinct().count()
+    val nBlocks = Pctl.key(dir, "events", "quantile_bins_blocks") match {
+      case Some(k) =>
+        blockCountCache.computeIfAbsent(k, _ => probe).longValue()
+      case None => probe
+    }
+    if (nBlocks > blockCap) {
+      val ranked = Rank.twoLevelRank(ev, Seq("event_type"), col("blk"),
+        blkAscending = true, Seq(col("value"), col("event_id")),
+        "rn", "n")
+      return ranked
+        .withColumn("bin",
+          expr("""CASE WHEN rn <= (n % 4) * (n DIV 4 + 1)
+                  THEN (rn - 1) DIV (n DIV 4 + 1) + 1
+                  ELSE (n % 4) + (rn - (n % 4) * (n DIV 4 + 1) - 1)
+                    DIV (n DIV 4) + 1 END""").cast("long"))
+        .groupBy("event_type", "bin")
+        .agg(count(lit(1)).as("n"),
+          round(min(col("value")), 6).as("lo"),
+          round(max(col("value")), 6).as("hi"),
+          Num.dsumExact(col("value")).cast("double").as("sum_value"))
+        .orderBy("event_type", "bin")
+    }
     // Phase 1 — ONE map-side-combined aggregate reduces the corpus to
     // its block table: count, min/max, and the exact 128-bit value
     // sum (dsumExact — a mergeable decimal(38,6) partial, so
@@ -535,13 +582,18 @@ object Olap {
       .orderBy("grp", "digit")
   }
 
+  /** #186 Winsorization — tail clamping at the exact interpolated
+    * p05/p95 per group. The cut computation rides [[Pctl.grouped]]
+    * (VERDICT r13 #1: the r13 bench's only regression was this
+    * operator's single-task percentile buffer at ×100; the blocked
+    * route re-reads only the two rank-straddling value blocks). */
   def winsorize(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
-    val cuts = ev.groupBy("event_type")
-      .agg(expr("percentile(value, array(0.05D, 0.95D))").as("ps"))
+    val cuts = Pctl.grouped(ev, Seq("event_type"), col("value"),
+        Seq(0.05, 0.95), Seq("plo", "phi"),
+        Pctl.key(dir, "events", "winsorize"))
       .select(col("event_type"),
-        round(element_at(col("ps"), 1), 6).as("lo"),
-        round(element_at(col("ps"), 2), 6).as("hi"))
+        round(col("plo"), 6).as("lo"), round(col("phi"), 6).as("hi"))
     ev.join(broadcast(cuts), "event_type")
       .withColumn("clamped",
         when(col("value") < col("lo"), col("lo"))

@@ -335,29 +335,33 @@ object TimeSeries {
     * both medians quantized to 6 dp BEFORE thresholding so the
     * boundary is engine-exact.
     *
-    * Scale: exact per-group medians sort each group's values on one
-    * task — the documented #39 trade (the GK sketch #79 is the
-    * hot-group escape hatch); the fact scan runs twice (median, then
-    * deviations) — a sketch-based single-pass variant trades that
-    * second scan for rank error. */
+    * Scale: both grouped medians route through [[Pctl.grouped]]
+    * (VERDICT r13 #1) — one-agg exact below the group-size gate,
+    * blocked-exact (≤ 2 straddling blocks re-read per group) above
+    * it, GK only under degenerate ties; the fact scan runs twice
+    * (median, then deviations) — a sketch-based single-pass variant
+    * trades that second scan for rank error. */
   def robustOutliers(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables.load(spark, dir, "events")
       .select(col("event_type"), col("value"))
-    val med = events.groupBy("event_type")
-      .agg(round(expr("percentile(value, 0.5D)"), 6).as("med"))
+    // both grouped medians ride Pctl (VERDICT r13 #1): the plain
+    // one-agg plan below the group-size gate, blocked-exact above it
+    val med = Pctl.grouped(events, Seq("event_type"), col("value"),
+        Seq(0.5), Seq("m"), Pctl.key(dir, "events", "robust_med"))
+      .select(col("event_type"), round(col("m"), 6).as("med"))
     val dev = events.join(broadcast(med), "event_type")
       .withColumn("dev", abs(col("value") - col("med")))
-    val stats = dev.groupBy("event_type")
-      .agg(count(lit(1)).as("n"),
-        first(col("med")).as("med"),
-        round(expr("percentile(dev, 0.5D)"), 6).as("mad"))
-    val outs = dev
-      .join(broadcast(stats.select(col("event_type"), col("mad"))),
-        "event_type")
+    val mad = Pctl.grouped(dev, Seq("event_type"), col("dev"),
+        Seq(0.5), Seq("m"), Pctl.key(dir, "events", "robust_mad"))
+      .select(col("event_type"), round(col("m"), 6).as("mad"))
+    // count, med and the outlier tally share ONE pass over dev (the
+    // mad gate broadcasts in) — n/med/n_out per group in one agg
+    dev.join(broadcast(mad), "event_type")
       .groupBy("event_type")
-      .agg(sum((col("dev") > lit(3 * 1.4826) * col("mad")).cast("long"))
-        .as("n_out"))
-    stats.join(outs, "event_type")
+      .agg(count(lit(1)).as("n"), first(col("med")).as("med"),
+        first(col("mad")).as("mad"),
+        sum((col("dev") > lit(3 * 1.4826) * col("mad")).cast("long"))
+          .as("n_out"))
       .select(col("event_type"), col("n"), col("med"), col("mad"),
         col("n_out"))
       .orderBy("event_type")

@@ -68,6 +68,17 @@ class WarehouseSpec extends SparkTestBase {
     }
   }
 
+  test("quantile_bins: distributed fallback above the block cap is " +
+      "hash-identical to the collect path") {
+    // blockCap=1 forces the Rank.twoLevelRank route (VERDICT r13 #4
+    // — the unbounded-value-domain escape from the driver collect);
+    // both routes must produce the same rows bit-for-bit
+    val viaCollect = Olap
+      .quantileBinsWith(spark, SfDir, Long.MaxValue).collect().toSeq
+    val viaRank = Olap.quantileBinsWith(spark, SfDir, 1L).collect().toSeq
+    assert(viaRank === viaCollect)
+  }
+
   test("tfidf_docsim: scores in (0,1], pairs share a rare term") {
     val got = Search.tfidfDocsim(spark, SfDir).collect()
     assert(got.nonEmpty)
