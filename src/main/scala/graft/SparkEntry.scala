@@ -19,6 +19,8 @@ object SparkEntry {
     "csv_ingest" -> (graft.sources.CsvIngest.csvIngestQuery _),
     "json_ingest" -> (graft.sources.JsonIngest.jsonIngestQuery _),
     "acquire_fetch" -> (graft.sources.Acquire.acquireFetch _),
+    "worklist_bootstrap" -> (graft.sources.Worklist.worklistBootstrap _),
+    "alert_feed" -> (graft.pipeline.Alerts.alertFeed _),
     "skew_agg" -> (Skew.skewAgg _),
     "shard_union" -> (StockOps.shardUnion _),
     "append_roundtrip" -> (StockOps.appendRoundtrip _),
@@ -527,8 +529,76 @@ object SparkEntry {
     // budget → quarantined), a success returns 100+(k%7)*13 bytes.
     // The Spark side EXECUTES the retry/rate-limit/quarantine loop;
     // the oracle recomputes the contract it must land on.
+    // #213 twin: the oracle recomputes the fabricate→parse→exclude→
+    // shard contract closed-form (the acquire_fetch pattern — Spark
+    // executes the real document build + regexp parse, DuckDB pins
+    // what it must land on)
+    "worklist_bootstrap" ->
+      s"""WITH w AS (SELECT DISTINCT user_id AS key FROM events),
+         |o AS (SELECT key, 'T' || CAST(key AS VARCHAR) AS symbol,
+         |    CAST(('0x' || substr(md5('${graft.sources.Worklist.Seed}:'
+         |      || key), 25, 8))::UBIGINT AS BIGINT) AS skey
+         |  FROM w),
+         |p AS (SELECT key, symbol,
+         |    CAST(row_number() OVER (ORDER BY skey, key) AS BIGINT)
+         |      AS pos,
+         |    CASE WHEN symbol IN ('T3', 'T7') THEN 'excluded'
+         |      ELSE 'included' END AS status
+         |  FROM o),
+         |i AS (SELECT pos, CAST(least((row_number() OVER
+         |      (ORDER BY pos) - 1) // 100, 4) AS BIGINT) AS shard
+         |  FROM p WHERE status = 'included')
+         |SELECT p.pos, p.symbol, p.key, p.status, i.shard
+         |FROM p LEFT JOIN i ON p.pos = i.pos
+         |ORDER BY p.pos""".stripMargin,
+    // #214 twin: every arm closed-form — the acquire quarantine
+    // contract (k%4==3 exhausts the 3-attempt budget, last error
+    // message is attempt 3's), the dq gate over the same aggregate
+    // dq_checks pins, and the CONSTANT halt trail of a total outage
+    // on day 3 of a 4-day depends_on_past chain (days 1-2 commit for
+    // real on the Spark side; the oracle sees only the alert rows)
+    "alert_feed" ->
+      """WITH b AS (SELECT DISTINCT user_id AS key FROM events
+        |  WHERE user_id NOT IN (3, 7)),
+        |a AS (SELECT
+        |  sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS null_id,
+        |  count(event_id) - count(DISTINCT event_id) AS dup_id,
+        |  sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS null_user,
+        |  sum(CASE WHEN event_type NOT IN
+        |    ('click','error','purchase','signup','view')
+        |    THEN 1 ELSE 0 END) AS bad_type,
+        |  sum(CASE WHEN value < 0 OR value IS NULL THEN 1 ELSE 0 END)
+        |    AS bad_value,
+        |  sum(CASE WHEN ts < TIMESTAMP '2024-01-01 00:00:00'
+        |    OR ts >= TIMESTAMP '2025-01-01 00:00:00' OR ts IS NULL
+        |    THEN 1 ELSE 0 END) AS bad_ts
+        |  FROM events),
+        |dq AS (
+        |  SELECT 'bad_ts' AS rule, cast(bad_ts AS bigint) AS nv FROM a
+        |  UNION ALL SELECT 'bad_type', cast(bad_type AS bigint) FROM a
+        |  UNION ALL SELECT 'bad_value', cast(bad_value AS bigint) FROM a
+        |  UNION ALL SELECT 'dup_id', cast(dup_id AS bigint) FROM a
+        |  UNION ALL SELECT 'null_id', cast(null_id AS bigint) FROM a
+        |  UNION ALL SELECT 'null_user', cast(null_user AS bigint) FROM a)
+        |SELECT 'acquire' AS source, CAST(key AS VARCHAR) AS alert_key,
+        |  'error' AS severity, CAST(3 AS BIGINT) AS n,
+        |  'transient[' || key || '/3]' AS detail
+        |FROM b WHERE key % 4 = 3
+        |UNION ALL
+        |SELECT 'dq_checks', rule, 'warn', nv,
+        |  'rule violations over events'
+        |FROM dq WHERE nv > 0
+        |UNION ALL
+        |SELECT 'backfill', '2024-01-03', 'error', CAST(3 AS BIGINT),
+        |  'java.io.IOException: upstream outage 2024-01-03'
+        |UNION ALL
+        |SELECT 'backfill', '2024-01-04', 'warn', CAST(0 AS BIGINT),
+        |  'blocked: earlier date failed (depends_on_past)'
+        |ORDER BY source, alert_key""".stripMargin,
     "acquire_fetch" ->
-      """WITH w AS (SELECT DISTINCT user_id AS key FROM events),
+      """WITH b AS (SELECT DISTINCT user_id AS key FROM events
+        |  WHERE user_id NOT IN (3, 7)),
+        |w AS (SELECT key FROM b),
         |f AS (SELECT key, key % 4 AS nf FROM w)
         |SELECT key,
         |  CASE WHEN nf <= 2 THEN 'ok' ELSE 'failed' END AS status,

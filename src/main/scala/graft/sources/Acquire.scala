@@ -161,15 +161,16 @@ object Acquire {
     }
   }
 
-  /** The oracled `acquire_fetch` query: distinct event user ids as
-    * the work-list (≙ the reference's ticker list), fetched through
-    * the arithmetic fake with the reference's retry budget. Output
-    * is the acquisition ledger (status / attempts / payload size),
-    * hash-verified by a closed-form DuckDB twin. */
+  /** The oracled `acquire_fetch` query: the BOOTSTRAPPED work list
+    * ([[Worklist.workKeys]] — parsed constituent members minus the
+    * exclusion list, round 14; the reference feeds
+    * `get_top500_companies()` straight into its fetch shards),
+    * fetched through the arithmetic fake with the reference's retry
+    * budget. Output is the acquisition ledger (status / attempts /
+    * payload size), hash-verified by a closed-form DuckDB twin. */
   def acquireFetch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val work = Tables.load(spark, dir, "events")
-      .select(col("user_id")).distinct()
+    val work = Worklist.workKeys(spark, dir)
       .as[java.lang.Long]
     acquire(work, arithmeticFake, Config(maxConcurrency = 8,
         maxRetries = 2))

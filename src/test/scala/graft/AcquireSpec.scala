@@ -84,4 +84,38 @@ class AcquireSpec extends SparkTestBase {
       .as[Long].collect().sorted
     assert(rem === Array(5L, 6L, 7L, 8L, 9L))
   }
+
+  test("worklist bootstrap: parse drops markup, excludes BF.B/BRK.B " +
+      "twins, shards 100-per-task with the tail on the last shard") {
+    import graft.sources.Worklist
+    val doc = Worklist.constituentDocument(spark, SfDir).collect()
+    // header + footer markup present; member lines are <tr><td> rows
+    assert(doc.exists(_.getString(1).startsWith("<table")))
+    assert(doc.exists(_.getString(1) == "</table>"))
+    val ledger = Worklist.worklistBootstrap(spark, SfDir).collect()
+    val members = graft.sources.Tables.load(spark, SfDir, "events")
+      .select(col("user_id")).distinct().count()
+    // every member parsed, markup rejected
+    assert(ledger.length.toLong === members)
+    assert(ledger.map(_.getAs[Long]("pos")).toSeq ===
+      (1L to members).toSeq, "dense document positions")
+    // the exclusion list is applied (user ids 3 and 7 exist at every
+    // SF) and excluded members never get a shard
+    val excluded = ledger.filter(_.getAs[String]("status") == "excluded")
+    assert(excluded.map(_.getAs[String]("symbol")).sorted.toSeq ===
+      Worklist.ExcludedSymbols.sorted)
+    assert(excluded.forall(_.isNullAt(4)), "excluded rows: NULL shard")
+    // reference shard geometry over INCLUDED members in doc order:
+    // 100 per shard, last shard takes the tail
+    val inc = ledger.filter(_.getAs[String]("status") == "included")
+      .sortBy(_.getAs[Long]("pos"))
+    inc.zipWithIndex.foreach { case (r, i) =>
+      val want = math.min(i / Worklist.ShardSize, Worklist.MaxShard)
+      assert(r.getAs[Long]("shard") === want)
+    }
+    // the bootstrap FEEDS acquisition: workKeys = included keys only
+    val keys = Worklist.workKeys(spark, SfDir).as[Long].collect().sorted
+    assert(!keys.contains(3L) && !keys.contains(7L))
+    assert(keys.length.toLong === members - 2)
+  }
 }
