@@ -128,7 +128,18 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (timings.nonEmpty) timings.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","staged_files":$stageFiles,"stage_sec":$stageSec}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","staged_files":$stageFiles,"stage_sec":$stageSec}"""
+    println(json)
+    // ALSO persist the full artifact (VERDICT r13 #9): the driver's
+    // stdout capture truncates the JSON mid-dict (only the o-z slice
+    // of the per-query map survived r12/r13), so round-over-round
+    // diffs lost half the suite. The file in the repo root survives
+    // the round commit intact.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_full.json"), json + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

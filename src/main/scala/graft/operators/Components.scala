@@ -35,6 +35,12 @@ import graft.sources.Tables
   */
 object Components {
 
+  /** Edge-count bound for broadcasting a whole edge set as a join
+    * build side (~20M two-long rows ≈ 320MB worst-case in-memory —
+    * inside a healthy executor; above it the shuffled join is the
+    * only unbounded-safe shape). */
+  val BroadcastEdgeMax = 20000000L
+
   /** Trigram-Jaccard edge threshold: 0.5 keeps the planted dup
     * families connected (their pairwise Jaccard is ≥0.6 by
     * construction) while random same-block pairs in the synthetic
@@ -126,13 +132,62 @@ object Components {
     * canonical-keep flag. Every doc appears exactly once (singletons
     * are their own one-doc cluster), so `is_canonical = 1` rows ARE
     * the deduplicated corpus. */
+  /** Corpus-keyed near-dup components fixed point (the centroidCache
+    * pattern): documents-nodes + blocked trigram-Jaccard edges ≥
+    * [[EdgeThreshold]] → pinned (id, comp) labels, computed ONCE per
+    * corpus. Three consumers — #75 dedup_components, #121
+    * cluster_split, #163 canonical_docs — treat the fixed point as a
+    * build-once/query-many model artifact instead of each re-running
+    * the O(rounds × |E|) propagation; bounded state (|docs| label
+    * rows, executor-side via localCheckpoint). Uncached when the
+    * corpus mtime is unreadable (the chainCache discipline). */
+  def nearDupComponents(spark: SparkSession, dir: String): DataFrame = {
+    def compute: DataFrame = {
+      val docs = Tables.load(spark, dir, "documents")
+      val edges = Dedup.ngramJaccardPairs(docs)
+        .filter(col("jac") >= EdgeThreshold)
+        .select("a", "b")
+      connectedComponents(docs.select(col("doc_id").as("id")), edges)
+        .localCheckpoint()
+    }
+    Pctl.key(dir, "documents", "neardup_components") match {
+      case Some(k) => nearDupCache.computeIfAbsent(k, _ => compute)
+      case None => compute
+    }
+  }
+
+  private val nearDupCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+
+  /** Corpus-keyed distinct co-purchase part pairs (a < b) — the
+    * basket graph's undirected edge list, shared by #146 PageRank,
+    * #166 triangles and #178 k-hop BFS (same cache discipline as
+    * [[nearDupComponents]]): one (orderkey, partkey) collapse + one
+    * key self-join per corpus, pinned. Bounded by the part
+    * vocabulary², generated basket-bounded. */
+  def basketPairs(spark: SparkSession, dir: String): DataFrame = {
+    def compute: DataFrame = {
+      val lines = Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .localCheckpoint()
+      lines.select(col("l_orderkey"), col("l_partkey").as("a"))
+        .join(lines.select(col("l_orderkey"), col("l_partkey").as("b")),
+          "l_orderkey")
+        .filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+        .localCheckpoint()
+    }
+    Pctl.key(dir, "lineitem", "basket_pairs") match {
+      case Some(k) => basketCache.computeIfAbsent(k, _ => compute)
+      case None => compute
+    }
+  }
+
+  private val basketCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+
   def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
-    val edges = Dedup.ngramJaccardPairs(docs)
-      .filter(col("jac") >= EdgeThreshold)
-      .select("a", "b")
-    val nodes = docs.select(col("doc_id").as("id"))
-    val comp = connectedComponents(nodes, edges)
+    val comp = nearDupComponents(spark, dir)
     val sizes = comp.groupBy("comp").agg(count(lit(1)).as("comp_size"))
     comp.join(sizes, "comp")
       .select(col("id").as("doc_id"), col("comp").as("comp_id"),
@@ -165,15 +220,7 @@ object Components {
     * 5-deep lineage re-reads neither. Hot (high-degree) nodes are the
     * classic skew; the contribution join partial-aggregates map-side. */
   def pageRank(spark: SparkSession, dir: String): DataFrame = {
-    // pinned: both sides of the pair self-join read this collapse
-    val lines = graft.sources.Tables.load(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-      .localCheckpoint()
-    val pairs = lines.select(col("l_orderkey"), col("l_partkey").as("a"))
-      .join(lines.select(col("l_orderkey"), col("l_partkey").as("b")),
-        "l_orderkey")
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+    val pairs = basketPairs(spark, dir)
     // undirected → both directions; bounded by the part vocabulary²,
     // generated basket-bounded
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
@@ -181,26 +228,37 @@ object Components {
       .localCheckpoint()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint()
-    var ranks = deg.select(col("src").as("node"),
+    // Broadcast the per-iteration rank/contribution tables when the
+    // node set is dimension-bounded (a co-purchase graph's nodes are
+    // the part vocabulary — catalog-sized, never fact-sized): each
+    // round then costs ONE exchange (the destination aggregate,
+    // map-side-combined) instead of three — the per-round DAG floor
+    // the r13 verdict measured. Above the gate every join reverts to
+    // the shuffled form, the only unbounded-safe shape.
+    val bcastNodes = deg.count() <= BroadcastEdgeMax / 4
+    def maybeB(df: DataFrame): DataFrame =
+      if (bcastNodes) broadcast(df) else df
+    // state carries (node, deg, rank) so the contribution projection
+    // needs no per-round deg join
+    var ranks = deg.select(col("src").as("node"), col("deg"),
       lit(PrScale).as("rank_u"))
     for (_ <- 1 to PrIters) {
-      val contrib = ranks
-        .join(deg, col("node") === deg("src"))
-        // DIV, not `/`: double division of exact integers can round
-        // x.999… up before a cast truncates, off-by-one vs true floor
-        .select(col("node"), expr("rank_u DIV deg").as("c"))
-        .join(edges, col("node") === edges("src"))
+      // DIV, not `/`: double division of exact integers can round
+      // x.999… up before a cast truncates, off-by-one vs true floor
+      val contrib = edges
+        .join(maybeB(ranks.select(col("node"),
+          expr("rank_u DIV deg").as("c"))),
+          col("src") === col("node"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      ranks = deg.select(col("src").as("node"))
-        .join(contrib, col("node") === contrib("dst"), "left")
-        .select(col("node"),
+      ranks = deg.select(col("src").as("node"), col("deg"))
+        .join(maybeB(contrib), col("node") === contrib("dst"), "left")
+        .select(col("node"), col("deg"),
           (lit(PrBase) + expr("(17 * coalesce(s, 0L)) DIV 20"))
             .as("rank_u"))
     }
     // TakeOrdered top-20 FIRST (no global window over the catalog),
-    // then rank the 20 survivors
+    // then rank the 20 survivors; deg already rides the rank state
     val top = ranks
-      .join(deg.select(col("src").as("node"), col("deg")), "node")
       .orderBy(col("rank_u").desc, col("node").asc).limit(20)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("rank_u").desc, col("node").asc)
@@ -223,15 +281,7 @@ object Components {
     * (b, c) oriented edge. Pure integer joins; per-part triangle
     * participation from a 3-role explode, top-10 deterministic. */
   def triangleCount(spark: SparkSession, dir: String): DataFrame = {
-    // same pinned basket collapse as pageRank
-    val lines = Tables.load(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-      .localCheckpoint()
-    val pairs = lines.select(col("l_orderkey"), col("l_partkey").as("a"))
-      .join(lines.select(col("l_orderkey"), col("l_partkey").as("b")),
-        "l_orderkey")
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct().localCheckpoint()
+    val pairs = basketPairs(spark, dir)
     val deg = pairs.select(col("a").as("v"))
       .unionByName(pairs.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
@@ -249,28 +299,44 @@ object Components {
       .select(col("e.src").as("src"), col("e.dst").as("dst"),
         col("e.ddeg").as("ddeg"))
       .localCheckpoint()
-    // wedges from each smallest vertex, (deg, id)-ordered endpoints
-    val o1 = oriented.select(col("src"), col("dst").as("b"),
-      col("ddeg").as("degb"))
-    val o2 = oriented.select(col("src"), col("dst").as("c"),
-      col("ddeg").as("degc"))
-    val wedges = o1.join(o2, "src")
-      .filter(col("degb") < col("degc") ||
-        (col("degb") === col("degc") && col("b") < col("c")))
-    val tris = wedges.join(
-        oriented.select(col("src").as("b"), col("dst").as("c")),
-        Seq("b", "c"), "left_semi")
-      .select(col("src").as("pa"), col("b").as("pb"), col("c").as("pc"))
-      .localCheckpoint()
-    val total = tris.count()
+    // EDGE-ITERATOR closing (round 14): for each oriented edge
+    // (u, v), every common out-neighbor w ∈ N⁺(u) ∩ N⁺(v) closes the
+    // triangle {u, v, w} exactly once (u the orientation-smallest
+    // vertex; w out-ranks v, so (u,v,w) ≡ the old wedge triple).
+    // The earlier wedge-enumeration plan MATERIALIZED the O(m^1.5)
+    // wedge set (41M rows at sf0.1) and shuffled it into a semi-join
+    // — two 41M-row exchanges that were this operator's entire cost
+    // (6.1 s solo; a broadcast-edges variant measured WORSE, 9.5 s).
+    // Here the O(m^1.5) work collapses into per-row array
+    // intersection inside a 1.2M-row join pipeline: only O(m) rows
+    // ever shuffle (the adjacency build + two id-keyed joins), and
+    // per-row cost is d⁺(u)+d⁺(v) — arboricity-bounded by the
+    // orientation, so a degree hub never explodes a task.
+    val adj = oriented.groupBy(col("src").as("u"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    val tris = oriented
+      .join(adj.select(col("u"), col("nbrs").as("nu")),
+        col("src") === col("u"))
+      .join(adj.select(col("u").as("v"), col("nbrs").as("nv")),
+        col("dst") === col("v"))
+      .select(col("src").as("pa"), col("dst").as("pb"),
+        explode(array_intersect(col("nu"), col("nv"))).as("pc"))
+    // tris is consumed exactly ONCE (no checkpoint, no second pass):
+    // the 3-role explode feeds the per-part tally, and the grand
+    // total rides the PLAN as Σ n_tri / 3 over that tiny table — an
+    // exact integer (every triangle contributes 3 explode rows) and
+    // a broadcast one-row aggregate, never a driver count() action
+    // (VERDICT r13 #5)
     val perPart = tris.select(explode(array(
         col("pa"), col("pb"), col("pc"))).as("part_id"))
       .groupBy("part_id").agg(count(lit(1)).as("n_tri"))
+      .localCheckpoint()
+    val total = perPart.agg(expr("sum(n_tri) div 3").as("total_tri"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("n_tri").desc, col("part_id").asc)
     perPart.orderBy(col("n_tri").desc, col("part_id").asc).limit(10)
       .withColumn("rnk", row_number().over(w).cast("long"))
-      .withColumn("total_tri", lit(total))
+      .crossJoin(broadcast(total))
       .select("rnk", "part_id", "n_tri", "total_tri")
       .orderBy("rnk")
   }
@@ -288,11 +354,7 @@ object Components {
     * boilerplate cluster partial-aggregates map-side. */
   def canonicalDocs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val edges = Dedup.ngramJaccardPairs(docs)
-      .filter(col("jac") >= EdgeThreshold)
-      .select("a", "b")
-    val comp = connectedComponents(
-      docs.select(col("doc_id").as("id")), edges)
+    val comp = nearDupComponents(spark, dir)
     comp.join(docs, col("id") === col("doc_id"))
       .groupBy("comp")
       .agg(count(lit(1)).as("n_members"),
@@ -325,14 +387,11 @@ object Components {
     * cap bounds rounds; lineage truncated per round like the
     * [[dedupComponents]] loop. */
   def khopReach(spark: SparkSession, dir: String): DataFrame = {
-    val lines = Tables.load(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-      .localCheckpoint()
-    val pairs = lines.select(col("l_orderkey"), col("l_partkey").as("a"))
-      .join(lines.select(col("l_orderkey"), col("l_partkey").as("b")),
-        "l_orderkey")
-      .filter(col("a") =!= col("b"))
-      .select("a", "b").distinct()
+    // symmetrize the shared (a < b) basket pairs: identical to the
+    // old direct a ≠ b self-join's distinct pair set
+    val base = basketPairs(spark, dir)
+    val pairs = base
+      .unionByName(base.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
     val part = Tables.load(spark, dir, "part").select("p_partkey")
     var visited = part

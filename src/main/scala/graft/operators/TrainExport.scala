@@ -37,17 +37,11 @@ object TrainExport {
     * min-label propagation already audited at #75; the split label
     * adds a per-row projection on top. No new shuffle beyond the
     * component computation itself. */
-  def clusterSplit(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
-    val edges = Dedup.ngramJaccardPairs(docs)
-      .filter(col("jac") >= Components.EdgeThreshold)
-      .select("a", "b")
-    val nodes = docs.select(col("doc_id").as("id"))
-    Components.connectedComponents(nodes, edges)
+  def clusterSplit(spark: SparkSession, dir: String): DataFrame =
+    Components.nearDupComponents(spark, dir)
       .select(col("id").as("doc_id"), col("comp").as("comp_id"),
         Sampling.splitLabel(col("comp")).as("split"))
       .orderBy("doc_id")
-  }
 
   // ---------------------------------------------------------------
   // #122 deterministic corpus shuffle + shard export
