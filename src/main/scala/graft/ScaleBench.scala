@@ -224,7 +224,13 @@ object ScaleBench {
       // the fan-to-window distinct collapse under a 90%-one-user feed
       "stickiness",
       // first-touch min-struct user collapse (latest_per_key family)
-      "wilson_funnel")
+      "wilson_funnel",
+      // round 14: the funnel chain's adaptive gate (window below,
+      // three grouped mins above — the hot user streams through min
+      // partials instead of sorting 90% of the corpus on one task);
+      // funnel_times additionally rides Pctl over the user-grain
+      // hours (bounded input, plain route)
+      "funnel_stages", "funnel_times")
 
   /** Fabricate the skewed twin of the staged corpus: 90% of event
     * rows re-keyed to ONE user and 90% of documents re-labeled to

@@ -173,23 +173,80 @@ object Dimensional {
     * times and one tiny 3-row summary — not a join+agg round per
     * stage. */
   /** Per-user funnel stage times (t1 signup → t2 click → t3
-    * purchase) — shared by [[funnelStages]] and [[funnelTimes]]. */
+    * purchase) — shared by [[funnelStages]] and [[funnelTimes]].
+    *
+    * ADAPTIVE (round 14, the scd2DimWith pattern): the window chain
+    * sorts each user's whole event partition on one task — a 90%-
+    * one-user feed makes that a single-task n·log n sort of most of
+    * the corpus (the skew kill-test shape). Above the
+    * [[Rank.SingleTaskMax]] per-user gate the chain re-forms as three
+    * map-side-combinable grouped MINS with user-keyed join-backs
+    * (t2's predicate needs t1, t3's needs t2): no sort anywhere, the
+    * hot user streams linearly through min partials, and AQE's
+    * skew-join split applies to the join stages. Bit-identical by
+    * construction (each tᵢ is the same conditional minimum;
+    * JourneyGrowthSpec pins both routes). */
   private[operators] def funnelPerUser(spark: SparkSession,
       dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id")
-    Tables.load(spark, dir, "events")
+    def probe: Long = Tables.load(spark, dir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    val maxPerUser = Pctl.key(dir, "events", "funnel_chain") match {
+      case Some(k) =>
+        funnelChainCache.computeIfAbsent(k, _ => probe).longValue()
+      case None => probe
+    }
+    funnelPerUserVia(spark, dir, maxPerUser > Rank.SingleTaskMax)
+  }
+
+  private val funnelChainCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+
+  /** Route-forced internals (spec support): window chain vs the
+    * skew-immune grouped-min form. */
+  private[graft] def funnelPerUserVia(spark: SparkSession, dir: String,
+      aggForm: Boolean): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
       .select(col("user_id"), col("event_type"), col("ts"))
-      .withColumn("t1",
-        min(when(col("event_type") === "signup", col("ts"))).over(w))
-      .withColumn("t2",
-        min(when(col("event_type") === "click" && col("ts") >= col("t1"),
-          col("ts"))).over(w))
-      .withColumn("t3",
-        min(when(col("event_type") === "purchase" && col("ts") >= col("t2"),
-          col("ts"))).over(w))
-      .groupBy("user_id")
-      .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"),
-        min(col("t3")).as("t3"))
+    if (!aggForm) {
+      val w = Window.partitionBy("user_id")
+      ev
+        .withColumn("t1",
+          min(when(col("event_type") === "signup", col("ts"))).over(w))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" && col("ts") >= col("t1"),
+            col("ts"))).over(w))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" &&
+            col("ts") >= col("t2"), col("ts"))).over(w))
+        .groupBy("user_id")
+        .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"),
+          min(col("t3")).as("t3"))
+    } else {
+      // one grouped agg covers EVERY user (t1 null for non-signups,
+      // matching the window form's all-users output), then each
+      // later stage is a filtered fact side joined to the previous
+      // user-grain table — min partials combine map-side, so the hot
+      // user never sorts
+      val g1 = ev.groupBy("user_id")
+        .agg(min(when(col("event_type") === "signup", col("ts")))
+          .as("t1"))
+      val g2 = ev.filter(col("event_type") === "click")
+        .join(g1.filter(col("t1").isNotNull).select("user_id", "t1"),
+          "user_id")
+        .filter(col("ts") >= col("t1"))
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      val g3 = ev.filter(col("event_type") === "purchase")
+        .join(g2, "user_id")
+        .filter(col("ts") >= col("t2"))
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      g1.join(g2, Seq("user_id"), "left")
+        .join(g3, Seq("user_id"), "left")
+        .select(col("user_id"), col("t1"), col("t2"), col("t3"))
+    }
   }
 
   def funnelStages(spark: SparkSession, dir: String): DataFrame = {

@@ -43,6 +43,21 @@ class JourneyGrowthSpec extends SparkTestBase {
     }
   }
 
+  test("funnel per-user chain: skew-immune grouped-min route is " +
+      "bit-identical to the window chain") {
+    // the adaptive gate routes a hot-user feed (per-user rows >
+    // Rank.SingleTaskMax) to the three-aggregate form; both routes
+    // must agree on every (user, t1, t2, t3) row exactly
+    val viaWindow = graft.operators.Dimensional
+      .funnelPerUserVia(spark, SfDir, aggForm = false)
+      .orderBy("user_id").collect().toSeq
+    val viaAgg = graft.operators.Dimensional
+      .funnelPerUserVia(spark, SfDir, aggForm = true)
+      .orderBy("user_id").collect().toSeq
+    assert(viaAgg === viaWindow)
+    assert(viaWindow.exists(r => !r.isNullAt(1)), "corpus has signups")
+  }
+
   test("canonical_docs: every doc in one cluster, winner is a member") {
     val out = Components.canonicalDocs(spark, SfDir).collect()
     val docs = Tables.load(spark, SfDir, "documents")
