@@ -220,9 +220,7 @@ object Analytics {
     * score is engine-exact; top-20 with a deterministic tiebreak
     * via TakeOrderedAndProject. */
   def itemCf(spark: SparkSession, dir: String): DataFrame = {
-    val lines = Tables.load(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-      .localCheckpoint()
+    val lines = Components.basketLines(spark, dir)
     val partCnt = lines.groupBy("l_partkey")
       .agg(count(lit(1)).as("c"))
     val pairs = lines.select(col("l_orderkey"), col("l_partkey").as("pa"))
@@ -247,9 +245,7 @@ object Analytics {
     // pinned: the distinct collapse feeds the order count, the part
     // counts and BOTH sides of the pair self-join — lazy, each
     // consumer re-scans + re-distincts the fact table
-    val lines = Tables.load(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-      .localCheckpoint()
+    val lines = Components.basketLines(spark, dir)
     val nOrders = lines.select("l_orderkey").distinct()
       .agg(count(lit(1)).as("n_orders"))
     val partCnt = lines.groupBy("l_partkey")
@@ -616,9 +612,7 @@ object Analytics {
     * Σ C(b,3), bounded by basket size cubed over orders, never
     * catalog³; deterministic top-20. */
   def itemset3(spark: SparkSession, dir: String): DataFrame = {
-    val lines = Tables.load(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-      .localCheckpoint()
+    val lines = Components.basketLines(spark, dir)
     val a = lines.select(col("l_orderkey"), col("l_partkey").as("pa"))
     val b = lines.select(col("l_orderkey"), col("l_partkey").as("pb"))
     val c = lines.select(col("l_orderkey"), col("l_partkey").as("pc"))

@@ -167,9 +167,7 @@ object Components {
     * vocabulary², generated basket-bounded. */
   def basketPairs(spark: SparkSession, dir: String): DataFrame = {
     def compute: DataFrame = {
-      val lines = Tables.load(spark, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-        .localCheckpoint()
+      val lines = basketLines(spark, dir)
       lines.select(col("l_orderkey"), col("l_partkey").as("a"))
         .join(lines.select(col("l_orderkey"), col("l_partkey").as("b")),
           "l_orderkey")
@@ -178,6 +176,20 @@ object Components {
         .localCheckpoint()
     }
     Pctl.key(dir, "lineitem", "basket_pairs") match {
+      case Some(k) => basketCache.computeIfAbsent(k, _ => compute)
+      case None => compute
+    }
+  }
+
+  /** Corpus-keyed DISTINCT (order, part) basket collapse — the input
+    * every basket-graph/association operator starts from (#143
+    * co-occurrence, #191 item-CF, #210 itemsets, the [[basketPairs]]
+    * graph): one lineitem scan + distinct per corpus, pinned. */
+  def basketLines(spark: SparkSession, dir: String): DataFrame = {
+    def compute: DataFrame = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .localCheckpoint()
+    Pctl.key(dir, "lineitem", "basket_lines") match {
       case Some(k) => basketCache.computeIfAbsent(k, _ => compute)
       case None => compute
     }
