@@ -1,0 +1,54 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Discipline for the corpus-keyed build-once/query-many caches
+  * (centroid models, graph fixed points, probe scalars, percentile
+  * geometry). Two hazards the raw `computeIfAbsent` pattern leaves
+  * open (ADVICE r14):
+  *
+  *  - **unbounded growth**: keys carry corpus mtimes, so every corpus
+  *    regeneration mints new entries forever. Every cache is capped at
+  *    [[MaxEntries]] with a full clear() — the `Dimensional.chainCache`
+  *    precedent; entries are cheap to rebuild (one bounded probe), so
+  *    eviction precision isn't worth per-entry bookkeeping.
+  *  - **dead-session DataFrames**: a cached `localCheckpoint`'d
+  *    DataFrame is pinned to the SparkSession (and executor blocks)
+  *    that created it; a session restart in the same JVM would be
+  *    served a dead plan. [[df]] re-validates the cached frame's
+  *    session against the caller's before reuse and recomputes on
+  *    mismatch. Driver-value caches (scalars, collected geometry,
+  *    model Seqs) are session-independent and need only the cap.
+  */
+object CorpusCache {
+
+  /** Entries per cache before a full clear — generous for real use
+    * (a long-lived service sees a handful of live corpora) while
+    * bounding a corpus-regeneration loop. */
+  val MaxEntries = 64
+
+  /** Capped computeIfAbsent for session-independent driver values. */
+  def value[V](m: ConcurrentHashMap[String, V], k: String)(
+      compute: => V): V = {
+    if (m.size > MaxEntries) m.clear()
+    m.computeIfAbsent(k, _ => compute)
+  }
+
+  /** Capped computeIfAbsent for cached DataFrames, re-validated
+    * against the active session (a dead session's frame is replaced,
+    * not served). */
+  def df(m: ConcurrentHashMap[String, DataFrame], k: String,
+      spark: SparkSession)(compute: => DataFrame): DataFrame = {
+    if (m.size > MaxEntries) m.clear()
+    val cur = m.get(k)
+    if (cur != null && (cur.sparkSession eq spark) &&
+        !spark.sparkContext.isStopped) cur
+    else {
+      val v = compute
+      m.put(k, v)
+      v
+    }
+  }
+}

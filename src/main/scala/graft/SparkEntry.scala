@@ -534,7 +534,8 @@ object SparkEntry {
     // executes the real document build + regexp parse, DuckDB pins
     // what it must land on)
     "worklist_bootstrap" ->
-      s"""WITH w AS (SELECT DISTINCT user_id AS key FROM events),
+      s"""WITH w AS (SELECT DISTINCT user_id AS key FROM events
+         |  WHERE user_id IS NOT NULL AND user_id >= 0),
          |o AS (SELECT key, 'T' || CAST(key AS VARCHAR) AS symbol,
          |    CAST(('0x' || substr(md5('${graft.sources.Worklist.Seed}:'
          |      || key), 25, 8))::UBIGINT AS BIGINT) AS skey
@@ -559,7 +560,8 @@ object SparkEntry {
     // real on the Spark side; the oracle sees only the alert rows)
     "alert_feed" ->
       """WITH b AS (SELECT DISTINCT user_id AS key FROM events
-        |  WHERE user_id NOT IN (3, 7)),
+        |  WHERE user_id IS NOT NULL AND user_id >= 0
+        |    AND user_id NOT IN (3, 7)),
         |a AS (SELECT
         |  sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS null_id,
         |  count(event_id) - count(DISTINCT event_id) AS dup_id,
@@ -597,7 +599,8 @@ object SparkEntry {
         |ORDER BY source, alert_key""".stripMargin,
     "acquire_fetch" ->
       """WITH b AS (SELECT DISTINCT user_id AS key FROM events
-        |  WHERE user_id NOT IN (3, 7)),
+        |  WHERE user_id IS NOT NULL AND user_id >= 0
+        |    AND user_id NOT IN (3, 7)),
         |w AS (SELECT key FROM b),
         |f AS (SELECT key, key % 4 AS nf FROM w)
         |SELECT key,

@@ -151,11 +151,13 @@ object Components {
         .localCheckpoint()
     }
     Pctl.key(dir, "documents", "neardup_components") match {
-      case Some(k) => nearDupCache.computeIfAbsent(k, _ => compute)
+      case Some(k) => graft.CorpusCache.df(nearDupCache, k, spark)(compute)
       case None => compute
     }
   }
 
+  // size-capped + session-validated via CorpusCache (ADVICE r14):
+  // entries are localCheckpoint'd frames pinned to their session
   private val nearDupCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
 
@@ -176,7 +178,7 @@ object Components {
         .localCheckpoint()
     }
     Pctl.key(dir, "lineitem", "basket_pairs") match {
-      case Some(k) => basketCache.computeIfAbsent(k, _ => compute)
+      case Some(k) => graft.CorpusCache.df(basketCache, k, spark)(compute)
       case None => compute
     }
   }
@@ -190,11 +192,12 @@ object Components {
       .select(col("l_orderkey"), col("l_partkey")).distinct()
       .localCheckpoint()
     Pctl.key(dir, "lineitem", "basket_lines") match {
-      case Some(k) => basketCache.computeIfAbsent(k, _ => compute)
+      case Some(k) => graft.CorpusCache.df(basketCache, k, spark)(compute)
       case None => compute
     }
   }
 
+  // size-capped + session-validated via CorpusCache (ADVICE r14)
   private val basketCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
 
@@ -214,6 +217,12 @@ object Components {
   val PrIters = 5
   val PrScale = 1000000000L // rank 1.0 ≡ 10⁹ integer units
   val PrBase = 150000000L   // (1−d)·scale = 0.15·10⁹, exact
+
+  /** Node-count bound for PageRank's broadcast route: ~500k
+    * (node, deg, rank) rows ≈ 12 MB — a catalog, never a fact table.
+    * (ADVICE r14: the previous BroadcastEdgeMax/4 = 5M gate let a
+    * ~120 MB table re-broadcast every round right at the boundary.) */
+  val PrBroadcastNodeMax = 500000L
 
   /** #146 PageRank over the co-purchase part graph — the influence
     * ranking a catalog/recommendation pipeline derives from the same
@@ -246,15 +255,19 @@ object Components {
     // round then costs ONE exchange (the destination aggregate,
     // map-side-combined) instead of three — the per-round DAG floor
     // the r13 verdict measured. Above the gate every join reverts to
-    // the shuffled form, the only unbounded-safe shape.
-    val bcastNodes = deg.count() <= BroadcastEdgeMax / 4
+    // the shuffled form, the only unbounded-safe shape. Gate at
+    // [[PrBroadcastNodeMax]] — genuinely catalog-sized (ADVICE r14:
+    // the old 5M gate allowed a ~120 MB broadcast per round); each
+    // round's state is also localCheckpoint'd under the broadcast
+    // route so a rebuilt broadcast never replays nested round lineage.
+    val bcastNodes = deg.count() <= PrBroadcastNodeMax
     def maybeB(df: DataFrame): DataFrame =
       if (bcastNodes) broadcast(df) else df
     // state carries (node, deg, rank) so the contribution projection
     // needs no per-round deg join
     var ranks = deg.select(col("src").as("node"), col("deg"),
       lit(PrScale).as("rank_u"))
-    for (_ <- 1 to PrIters) {
+    for (it <- 1 to PrIters) {
       // DIV, not `/`: double division of exact integers can round
       // x.999… up before a cast truncates, off-by-one vs true floor
       val contrib = edges
@@ -267,6 +280,11 @@ object Components {
         .select(col("node"), col("deg"),
           (lit(PrBase) + expr("(17 * coalesce(s, 0L)) DIV 20"))
             .as("rank_u"))
+      // truncate lineage per round on the broadcast route (cheap: the
+      // state is gate-bounded); the final round stays lazy so the
+      // top-k consumer reads one plan. Shuffled route keeps lazy
+      // lineage — its joins never rebuild the whole chain driver-side.
+      if (bcastNodes && it < PrIters) ranks = ranks.localCheckpoint()
     }
     // TakeOrdered top-20 FIRST (no global window over the catalog),
     // then rank the 20 survivors; deg already rides the rank state

@@ -196,7 +196,8 @@ object Dimensional {
       }
     val maxPerUser = Pctl.key(dir, "events", "funnel_chain") match {
       case Some(k) =>
-        funnelChainCache.computeIfAbsent(k, _ => probe).longValue()
+        graft.CorpusCache.value(funnelChainCache, k)(
+          java.lang.Long.valueOf(probe)).longValue()
       case None => probe
     }
     funnelPerUserVia(spark, dir, maxPerUser > Rank.SingleTaskMax)

@@ -261,7 +261,8 @@ object Olap {
       .distinct().count()
     val nBlocks = Pctl.key(dir, "events", "quantile_bins_blocks") match {
       case Some(k) =>
-        blockCountCache.computeIfAbsent(k, _ => probe).longValue()
+        graft.CorpusCache.value(blockCountCache, k)(
+          java.lang.Long.valueOf(probe)).longValue()
       case None => probe
     }
     if (nBlocks > blockCap) {

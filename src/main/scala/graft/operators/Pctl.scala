@@ -64,16 +64,23 @@ object Pctl {
   private sealed trait Entry
   private case object PlainE extends Entry
   private case object SketchE extends Entry
-  private case class BlockedE(geo: Geo) extends Entry
+  /** `anyAllNull`: the corpus has ≥1 group whose values are ALL null
+    * (absent from the block table) — only then does the blocked route
+    * pay a group-set join to emit those groups' null rows. A BOUNDED
+    * flag, not a group list (group counts are data-sized at 100 TB). */
+  private case class BlockedE(geo: Geo, anyAllNull: Boolean) extends Entry
 
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]
 
   /** Cache key for the corpus analysis: corpus identity (dir + source
-    * table mtime) + call site + the ps list (geometry depends on it).
-    * None (no caching, re-analyze every call) when the table's mtime
-    * is unreadable — the chainCache discipline: a constant key across
-    * corpus regenerations could serve stale geometry. */
+    * table mtime) + call site. The ps list and grouping keys (the
+    * geometry depends on both) are folded in by [[grouped]] itself, so
+    * a site string reused with a different ps/keys combination can
+    * never be served stale geometry (ADVICE r14). None (no caching,
+    * re-analyze every call) when the table's mtime is unreadable —
+    * the chainCache discipline: a constant key across corpus
+    * regenerations could serve stale geometry. */
   def key(dir: String, table: String, site: String): Option[String] = {
     val m = new java.io.File(dir, s"$table.parquet").lastModified
     if (m == 0L) None else Some(s"$dir@$m#$site")
@@ -81,28 +88,50 @@ object Pctl {
 
   /** One row per `keys` combination, with `names(i)` = the exact
     * interpolated `ps(i)` percentile of `value` (raw double — callers
-    * apply their own terminal rounding). `keys` empty = one global
-    * row (non-empty input assumed). */
+    * apply their own terminal rounding). A group whose values are ALL
+    * null still emits its row with null percentiles — SQL aggregate
+    * semantics, same as a direct `percentile(...)` (ADVICE r14).
+    * `keys` empty = one global row (non-empty input assumed). */
   def grouped(df: DataFrame, keys: Seq[String], value: Column,
       ps: Seq[Double], names: Seq[String],
       cacheKey: Option[String] = None): DataFrame = {
     require(ps.nonEmpty && ps.length == names.length)
-    val v = df.select((keys.map(col) :+ value.cast("double").as("__pv")): _*)
-      .filter(col("__pv").isNotNull)
-    val entry = cacheKey match {
-      case Some(k) => cache.computeIfAbsent(k, _ => analyze(v, keys, ps))
-      case None => analyze(v, keys, ps)
+    // full projection (nulls kept): percentile/approx_percentile skip
+    // nulls natively, so the plain/sketch routes emit all-null groups
+    // as null-percentile rows at no extra pass; the blocked route
+    // restores them with a group-set left join below
+    val vAll =
+      df.select((keys.map(col) :+ value.cast("double").as("__pv")): _*)
+    val v = vAll.filter(col("__pv").isNotNull)
+    // geometry depends on ps AND the grouping keys — folded into the
+    // cache key so a site string can't serve mismatched geometry
+    val entry = cacheKey
+      .map(k => s"$k|ps=${ps.mkString(",")}|keys=${keys.mkString(",")}")
+    match {
+      case Some(k) =>
+        if (cache.size > graft.CorpusCache.MaxEntries) cache.clear()
+        cache.computeIfAbsent(k, _ => analyze(vAll, v, keys, ps))
+      case None => analyze(vAll, v, keys, ps)
     }
     entry match {
-      case PlainE => plain(v, keys, ps, names, exact = true)
-      case SketchE => plain(v, keys, ps, names, exact = false)
-      case BlockedE(geo) => blockedFetch(v, keys, ps, names, geo)
+      case PlainE => plain(vAll, keys, ps, names, exact = true)
+      case SketchE => plain(vAll, keys, ps, names, exact = false)
+      case BlockedE(geo, anyAllNull) =>
+        val res = blockedFetch(v, keys, ps, names, geo)
+        // all-null groups (rare; flag cached with the analysis) are
+        // restored with ONE map-side-combinable group distinct +
+        // left join; otherwise steady state stays one pruned pass
+        if (!anyAllNull || keys.isEmpty) res
+        else vAll.select(keys.map(col): _*).distinct()
+          .join(res, keys, "left")
     }
   }
 
   /** One pass over the (pinned, tiny) block table: route stats AND —
-    * when the blocked route applies — its full rank geometry. */
-  private def analyze(v: DataFrame, keys: Seq[String],
+    * when the blocked route applies — its full rank geometry plus the
+    * all-null-group flag (one extra vAll group count, paid only at
+    * analysis time and only on the blocked route). */
+  private def analyze(vAll: DataFrame, v: DataFrame, keys: Seq[String],
       ps: Seq[Double]): Entry = {
     val keyCols = keys.map(col)
     val blocks = v.withColumn("__blk", floor(col("__pv")))
@@ -117,7 +146,14 @@ object Pctl {
       else (stats.getLong(0), stats.getLong(1))
     if (maxN <= Rank.SingleTaskMax) PlainE
     else if (maxBlk > Rank.SingleTaskMax) SketchE
-    else BlockedE(buildGeo(blocks, v.schema, keys, ps))
+    else {
+      val anyAllNull = keys.nonEmpty && {
+        val gAll = vAll.select(keyCols: _*).distinct().count()
+        val gData = blocks.select(keyCols: _*).distinct().count()
+        gAll > gData
+      }
+      BlockedE(buildGeo(blocks, v.schema, keys, ps), anyAllNull)
+    }
   }
 
   /** Rank geometry from a pinned block table (shared by [[analyze]]

@@ -65,10 +65,18 @@ object Worklist {
 
   /** The fabricated upstream constituent page as (line_no, line):
     * header markup at line 0, one `<tr>` member row per distinct
-    * event user in seeded page order, footer markup last. */
+    * event user in seeded page order, footer markup last.
+    *
+    * DOMAIN CONTRACT (ADVICE r14): only non-null, non-negative user
+    * ids become member rows — a negative or null id would render a
+    * symbol (`T-5`, a null line) the `[A-Z0-9]+` member regex
+    * rightly rejects, silently diverging from the closed-form oracle.
+    * The filter IS the contract, applied identically on both engines
+    * (the oracle's member CTE carries the same predicate). */
   def constituentDocument(spark: SparkSession, dir: String): DataFrame = {
     val members = Tables.load(spark, dir, "events")
       .select(col("user_id")).distinct()
+      .filter(col("user_id").isNotNull && col("user_id") >= 0)
       .select(col("user_id").as("key"),
         concat(lit("T"), col("user_id")).as("symbol"),
         pageKey(col("user_id")).as("skey"))

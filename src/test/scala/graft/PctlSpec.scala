@@ -81,6 +81,33 @@ class PctlSpec extends SparkTestBase {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("all-null groups emit a row with null percentiles (ADVICE r14)") {
+    // matches a direct percentile(...) aggregate: the group row
+    // survives with null percentile columns instead of vanishing
+    val df = Seq(
+      ("a", Some(1.0)), ("a", Some(3.0)), ("a", None),
+      ("z", None), ("z", None))
+      .toDF("k", "v")
+    val got = Pctl.grouped(df, Seq("k"), col("v"), Seq(0.5), Seq("q50"))
+      .orderBy("k").collect()
+    assert(got.length === 2)
+    assert(got(0).getString(0) === "a" && got(0).getDouble(1) === 2.0)
+    assert(got(1).getString(0) === "z" && got(1).isNullAt(1))
+  }
+
+  test("cache key folds ps and keys (ADVICE r14): same site, " +
+    "different ps must not share geometry") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0))
+      .toDF("k", "v")
+    val ck = Pctl.key(SfDir, "events", "pctlspec_site_reuse")
+    val p50 = Pctl.grouped(df, Seq("k"), col("v"), Seq(0.5), Seq("p"),
+      ck).orderBy("k").collect()
+    val p25 = Pctl.grouped(df, Seq("k"), col("v"), Seq(0.25), Seq("p"),
+      ck).orderBy("k").collect()
+    assert(p50(0).getDouble(1) === 2.0)
+    assert(p25(0).getDouble(1) === 1.5)
+  }
+
   test("sketch route lands inside the group's value range") {
     val v = ev(SfDir)
     val sk = Pctl.groupedVia(v, Seq("event_type"), Seq(0.5), Seq("q50"),
