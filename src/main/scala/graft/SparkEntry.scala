@@ -298,6 +298,125 @@ object SparkEntry {
     (seed +: rounds).mkString(",\n")
   }
 
+  /** The portable PQ training + encoding as SQL CTEs (the DuckDB twin
+    * of Similarity.trainedPqCodebooks / pqEncoded / pqQuerySide —
+    * round 15): seed = first PqK vectors by the md5 tail-32 id order
+    * (shared across all m), then PqIters unrolled L2 Lloyd rounds with
+    * the 6 dp-rounded argmax, then the code/LUT layer in EXACT integer
+    * micro-units (order-free sums). Emits `sub/ph/pq0..pq{iters}/pcn/
+    * pcode/enc/plut/qn`; requires an `e` CTE of (vec_id, v double[]).
+    * Names are disjoint from kmeansCtes' so ann_ivfpq composes both. */
+  private def pqCtes: String = {
+    val S = graft.operators.Similarity
+    val M = S.PqM; val K = S.PqK; val sd = S.PqSubDim; val it = S.PqIters
+    val head =
+      s"""sub AS (SELECT vec_id, m,
+         |    list_slice(v, m * $sd + 1, m * $sd + $sd) AS sv
+         |  FROM e CROSS JOIN range($M) rm(m)),
+         |ph AS (SELECT vec_id, row_number() OVER (ORDER BY
+         |    CAST(('0x' || substr(md5(cast(vec_id AS varchar)), 25, 8))
+         |      ::UBIGINT AS BIGINT), vec_id) - 1 AS cid FROM e),
+         |pq0 AS (SELECT s.m, p.cid, s.sv AS cvec
+         |  FROM sub s JOIN ph p USING (vec_id) WHERE p.cid < $K)""".stripMargin
+    val rounds = (1 to it).map { i =>
+      s"""pa$i AS (SELECT s.vec_id, s.m, s.sv, c.cid,
+         |    round(list_dot_product(s.sv, c.cvec)
+         |      - list_dot_product(c.cvec, c.cvec) / 2.0, 6) AS sc
+         |  FROM sub s JOIN pq${i - 1} c USING (m)),
+         |pb$i AS (SELECT vec_id, m, sv, cid, row_number() OVER (
+         |    PARTITION BY vec_id, m ORDER BY sc DESC, cid) AS rn
+         |  FROM pa$i),
+         |pm$i AS (SELECT m, cid, j,
+         |    cast(sum(cast(sv[j + 1] AS decimal(28,6))) AS double)
+         |      / cast(count(*) AS double) AS mu
+         |  FROM pb$i CROSS JOIN range($sd) rj(j) WHERE rn = 1
+         |  GROUP BY 1, 2, 3),
+         |pq$i AS (SELECT m, cid, list(mu ORDER BY j) AS cvec
+         |  FROM pm$i GROUP BY 1, 2)""".stripMargin
+    }
+    val enc =
+      s"""pcn AS (SELECT m, cid, cvec,
+         |    list_dot_product(cvec, cvec) AS cn2,
+         |    CAST(round(list_dot_product(cvec, cvec) * 1000000)
+         |      AS BIGINT) AS cn2i
+         |  FROM pq$it),
+         |pea AS (SELECT s.vec_id, s.m, c.cid, c.cn2i,
+         |    round(list_dot_product(s.sv, c.cvec) - c.cn2 / 2.0, 6) AS sc
+         |  FROM sub s JOIN pcn c USING (m)),
+         |peb AS (SELECT vec_id, m, cid, cn2i, row_number() OVER (
+         |    PARTITION BY vec_id, m ORDER BY sc DESC, cid) AS rn
+         |  FROM pea),
+         |pcode AS (SELECT vec_id, m, cid FROM peb WHERE rn = 1),
+         |enc AS (SELECT vec_id, sum(cn2i) AS rnorm2i
+         |  FROM peb WHERE rn = 1 GROUP BY 1),
+         |plut AS (SELECT s.vec_id AS q_id, s.m, c.cid,
+         |    CAST(round(list_dot_product(s.sv, c.cvec) * 1000000)
+         |      AS BIGINT) AS lv
+         |  FROM sub s JOIN pcn c USING (m) WHERE s.vec_id < 8),
+         |qn AS (SELECT vec_id AS q_id, sqrt(list_dot_product(v, v)) AS qn
+         |  FROM e WHERE vec_id < 8)""".stripMargin
+    (head +: rounds :+ enc).mkString(",\n")
+  }
+
+  /** ADC scan → shortlist → exact re-rank as SQL, over a candidate
+    * CTE named `icand(q_id, cand_id)` — shared by the ann_pq (full
+    * corpus) and ann_ivfpq (probed cells) oracles. The ADC sum, its
+    * /1e6 unscale and the qn·√rnorm2 denominator replay pqRank's
+    * exact op order; the shortlist ranks on the 6 dp-rounded approx
+    * with NULLS LAST (degenerate rnorm2/qn rows sort behind). */
+  private def pqRankSql: String = {
+    val S = graft.operators.Similarity
+    s"""adc AS (SELECT ic.q_id, ic.cand_id, sum(l.lv) AS adci
+       |  FROM icand ic JOIN pcode pc ON pc.vec_id = ic.cand_id
+       |  JOIN plut l ON l.q_id = ic.q_id AND l.m = pc.m
+       |    AND l.cid = pc.cid
+       |  GROUP BY 1, 2),
+       |appr AS (SELECT a.q_id, a.cand_id,
+       |    CASE WHEN en.rnorm2i > 0 AND q.qn > 0 THEN
+       |      round((cast(a.adci AS double) / 1000000.0)
+       |        / (q.qn * sqrt(cast(en.rnorm2i AS double) / 1000000.0)),
+       |        6)
+       |    END AS approx
+       |  FROM adc a JOIN enc en ON en.vec_id = a.cand_id
+       |  JOIN qn q ON q.q_id = a.q_id),
+       |shortl AS (SELECT q_id, cand_id FROM (SELECT q_id, cand_id,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY approx DESC NULLS LAST, cand_id) AS srn
+       |  FROM appr) WHERE srn <= ${S.PqShortlist}),
+       |rer AS (SELECT s.q_id, s.cand_id,
+       |    round(list_cosine_similarity(a.v, b.v), 6) AS cos
+       |  FROM shortl s JOIN e a ON a.vec_id = s.q_id
+       |  JOIN e b ON b.vec_id = s.cand_id),
+       |rr AS (SELECT q_id, cand_id, cos, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rnk
+       |  FROM rer)""".stripMargin
+  }
+
+  /** The trained-IVF assignment + adaptive probe as SQL, over
+    * kmeansCtes' final `c{iters}` centroids — shared by the ann_ivf
+    * and ann_ivfpq oracles. Emits `fa/iasg/qp/iprobes`; every rank,
+    * best-cell anchor and margin compare is on the 6 dp-rounded
+    * centroid cosine (ivfSearch's round-15 discipline). */
+  private def ivfProbeCtes: String = {
+    val S = graft.operators.Similarity
+    s"""fa AS (SELECT e.vec_id, c.c_id,
+       |    list_cosine_similarity(e.v, c.cvec) AS cs
+       |  FROM e CROSS JOIN c${S.IvfKmeansIters} c),
+       |iasg AS (SELECT vec_id, c_id AS cell FROM (
+       |    SELECT vec_id, c_id, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY round(cs, 6) DESC, c_id)
+       |      AS rn FROM fa) WHERE rn <= ${S.IvfAssign}),
+       |qp AS (SELECT vec_id AS q_id, c_id, round(cs, 6) AS cs6,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY round(cs, 6) DESC, c_id) AS rn,
+       |    max(round(cs, 6)) OVER (PARTITION BY vec_id) AS best
+       |  FROM fa WHERE vec_id < 8),
+       |iprobes AS (SELECT q_id, c_id AS cell FROM qp
+       |  WHERE rn <= ${S.IvfProbe}
+       |    OR (cs6 >= best - ${S.IvfProbeMargin}
+       |        AND rn <= ${S.IvfProbeMax}))""".stripMargin
+  }
+
   /** The near-dup connected-components fixed point (blocked
     * trigram-Jaccard edges ≥ 0.5, min-label recursive closure) up to
     * `c(id, comp)` — shared by the `dedup_components` oracle and the
@@ -414,11 +533,79 @@ object SparkEntry {
         |FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin
 
   /** DuckDB oracle SQL per query (same parquet tables, same column
-    * names — SURVEY.md §6). Genuinely statistical operators (tuned
-    * IVF/PQ probes, GK sketches, BPE) are intentionally omitted →
-    * rows-only gate; every hash-portable pipeline (minhash, simhash,
-    * sign-LSH, semantic dedup's k-means) carries a full oracle. */
+    * names — SURVEY.md §6). Only genuinely engine-private statistics
+    * (BPE's sampled merge table, the CRC-bearing multimodal float
+    * feature, the tuned persisted-index probes) remain rows-only;
+    * every hash-portable pipeline — minhash, simhash, sign-LSH, the
+    * full Lloyd k-means behind semantic dedup / IVF / PQ, the
+    * relational HLL, the exact-regime GK sketch — carries a full
+    * oracle. */
   def oracleSql: Map[String, String] = Map(
+    // Portable relational HLL twin (round 15): identical md5 register
+    // hash, exact integer bit-length rho (bin() is minimal-width in
+    // both engines), order-free integer Z accumulator, the same
+    // estimator formula (shared double literals) with the
+    // linear-counting branch.
+    "approx_distinct" -> {
+      val m = graft.operators.Olap.HllRegisters
+      val wb = graft.operators.Olap.HllWindowBits + 1
+      val alpha = 0.7213 / (1.0 + 1.079 / m)
+      s"""WITH ev AS (SELECT event_type,
+         |    CAST(('0x' || substr(md5('hll|' || CAST(user_id AS VARCHAR)),
+         |      25, 8))::UBIGINT AS BIGINT) AS h
+         |  FROM events),
+         |rg AS (SELECT event_type, h % $m AS reg, h // $m AS w FROM ev),
+         |rr AS (SELECT event_type, reg,
+         |    CASE WHEN w > 0 THEN $wb - length(bin(w)) ELSE $wb END
+         |      AS rho
+         |  FROM rg),
+         |mx AS (SELECT event_type, reg, max(rho) AS mxr, count(*) AS c
+         |  FROM rr GROUP BY 1, 2),
+         |g AS (SELECT event_type,
+         |    sum(CASE WHEN reg IS NOT NULL
+         |      THEN (1::BIGINT << ($wb - mxr)) ELSE 0 END) AS zi,
+         |    sum(CASE WHEN reg IS NOT NULL THEN 1 ELSE 0 END) AS nreg,
+         |    sum(c) AS n_events
+         |  FROM mx GROUP BY 1),
+         |est AS (SELECT event_type, n_events, $m - nreg AS v,
+         |    cast(zi + ($m - nreg) * ${1L << wb} AS double)
+         |      / ${(1L << wb).toDouble} AS z
+         |  FROM g)
+         |SELECT event_type,
+         |  round(CASE WHEN (CAST($alpha AS DOUBLE)
+         |          * ${(m.toLong * m).toDouble} / z)
+         |        <= ${2.5 * m} AND v > 0
+         |      THEN ${m.toDouble} * ln(${m.toDouble} / cast(v AS double))
+         |      ELSE CAST($alpha AS DOUBLE)
+         |        * ${(m.toLong * m).toDouble} / z END, 6)
+         |    AS approx_users,
+         |  cast(n_events AS bigint) AS n_events
+         |FROM est ORDER BY event_type""".stripMargin
+    },
+    // Exact-regime GK twin (round 15): on the 1-in-97 md5 slice every
+    // group is far below accuracy/2 rows, where the sketch is
+    // lossless and query(p) returns the ceil(p·n)-th smallest value —
+    // replayed here as an explicit rank pick.
+    "approx_percentiles" ->
+      """WITH s AS (SELECT event_type, value FROM events
+        |  WHERE value IS NOT NULL AND
+        |    CAST(('0x' || substr(md5('apx|' || CAST(event_id AS VARCHAR)),
+        |      25, 8))::UBIGINT AS BIGINT) % 97 = 0),
+        |r AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM s)
+        |SELECT event_type,
+        |  round(max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT)
+        |    THEN value END), 6) AS p25,
+        |  round(max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+        |    THEN value END), 6) AS p50,
+        |  round(max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+        |    THEN value END), 6) AS p90,
+        |  round(max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+        |    THEN value END), 6) AS p99
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     // Portable sign-LSH twin (round 13): integer hyperplane banding
     // (lshKeysCtes ≡ PortableSignBandKeys), bucket probe on
     // (band, key), exact 6 dp-rounded cosine re-rank.
@@ -917,6 +1104,63 @@ object SparkEntry {
     // Exhaustive IVF ≡ brute force (every cell probed, exact re-rank)
     // — same oracle, proving the IVF machinery lossless end-to-end.
     "ann_ivf_exact" -> AnnExactTopkSql,
+    // The TUNED IVF probe, fully oracled (round 15): the portable
+    // Lloyd replay (kmeansCtes — the semantic_dedup precedent) +
+    // 6 dp-rounded assignment/probe ranks + rounded-cosine re-rank
+    // reproduce the adaptive-probe result exactly in SQL.
+    "ann_ivf" -> {
+      val S = graft.operators.Similarity
+      s"""WITH e AS (SELECT vec_id, cast(embedding AS double[]) AS v
+         |  FROM embeddings),
+         |${kmeansCtes(S.IvfKmeansIters, S.IvfCells)},
+         |$ivfProbeCtes,
+         |cand AS (SELECT DISTINCT p.q_id, a.vec_id AS cand_id
+         |  FROM iprobes p JOIN iasg a USING (cell)
+         |  WHERE a.vec_id <> p.q_id),
+         |sc AS (SELECT cd.q_id, cd.cand_id,
+         |    round(list_cosine_similarity(q.v, x.v), 6) AS cos
+         |  FROM cand cd JOIN e q ON q.vec_id = cd.q_id
+         |  JOIN e x ON x.vec_id = cd.cand_id),
+         |r AS (SELECT q_id, cand_id, cos, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rnk
+         |  FROM sc)
+         |SELECT q_id, cast(rnk AS bigint) AS rnk, cand_id,
+         |  cos AS cos_sim
+         |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+    },
+    // PQ/ADC ANN, fully oracled (round 15): portable sub-codebook
+    // Lloyd (pqCtes) + exact integer-micro ADC + rounded shortlist
+    // + rounded-cosine re-rank.
+    "ann_pq" ->
+      s"""WITH e AS (SELECT vec_id, cast(embedding AS double[]) AS v
+         |  FROM embeddings),
+         |$pqCtes,
+         |icand AS (SELECT l.q_id, c.vec_id AS cand_id
+         |  FROM (SELECT DISTINCT q_id FROM plut) l
+         |  CROSS JOIN (SELECT DISTINCT vec_id FROM sub) c
+         |  WHERE c.vec_id <> l.q_id),
+         |$pqRankSql
+         |SELECT q_id, cast(rnk AS bigint) AS rnk, cand_id,
+         |  cos AS cos_sim
+         |FROM rr WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    // IVF∘PQ composition, fully oracled (round 15): the trained-IVF
+    // probe CTEs select the candidate cells, the PQ CTEs rank them —
+    // both replays already proven portable standalone.
+    "ann_ivfpq" -> {
+      val S = graft.operators.Similarity
+      s"""WITH e AS (SELECT vec_id, cast(embedding AS double[]) AS v
+         |  FROM embeddings),
+         |${kmeansCtes(S.IvfKmeansIters, S.IvfCells)},
+         |$ivfProbeCtes,
+         |$pqCtes,
+         |icand AS (SELECT DISTINCT p.q_id, a.vec_id AS cand_id
+         |  FROM iprobes p JOIN iasg a USING (cell)
+         |  WHERE a.vec_id <> p.q_id),
+         |$pqRankSql
+         |SELECT q_id, cast(rnk AS bigint) AS rnk, cand_id,
+         |  cos AS cos_sim
+         |FROM rr WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+    },
     // Exhaustive probe of the PERSISTED index — same oracle again:
     // a lost/corrupted/truncated posting surfaces as a hash mismatch.
     "ann_indexed" -> AnnExactTopkSql,

@@ -260,7 +260,13 @@ object Components {
     // the old 5M gate allowed a ~120 MB broadcast per round); each
     // round's state is also localCheckpoint'd under the broadcast
     // route so a rebuilt broadcast never replays nested round lineage.
-    val bcastNodes = deg.count() <= PrBroadcastNodeMax
+    val nNodes = deg.count()
+    val bcastNodes = nNodes <= PrBroadcastNodeMax
+    // per-round lineage truncation only where the nested-broadcast
+    // rebuild can actually hurt (large node sets near the gate);
+    // a toy graph's 5-deep lineage is cheaper than 4 materializations
+    // (A/B at sf0.1: unconditional checkpoints cost ~0.3 s)
+    val ckptRounds = bcastNodes && nNodes > PrBroadcastNodeMax / 10
     def maybeB(df: DataFrame): DataFrame =
       if (bcastNodes) broadcast(df) else df
     // state carries (node, deg, rank) so the contribution projection
@@ -284,7 +290,7 @@ object Components {
       // state is gate-bounded); the final round stays lazy so the
       // top-k consumer reads one plan. Shuffled route keeps lazy
       // lineage — its joins never rebuild the whole chain driver-side.
-      if (bcastNodes && it < PrIters) ranks = ranks.localCheckpoint()
+      if (ckptRounds && it < PrIters) ranks = ranks.localCheckpoint()
     }
     // TakeOrdered top-20 FIRST (no global window over the catalog),
     // then rank the 20 survivors; deg already rides the rank state

@@ -301,8 +301,14 @@ object Similarity {
     * `(cell, vec_id, vec)`. */
   private[graft] def ivfAssignCells(e: DataFrame, centroids: DataFrame,
       assign: Int): DataFrame = {
+    // 6 dp-rounded argmax (round 15): the same engine-portability
+    // discipline as kmeansRefine's assignment — raw-float cell ranks
+    // can flip between engines for boundary vectors, and the rank
+    // decides the INDEX layout, so the full ann_ivf oracle needs the
+    // rounded order. Recall-neutral (a ≤1e-6 cosine gap).
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("cs").desc, col("c_id").asc)
+      .partitionBy("vec_id").orderBy(round(col("cs"), 6).desc,
+        col("c_id").asc)
     e.crossJoin(centroids)
       .select(col("vec_id"), col("vec"), col("c_id"),
         cosine(col("vec"), col("cvec")).as("cs"))
@@ -328,6 +334,13 @@ object Similarity {
   private[graft] def ivfSearch(e: DataFrame, centroids: DataFrame,
       assigned: DataFrame, probe: Int, margin: Double,
       probeMax: Int): DataFrame = {
+    // probe selection on the 6 dp-ROUNDED centroid cosine (round 15):
+    // rank, best-cell anchor and the adaptive margin all compare
+    // rounded values, so the probed cell SET is engine-exact and the
+    // tuned ann_ivf query carries a full DuckDB oracle (previously
+    // rows-only). round() is decimal half-up in both engines →
+    // bit-identical doubles; `best - margin` is then one identical
+    // float op on each side.
     val qw = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cs").desc, col("c_id").asc)
     val qb = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
@@ -335,7 +348,7 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("vec").as("qvec"))
       .crossJoin(centroids)
       .select(col("q_id"), col("qvec"), col("c_id"),
-        cosine(col("qvec"), col("cvec")).as("cs"))
+        round(cosine(col("qvec"), col("cvec")), 6).as("cs"))
       .withColumn("rn", row_number().over(qw))
       .withColumn("best", max(col("cs")).over(qb))
       .filter(col("rn") <= probe ||
@@ -348,13 +361,15 @@ object Similarity {
       // probed cells — collapse before the exact score
       .dropDuplicates("q_id", "vec_id")
       .select(col("q_id"), col("vec_id").as("cand_id"),
-        cosine(col("qvec"), col("vec")).as("cos"))
+        round(cosine(col("qvec"), col("vec")), 6).as("cos"))
+    // rank on the rounded score (the ann_brute discipline — ties
+    // break by cand_id identically on both engines)
     val rw = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cos").desc, col("cand_id").asc)
     scored.withColumn("rnk", row_number().over(rw).cast("long"))
       .filter(col("rnk") <= 5)
       .select(col("q_id"), col("rnk"), col("cand_id"),
-        round(col("cos"), 6).as("cos_sim"))
+        col("cos").as("cos_sim"))
       .orderBy("q_id", "rnk")
   }
 
@@ -721,8 +736,15 @@ object Similarity {
     val cached = pqCache.computeIfAbsent(modelKey(dir), _ => {
       val e = emb(spark, dir).select(col("vec_id"), col("vec"))
       val sub = subVectors(e)
+      // PORTABLE seed order (round 15, the trainCentroidsOf idiom):
+      // md5 tail-32 of the id string instead of Murmur3 `hash`, so
+      // the DuckDB ann_pq/ann_ivfpq oracles replay seed selection
+      // exactly. Same spread; the seed set is shared across all m.
       val seedW = org.apache.spark.sql.expressions.Window
-        .partitionBy("m").orderBy(hash(col("vec_id")), col("vec_id"))
+        .partitionBy("m").orderBy(
+          conv(substring(md5(col("vec_id").cast("string")), 25, 8),
+            16, 10).cast("long"),
+          col("vec_id"))
       var cb = sub.withColumn("rn", row_number().over(seedW))
         .filter(col("rn") <= PqK)
         .select(col("m"), (col("rn") - 1).as("cid"), col("sv").as("cvec"))
@@ -730,8 +752,12 @@ object Similarity {
         .partitionBy("vec_id", "m").orderBy(col("score").desc, col("cid").asc)
       for (_ <- 1 to PqIters) {
         val cn = cb.withColumn("cn2", dot(col("cvec"), col("cvec")))
+        // assignment argmax on the 6 dp-ROUNDED L2 score — the
+        // kmeansRefine discipline, making the whole sub-codebook
+        // training engine-exact (round 15)
         val assigned = sub.join(broadcast(cn), "m")
-          .withColumn("score", dot(col("sv"), col("cvec")) - col("cn2") / 2d)
+          .withColumn("score",
+            round(dot(col("sv"), col("cvec")) - col("cn2") / 2d, 6))
           .withColumn("rn", row_number().over(aw))
           .filter(col("rn") === 1)
         cb = assigned
@@ -754,21 +780,30 @@ object Similarity {
     * by the ADC scorer. The sums fold over the m-sorted struct list,
     * so the double accumulation order is fixed. */
   private def pqEncoded(spark: SparkSession, dir: String): DataFrame = {
+    // cn2 rides as EXACT integer micro-units (round 15): the
+    // reconstruction norm² is then an order-free integer sum — the
+    // same value on any partitioning and in the DuckDB oracle's
+    // unordered SUM (whole-number doubles < 2^53 add exactly).
     val cbn = broadcast(trainedPqCodebooks(spark, dir)
-      .withColumn("cn2", dot(col("cvec"), col("cvec"))))
+      .withColumn("cn2", dot(col("cvec"), col("cvec")))
+      .withColumn("cn2i",
+        round(dot(col("cvec"), col("cvec")) * 1e6).cast("long")))
     val aw = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id", "m").orderBy(col("score").desc, col("cid").asc)
     subVectors(emb(spark, dir).select(col("vec_id"), col("vec")))
       .join(cbn, "m")
-      .withColumn("score", dot(col("sv"), col("cvec")) - col("cn2") / 2d)
+      // 6 dp-rounded argmax — same discipline as the training loop
+      .withColumn("score",
+        round(dot(col("sv"), col("cvec")) - col("cn2") / 2d, 6))
       .withColumn("rn", row_number().over(aw))
       .filter(col("rn") === 1)
       .groupBy("vec_id")
       .agg(
-        expr("transform(array_sort(collect_list(struct(m, cid, cn2)))," +
+        expr("transform(array_sort(collect_list(struct(m, cid, cn2i)))," +
           " x -> x.cid)").as("codes"),
-        expr("aggregate(transform(array_sort(collect_list(struct(m, cid," +
-          " cn2))), x -> x.cn2), 0D, (a, x) -> a + x)").as("rnorm2"))
+        (expr("aggregate(transform(array_sort(collect_list(struct(m, cid," +
+          " cn2i))), x -> x.cn2i), 0L, (a, x) -> a + x)").cast("double")
+          / 1e6).as("rnorm2"))
   }
 
   /** Broadcast-able PQ query side: per query the flat ADC lookup
@@ -782,11 +817,15 @@ object Similarity {
       .withColumn("cn2", dot(col("cvec"), col("cvec")))
     val qs = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("vec").as("qvec"))
+    // LUT entries as whole micro-units (round 15): the ADC sum over M
+    // entries is then EXACT in any fold order — portable to the
+    // DuckDB oracle's unordered SUM; pqAdc's double accumulation of
+    // whole numbers < 2^53 is lossless.
     val lut = subVectors(qs, "qvec")
       .join(broadcast(cbn), "m")
       .select(col("q_id"),
         (col("m") * PqK + col("cid")).as("idx"),
-        dot(col("sv"), col("cvec")).as("lv"))
+        round(dot(col("sv"), col("cvec")) * 1e6).as("lv"))
       .groupBy("q_id")
       .agg(map_from_entries(collect_list(struct(col("idx"), col("lv"))))
         .as("lm"))
@@ -803,11 +842,15 @@ object Similarity {
     * the full corpus for [[annPq]], the probed cells for
     * [[annIvfPq]]. */
   private def pqRank(e: DataFrame, candidates: DataFrame): DataFrame = {
+    // approx = (exact integer ADC micros / 1e6) / (qn·√rnorm2), then
+    // 6 dp-rounded BEFORE the shortlist rank (round 15) — the probe
+    // shortlist is engine-exact, so ann_pq/ann_ivfpq carry full
+    // DuckDB oracles (previously rows-only)
     val scored = candidates
       .withColumn("approx",
-        when(col("rnorm2") > 0d && col("qn") > 0d,
+        when(col("rnorm2") > 0d && col("qn") > 0d, round(
           graft.functions.VectorFunctions.pqAdc(col("codes"), col("lut"), PqK)
-            / (col("qn") * sqrt(col("rnorm2")))))
+            / 1e6 / (col("qn") * sqrt(col("rnorm2"))), 6)))
     val sw = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("approx").desc_nulls_last,
         col("vec_id").asc)
@@ -817,13 +860,14 @@ object Similarity {
     val reranked = shortlist
       .join(e.select(col("vec_id").as("cand_id"), col("vec")), "cand_id")
       .select(col("q_id"), col("cand_id"),
-        cosine(col("qvec"), col("vec")).as("cos"))
+        round(cosine(col("qvec"), col("vec")), 6).as("cos"))
+    // rank on the rounded score (the ann_brute discipline)
     val rw = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cos").desc, col("cand_id").asc)
     reranked.withColumn("rnk", row_number().over(rw).cast("long"))
       .filter(col("rnk") <= 5)
       .select(col("q_id"), col("rnk"), col("cand_id"),
-        round(col("cos"), 6).as("cos_sim"))
+        col("cos").as("cos_sim"))
       .orderBy("q_id", "rnk")
   }
 
@@ -851,8 +895,11 @@ object Similarity {
     // index side: each vector's codes filed under its IvfAssign
     // nearest cells (same assignment as annIvf — boundary vectors are
     // findable from both sides)
+    // 6 dp-rounded assignment/probe ranks — the ivfSearch discipline
+    // (round 15), so the IVF half of ann_ivfpq replays in SQL too
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("cs").desc, col("c_id").asc)
+      .partitionBy("vec_id").orderBy(round(col("cs"), 6).desc,
+        col("c_id").asc)
     val assigned = e.crossJoin(centroids)
       .select(col("vec_id"), col("c_id"),
         cosine(col("vec"), col("cvec")).as("cs"))
@@ -868,7 +915,7 @@ object Similarity {
     val probes = qside.select(col("q_id"), col("qvec"))
       .crossJoin(centroids)
       .select(col("q_id"), col("c_id"),
-        cosine(col("qvec"), col("cvec")).as("cs"))
+        round(cosine(col("qvec"), col("cvec")), 6).as("cs"))
       .withColumn("rn", row_number().over(qw))
       .withColumn("best", max(col("cs")).over(qb))
       .filter(col("rn") <= IvfProbe ||
