@@ -150,17 +150,39 @@ object Sampling {
   /** Seed for the [[balanceDownsample]] keep order. */
   val BalanceSeed = 53L
 
+  /** Cached per-corpus balance statistics: per class its row count
+    * and the (skey, doc_id) pair at rank = min class count — the
+    * selection THRESHOLD. Bounded driver state (|langs| rows), the
+    * Pctl-geometry shape: selection geometry is a corpus statistic,
+    * probed once, after which the steady state is ONE scan with a
+    * literal lexicographic keep predicate — no rank, no window, no
+    * second pass (VERDICT r14 #6; the ×100 A/B measured the window
+    * route at 1.7 s vs 0.65 s for the thresholded scan). */
+  private case class BalanceStats(counts: Seq[(String, Long)],
+    thresholds: Map[String, (Long, Long)])
+
+  private val classCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, BalanceStats]
+
+  /** Row bound for [[balanceDownsample]]'s per-class window route
+    * inside the threshold PROBE (above it the two-level rank
+    * decomposition runs — the 100 TB path: the majority class is the
+    * hot key and must not sort on one task). */
+  val BalanceWindowMax = 1000000L
+
   /** #205 Balanced class downsampling — equalize class populations
     * by keeping exactly min-class-count rows per class, chosen in
     * deterministic md5 order (the hard-equalization rebalance next
     * to #123's temperature mixing and #53's per-class rates; this
     * one guarantees EQUAL counts, which loss-weighting-free
-    * training recipes want). Selection is a per-class
-    * [[Rank.twoLevelRank]] — the majority class IS the hot key, so
-    * no task sorts it — thresholded at the broadcast minimum;
-    * reported as the per-class audit with an id checksum over the
-    * kept set (the kept rows themselves are a filter consumers
-    * chain on). */
+    * training recipes want). Selection geometry — class counts and
+    * each class's rank-minCount (skey, doc_id) threshold — is a
+    * bounded corpus statistic probed once (per-class
+    * [[Rank.twoLevelRank]] above the window gate, so the majority
+    * class never sorts on one task); steady state is ONE scan with a
+    * literal lexicographic keep predicate, reported as the per-class
+    * audit with an id checksum over the kept set (the kept rows
+    * themselves are a filter consumers chain on). */
   def balanceDownsample(spark: SparkSession, dir: String): DataFrame = {
     // Round 13 (VERDICT r12 #5): no checkpoint. The old plan pinned
     // (doc_id, lang, skey) to feed three actions; but the class-count
@@ -175,35 +197,65 @@ object Sampling {
     // corpus rewritten in place between the two actions would need
     // both derived from one pinned scan (the VersionedTable snapshot
     // protocol is the repo's answer to mutable tables).
-    val classCounts = Tables.load(spark, dir, "documents")
-      .groupBy("lang").agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getString(0) -> r.getLong(1))
-    // empty corpus: every class audit row vanishes downstream anyway;
-    // min on an empty collection would throw (ADVICE r13)
-    val minCount = if (classCounts.isEmpty) 0L else classCounts.map(_._2).min
-    val total = classCounts.map(_._2).sum
-    val docs = Tables.load(spark, dir, "documents")
+    // Corpus-keyed probe cache (round 15, VERDICT r14 #6): class
+    // counts AND the per-class selection threshold — the (skey,
+    // doc_id) pair at rank minCount — are bounded corpus statistics
+    // (the Pctl-geometry pattern). The probe pays the ranked pass
+    // once per corpus; every later call is ONE scan with a literal
+    // lexicographic keep predicate.
+    def skeyed(df: DataFrame): DataFrame = df
       .select(col("doc_id"), col("lang"),
         conv(substring(md5(concat_ws(":", lit(BalanceSeed),
           col("doc_id"))), 25, 8), 16, 10).cast("long").as("skey"))
-    val ranked =
-      if (total <= Rank.SingleTaskMax) {
-        // adaptive plan (the scd2_lookup pattern): per-class window,
-        // one exchange; the two-level branch remains the 100 TB path
-        val W = org.apache.spark.sql.expressions.Window
-        docs.withColumn("rnk", row_number().over(W.partitionBy("lang")
-          .orderBy(col("skey").asc, col("doc_id").asc)).cast("long"))
-      } else
-        Rank.twoLevelRank(docs, Seq("lang"),
-          expr("skey div 16777216"), blkAscending = true,
-          Seq(col("skey").asc, col("doc_id").asc), "rnk", "nn")
-    ranked
+    def probe: BalanceStats = {
+      val counts = Tables.load(spark, dir, "documents")
+        .groupBy("lang").agg(count(lit(1)).as("c"))
+        .collect().toSeq.map(r => r.getString(0) -> r.getLong(1))
+      if (counts.isEmpty) return BalanceStats(counts, Map.empty)
+      val minCount = counts.map(_._2).min
+      val total = counts.map(_._2).sum
+      val docs = skeyed(Tables.load(spark, dir, "documents"))
+      val ranked =
+        if (total <= BalanceWindowMax) {
+          // small corpora: per-class window, one exchange; above the
+          // gate the two-level decomposition keeps the hot majority
+          // class off a single sort task (the 100 TB path)
+          val W = org.apache.spark.sql.expressions.Window
+          docs.withColumn("rnk", row_number().over(W.partitionBy("lang")
+            .orderBy(col("skey").asc, col("doc_id").asc)).cast("long"))
+        } else
+          Rank.twoLevelRank(docs, Seq("lang"),
+            expr("skey div 16777216"), blkAscending = true,
+            Seq(col("skey").asc, col("doc_id").asc), "rnk", "nn")
+      val thr = ranked.filter(col("rnk") === minCount)
+        .select(col("lang"), col("skey"), col("doc_id"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2))).toMap
+      BalanceStats(counts, thr)
+    }
+    val stats = Pctl.key(dir, "documents", "balance_counts") match {
+      case Some(k) => graft.CorpusCache.value(classCountCache, k)(probe)
+      case None => probe
+    }
+    // empty corpus: every class audit row vanishes downstream anyway;
+    // min on an empty collection would throw (ADVICE r13)
+    val docs = skeyed(Tables.load(spark, dir, "documents"))
+    // kept ⇔ (skey, doc_id) ≤ₗₑₓ the class threshold — exactly the
+    // rows rnk ≤ minCount selected (rank order IS (skey, doc_id));
+    // a class absent from the threshold map keeps nothing (defensive:
+    // cannot happen — every class has ≥ minCount rows)
+    val kept = stats.thresholds.foldLeft(lit(false)) {
+      case (acc, (lang, (ts, td))) =>
+        when(col("lang") === lang,
+          col("skey") < ts ||
+            (col("skey") === ts && col("doc_id") <= td)).otherwise(acc)
+    }
+    docs
       .groupBy("lang")
       .agg(count(lit(1)).as("n_before"),
-        sum((col("rnk") <= minCount).cast("long")).as("n_kept"),
-        sum(when(col("rnk") <= minCount,
-          pmod(col("doc_id"), lit(1000003L))).otherwise(0L))
-          .as("kept_checksum"))
+        sum(kept.cast("long")).as("n_kept"),
+        sum(when(kept, pmod(col("doc_id"), lit(1000003L)))
+          .otherwise(0L)).as("kept_checksum"))
       .orderBy("lang")
   }
 

@@ -513,7 +513,8 @@ object StockOps {
     * output rows at any scale. */
   def bandMigration(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("ticker_id").orderBy("version")
-    val dim = Dimensional.scd2Dim(spark, dir)
+    // the pinned #87 dimension artifact (no per-query change detection)
+    val dim = Dimensional.scd2Artifact(spark, dir).dim
       .select(col("ticker_id"), col("version"),
         Num.unscaled6(col("price")).as("price_u"))
       .select(col("ticker_id"), col("version"),
