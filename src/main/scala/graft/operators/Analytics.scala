@@ -223,11 +223,9 @@ object Analytics {
     val lines = Components.basketLines(spark, dir)
     val partCnt = lines.groupBy("l_partkey")
       .agg(count(lit(1)).as("c"))
-    val pairs = lines.select(col("l_orderkey"), col("l_partkey").as("pa"))
-      .join(lines.select(col("l_orderkey"), col("l_partkey").as("pb")),
-        "l_orderkey")
-      .filter(col("pa") < col("pb"))
-      .groupBy("pa", "pb").agg(count(lit(1)).as("support"))
+    // the pinned counted-pair artifact (round 15) — no per-call
+    // self-join
+    val pairs = Components.basketPairCounts(spark, dir)
     pairs
       .join(partCnt.select(col("l_partkey").as("pa"), col("c").as("ca")),
         "pa")
@@ -250,11 +248,9 @@ object Analytics {
       .agg(count(lit(1)).as("n_orders"))
     val partCnt = lines.groupBy("l_partkey")
       .agg(count(lit(1)).as("c"))
-    val pairs = lines.select(col("l_orderkey"), col("l_partkey").as("pa"))
-      .join(lines.select(col("l_orderkey"), col("l_partkey").as("pb")),
-        "l_orderkey")
-      .filter(col("pa") < col("pb"))
-      .groupBy("pa", "pb").agg(count(lit(1)).as("support"))
+    // the pinned counted-pair artifact (round 15) — no per-call
+    // self-join
+    val pairs = Components.basketPairCounts(spark, dir)
     pairs
       .join(partCnt.select(col("l_partkey").as("pa"), col("c").as("ca")),
         "pa")

@@ -183,6 +183,27 @@ object Components {
     }
   }
 
+  /** Corpus-keyed COUNTED co-purchase pairs (pa < pb, support =
+    * co-ordered basket count) — one artifact up from [[basketPairs]]:
+    * #143 co-occurrence and #191 item-CF each re-ran the same
+    * lines⋈lines self-join per call (round 15). Bounded by the part
+    * vocabulary², generated basket-bounded. */
+  def basketPairCounts(spark: SparkSession, dir: String): DataFrame = {
+    def compute: DataFrame = {
+      val lines = basketLines(spark, dir)
+      lines.select(col("l_orderkey"), col("l_partkey").as("pa"))
+        .join(lines.select(col("l_orderkey"), col("l_partkey").as("pb")),
+          "l_orderkey")
+        .filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("support"))
+        .localCheckpoint()
+    }
+    Pctl.key(dir, "lineitem", "basket_pair_counts") match {
+      case Some(k) => graft.CorpusCache.df(basketCache, k, spark)(compute)
+      case None => compute
+    }
+  }
+
   /** Corpus-keyed DISTINCT (order, part) basket collapse — the input
     * every basket-graph/association operator starts from (#143
     * co-occurrence, #191 item-CF, #210 itemsets, the [[basketPairs]]
@@ -423,12 +444,18 @@ object Components {
     * cap bounds rounds; lineage truncated per round like the
     * [[dedupComponents]] loop. */
   def khopReach(spark: SparkSession, dir: String): DataFrame = {
-    // symmetrize the shared (a < b) basket pairs: identical to the
-    // old direct a ≠ b self-join's distinct pair set
-    val base = basketPairs(spark, dir)
-    val pairs = base
-      .unionByName(base.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
+    // symmetrized basket edges, corpus-keyed like the (a < b) pairs
+    // they derive from (round 15): the per-call symmetrize +
+    // checkpoint was one redundant materialization per query
+    def computeSym: DataFrame = {
+      val base = basketPairs(spark, dir)
+      base.unionByName(base.select(col("b").as("a"), col("a").as("b")))
+        .localCheckpoint()
+    }
+    val pairs = Pctl.key(dir, "lineitem", "basket_pairs_sym") match {
+      case Some(k) => graft.CorpusCache.df(basketCache, k, spark)(computeSym)
+      case None => computeSym
+    }
     val part = Tables.load(spark, dir, "part").select("p_partkey")
     var visited = part
       .filter(col("p_partkey") % 97 === 0)
@@ -436,13 +463,17 @@ object Components {
       .localCheckpoint()
     var frontier = visited
     for (h <- 1 to KhopMaxHops) {
+      // one checkpoint per hop (the frontier, consumed twice: the
+      // union below and the next hop's join); `visited` stays a lazy
+      // union of ≤ KhopMaxHops+1 checkpointed frames — truncating it
+      // per hop was a second materialization with nothing to truncate
       val next = frontier
         .join(pairs, frontier("node") === pairs("a"))
         .select(col("b").as("node")).distinct()
         .join(visited.select("node"), Seq("node"), "left_anti")
         .select(col("node"), lit(h.toLong).as("hop"))
         .localCheckpoint()
-      visited = visited.unionByName(next).localCheckpoint()
+      visited = visited.unionByName(next)
       frontier = next
     }
     val perHop = visited.groupBy("hop")
