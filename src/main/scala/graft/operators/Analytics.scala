@@ -283,24 +283,47 @@ object Analytics {
     * fact table. A null key groups alone, never joins, and is
     * counted orphan — exactly the row-grain LEFT ANTI (and the
     * oracle's NOT EXISTS) semantics. */
+  /** Corpus-keyed (key → row count) collapses — the shared input of
+    * the key-grain audit/report family (#144 ref_audit, #145
+    * join_cardinality, which between them re-derived seven of these
+    * per round-14 call pair): each (table, key) grain pinned once per
+    * corpus (bounded by the distinct-key domain — the basketLines
+    * discipline). The lineitem/l_orderkey grain also carries its
+    * null-partkey count so ref_audit's null-FK rule rides the same
+    * collapse. */
+  private val keyCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+
+  private[operators] def keyCounts(spark: SparkSession, dir: String,
+      table: String, key: String): DataFrame = {
+    def compute: DataFrame = {
+      val base = Tables.load(spark, dir, table)
+      val agg =
+        if (table == "lineitem" && key == "l_orderkey")
+          base.groupBy(col(key).as("k"))
+            .agg(count(lit(1)).as("cnt"),
+              sum(col("l_partkey").isNull.cast("long")).as("n_null_part"))
+        else base.groupBy(col(key).as("k")).agg(count(lit(1)).as("cnt"))
+      agg.localCheckpoint()
+    }
+    Pctl.key(dir, table, s"key_counts_$key") match {
+      case Some(k) => graft.CorpusCache.df(keyCountCache, k, spark)(compute)
+      case None => compute
+    }
+  }
+
   def refAudit(spark: SparkSession, dir: String): DataFrame = {
-    // one scan per grain, pinned (bounded: distinct-key rows)
-    val kli = Tables.load(spark, dir, "lineitem")
-      .groupBy(col("l_orderkey"))
-      .agg(count(lit(1)).as("cnt"),
-        sum(col("l_partkey").isNull.cast("long")).as("n_null_part"))
-      .localCheckpoint()
-    val ko = Tables.load(spark, dir, "orders")
-      .groupBy(col("o_orderkey")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
-    val koc = Tables.load(spark, dir, "orders")
-      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
-    val kc = Tables.load(spark, dir, "customer")
-      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
-    val cKeys = Tables.load(spark, dir, "customer")
-      .select(col("c_custkey")).distinct().localCheckpoint()
+    // pinned shared key grains (bounded: distinct-key rows)
+    val kli = keyCounts(spark, dir, "lineitem", "l_orderkey")
+      .select(col("k").as("l_orderkey"), col("cnt"), col("n_null_part"))
+    val ko = keyCounts(spark, dir, "orders", "o_orderkey")
+      .select(col("k").as("o_orderkey"), col("cnt"))
+    val koc = keyCounts(spark, dir, "orders", "o_custkey")
+      .select(col("k").as("o_custkey"), col("cnt"))
+    val kc = keyCounts(spark, dir, "customer", "c_nationkey")
+      .select(col("k").as("c_nationkey"), col("cnt"))
+    val cKeys = keyCounts(spark, dir, "customer", "c_custkey")
+      .select(col("k").as("c_custkey"))
     val nKeys = Tables.load(spark, dir, "nation")
       .select(col("n_nationkey"))
     // bad rows = Σcnt over anti-joined keys; total = Σcnt over the
@@ -353,14 +376,15 @@ object Analytics {
     * All counts and products are exact integers (decimal(38,0) for
     * the Σ), so the report is hash-oracled. */
   def joinCardinality(spark: SparkSession, dir: String): DataFrame = {
-    def edge(name: String, left: DataFrame, lk: String,
-        right: DataFrame, rk: String): DataFrame = {
-      // pinned: each collapse feeds the match join AND its side's
-      // totals — lazy, both consumers would re-scan the table
-      val kl = left.groupBy(col(lk).as("k"))
-        .agg(count(lit(1)).as("cl")).localCheckpoint()
-      val kr = right.groupBy(col(rk).as("k"))
-        .agg(count(lit(1)).as("cr")).localCheckpoint()
+    def edge(name: String, leftGrain: (String, String),
+        rightGrain: (String, String)): DataFrame = {
+      // the pinned shared key grains (see keyCounts): each collapse
+      // feeds the match join AND its side's totals, across BOTH
+      // report queries, built once per corpus
+      val kl = keyCounts(spark, dir, leftGrain._1, leftGrain._2)
+        .select(col("k"), col("cnt").as("cl"))
+      val kr = keyCounts(spark, dir, rightGrain._1, rightGrain._2)
+        .select(col("k"), col("cnt").as("cr"))
       kl.join(kr, "k")
         .select(col("k"), (col("cl") * col("cr")).as("prod"),
           col("cl"), col("cr"))
@@ -381,14 +405,13 @@ object Analytics {
           col("m.k").as("top_key"),
           col("m.prod").cast("long").as("top_contrib"))
     }
-    val li = Tables.load(spark, dir, "lineitem")
-    val o = Tables.load(spark, dir, "orders")
-    val c = Tables.load(spark, dir, "customer")
-    val p = Tables.load(spark, dir, "part")
     Seq(
-      edge("lineitem_orders", li, "l_orderkey", o, "o_orderkey"),
-      edge("lineitem_part", li, "l_partkey", p, "p_partkey"),
-      edge("orders_customer", o, "o_custkey", c, "c_custkey"))
+      edge("lineitem_orders",
+        ("lineitem", "l_orderkey"), ("orders", "o_orderkey")),
+      edge("lineitem_part",
+        ("lineitem", "l_partkey"), ("part", "p_partkey")),
+      edge("orders_customer",
+        ("orders", "o_custkey"), ("customer", "c_custkey")))
       .reduce(_.unionByName(_))
       .orderBy("join_edge")
   }

@@ -121,9 +121,9 @@ object LmFilter {
     * Model tables are vocab-bounded; the only corpus-scale work is
     * the bigram explode + hash aggregate. */
   def pmiCollocations(spark: SparkSession, dir: String): DataFrame = {
-    val bigrams = bigramInstances(spark, dir)
-    val c2 = bigrams.groupBy("w1", "w2")
-      .agg(count(lit(1)).as("c2")).localCheckpoint()
+    // the pinned shared bigram-type model (round 15) — steady state
+    // touches no corpus-scale data at all
+    val c2 = bigramCounts(spark, dir)
     val n = c2.agg(sum(col("c2"))).head().getLong(0)
     val ctx1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
     val ctx2 = c2.groupBy("w2").agg(sum(col("c2")).as("cr"))
@@ -140,6 +140,29 @@ object LmFilter {
       .select("rnk", "w1", "w2", "c2", "pmi")
       .orderBy("rnk")
   }
+
+  /** Corpus-keyed bigram-type counts (w1, w2, c2) — the shared MODEL
+    * grain of #153 lm_perplexity and #169 pmi_collocations (round 15:
+    * each re-exploded the corpus per call to rebuild it). Vocab²-
+    * bounded, pinned once per corpus; the CorpusCache discipline. */
+  private val bigramCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+
+  private[operators] def bigramCounts(spark: SparkSession,
+      dir: String): DataFrame = {
+    def compute: DataFrame = bigramInstances(spark, dir)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .localCheckpoint()
+    Pctl.key(dir, "documents", "bigram_counts") match {
+      case Some(k) => graft.CorpusCache.df(bigramCache, k, spark)(compute)
+      case None => compute
+    }
+  }
+
+  /** Corpus-keyed LM vocabulary size (see the derivation note in
+    * [[lmPerplexity]]) — one bounded scalar per corpus. */
+  private val vocabCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
 
   /** Shared (doc, w1, w2) adjacent-pair stream for the LM and PMI
     * operators. */
@@ -163,30 +186,33 @@ object LmFilter {
     val toks = docs.select(col("doc_id"),
       filter(split(lower(trim(col("text"))), "\\s+"),
         t => t =!= "").as("toks"))
-    // adjacent-pair explode: zip(toks[0..n-2], toks[1..n-1])
+    // adjacent-pair explode: zip(toks[0..n-2], toks[1..n-1]) — the
+    // ONE corpus-scale pass left per call (the scoring stream)
     val bigrams = toks.select(col("doc_id"),
         explode(arrays_zip(
           slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
           slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0)))))
           .as("b"))
       .select(col("doc_id"), col("b.0").as("w1"), col("b.1").as("w2"))
-    // bigram-type counts, pinned: feeds the context totals, the
-    // scoring join AND the vocab count (lazy, each consumer would
-    // re-explode the corpus)
-    val c2 = bigrams.groupBy("w1", "w2")
-      .agg(count(lit(1)).as("c2")).localCheckpoint()
-    // vocab size — |distinct unigrams| — WITHOUT a third corpus-scale
-    // explode (it was the plan's top cost at ×100): every token type
-    // either occurs in some non-final position (⇒ appears as w1 in
-    // the pinned model) or only ever document-finally (⇒ it is some
-    // doc's last token, a doc-grain projection of the same scan).
-    // The union is exactly the vocabulary for ANY corpus, including
-    // single-token documents.
-    val v = c2.select(col("w1").as("tok"))
+    // the pinned shared bigram-type model (round 15)
+    val c2 = bigramCounts(spark, dir)
+    // vocab size — |distinct unigrams| — WITHOUT a corpus-scale
+    // explode: every token type either occurs in some non-final
+    // position (⇒ appears as w1 in the pinned model) or only ever
+    // document-finally (⇒ it is some doc's last token, a doc-grain
+    // projection of the scan). The union is exactly the vocabulary
+    // for ANY corpus, including single-token documents. One bounded
+    // scalar, corpus-cached like every other route probe.
+    def vProbe: Long = c2.select(col("w1").as("tok"))
       .unionByName(toks
         .filter(size(col("toks")) > 0)
         .select(element_at(col("toks"), -1).as("tok")))
       .agg(countDistinct(col("tok"))).head().getLong(0)
+    val v = Pctl.key(dir, "documents", "lm_vocab") match {
+      case Some(k) => graft.CorpusCache.value(vocabCache, k)(
+        java.lang.Long.valueOf(vProbe)).longValue()
+      case None => vProbe
+    }
     val ctx = c2.groupBy("w1").agg(sum(col("c2")).as("ctx"))
     val model = c2.join(ctx, "w1")
       .select(col("w1"), col("w2"),
