@@ -294,7 +294,7 @@ object Analytics {
   private val keyCountCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
 
-  private[operators] def keyCounts(spark: SparkSession, dir: String,
+  private[graft] def keyCounts(spark: SparkSession, dir: String,
       table: String, key: String): DataFrame = {
     def compute: DataFrame = {
       val base = Tables.load(spark, dir, table)

@@ -40,7 +40,7 @@ object Dimensional {
   /** Per-user journey card — ONE events scan, ONE map-side-combinable
     * user-grain aggregate: first-event struct (channel attribution),
     * last instant, purchase recency/frequency/exact-decimal monetary. */
-  private[operators] def userCard(spark: SparkSession,
+  private[graft] def userCard(spark: SparkSession,
       dir: String): DataFrame = {
     def compute: DataFrame = Tables.load(spark, dir, "events")
       .groupBy("user_id")
@@ -62,7 +62,7 @@ object Dimensional {
   }
 
   /** Distinct (user, epoch-day) activity — the DAU/retention grain. */
-  private[operators] def userDays(spark: SparkSession,
+  private[graft] def userDays(spark: SparkSession,
       dir: String): DataFrame = {
     def compute: DataFrame = Tables.load(spark, dir, "events")
       .select(col("user_id"),
@@ -75,7 +75,7 @@ object Dimensional {
   }
 
   /** (user, epoch-week) exact purchase revenue in micro-units. */
-  private[operators] def userWeekRev(spark: SparkSession,
+  private[graft] def userWeekRev(spark: SparkSession,
       dir: String): DataFrame = {
     def compute: DataFrame = Tables.load(spark, dir, "events")
       .filter(col("event_type") === "purchase")
@@ -98,13 +98,13 @@ object Dimensional {
     * #174 band_migration) read it instead of re-running change
     * detection per query. The build itself (the `scd2_dim` query)
     * stays uncached — its bench cell measures the build. */
-  private[operators] case class Scd2Artifact(dim: DataFrame, rows: Long,
+  private[graft] case class Scd2Artifact(dim: DataFrame, rows: Long,
     maxChain: Long)
 
   private val scd2Cache =
     new java.util.concurrent.ConcurrentHashMap[String, Scd2Artifact]
 
-  private[operators] def scd2Artifact(spark: SparkSession,
+  private[graft] def scd2Artifact(spark: SparkSession,
       dir: String): Scd2Artifact = {
     def compute: Scd2Artifact = {
       val dim = scd2Dim(spark, dir).localCheckpoint()

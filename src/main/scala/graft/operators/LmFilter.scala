@@ -148,7 +148,7 @@ object LmFilter {
   private val bigramCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
 
-  private[operators] def bigramCounts(spark: SparkSession,
+  private[graft] def bigramCounts(spark: SparkSession,
       dir: String): DataFrame = {
     def compute: DataFrame = bigramInstances(spark, dir)
       .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))

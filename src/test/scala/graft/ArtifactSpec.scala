@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Analytics, Components, Dimensional, LmFilter, Num}
+import graft.sources.Tables
+
+/** Round-15 artifact-equivalence contracts: every corpus-keyed pinned
+  * collapse must be BIT-identical to the inline aggregate its
+  * consumers previously computed — the caches are a cost move, never
+  * a semantics move. Each test recomputes the inline form from the
+  * raw tables and compares row sets exactly. */
+class ArtifactSpec extends SparkTestBase {
+
+  private val DayUs = 86400L * 1000000L
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  test("userCard equals the inline user-grain aggregates") {
+    val card = Dimensional.userCard(spark, SfDir)
+      .select(col("user_id"), col("f.event_type").as("channel"),
+        col("last_us"), col("p_last_us"), col("p_freq"), col("p_mon"))
+    val ev = Tables.load(spark, SfDir, "events")
+    val inline = ev.groupBy("user_id")
+      .agg(min(struct(unix_micros(col("ts")).as("us"), col("event_id"),
+          col("event_type"))).as("f"),
+        max(unix_micros(col("ts"))).as("last_us"))
+      .select(col("user_id"), col("f.event_type").as("channel"),
+        col("last_us"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(max(unix_micros(col("ts"))).as("p_last_us"),
+        count(lit(1)).as("p_freq"),
+        Num.dsumExact(col("value")).as("p_mon"))
+    val want = inline.join(purch, Seq("user_id"), "left")
+      .withColumn("p_freq", coalesce(col("p_freq"), lit(0L)))
+      .select("user_id", "channel", "last_us", "p_last_us", "p_freq",
+        "p_mon")
+    assert(rows(card) === rows(want))
+  }
+
+  test("userDays equals the inline distinct (user, day)") {
+    val want = Tables.load(spark, SfDir, "events")
+      .select(col("user_id"),
+        expr(s"unix_micros(ts) div $DayUs").as("day")).distinct()
+    assert(rows(Dimensional.userDays(spark, SfDir)) === rows(want))
+  }
+
+  test("userWeekRev equals the inline (user, week) purchase collapse") {
+    val want = Tables.load(spark, SfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"),
+        expr(s"unix_micros(ts) div ${DayUs * 7L}").as("week"))
+      .agg((Num.dsumExact(col("value")) * lit(1000000L))
+        .cast("decimal(38,0)").as("rev_u"))
+    assert(rows(Dimensional.userWeekRev(spark, SfDir)) === rows(want))
+  }
+
+  test("scd2Artifact pins scd2Dim's exact output plus true chain stats") {
+    val art = Dimensional.scd2Artifact(spark, SfDir)
+    val want = Dimensional.scd2Dim(spark, SfDir)
+    assert(rows(art.dim) === rows(want))
+    val stats = want.groupBy("ticker_id").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")), max(col("c"))).head()
+    assert(art.rows === stats.getLong(0))
+    assert(art.maxChain === stats.getLong(1))
+  }
+
+  test("basketPairCounts equals the inline basket self-join") {
+    val lines = Tables.load(spark, SfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val want = lines.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      .join(lines.select(col("l_orderkey"), col("l_partkey").as("pb")),
+        "l_orderkey")
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("support"))
+    assert(rows(Components.basketPairCounts(spark, SfDir)) === rows(want))
+  }
+
+  test("keyCounts carries exact counts and the lineitem null-FK extra") {
+    val got = Analytics.keyCounts(spark, SfDir, "lineitem", "l_orderkey")
+    val want = Tables.load(spark, SfDir, "lineitem")
+      .groupBy(col("l_orderkey").as("k"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_partkey").isNull.cast("long")).as("n_null_part"))
+    assert(rows(got) === rows(want))
+    val go = Analytics.keyCounts(spark, SfDir, "orders", "o_custkey")
+    val wo = Tables.load(spark, SfDir, "orders")
+      .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("cnt"))
+    assert(rows(go) === rows(wo))
+  }
+
+  test("bigramCounts equals the inline adjacent-pair type counts") {
+    val toks = Tables.load(spark, SfDir, "documents")
+      .select(col("doc_id"),
+        filter(split(lower(trim(col("text"))), "\\s+"),
+          t => t =!= "").as("toks"))
+    val want = toks.select(
+        explode(arrays_zip(
+          slice(col("toks"), lit(1),
+            greatest(size(col("toks")) - 1, lit(0))),
+          slice(col("toks"), lit(2),
+            greatest(size(col("toks")) - 1, lit(0))))).as("b"))
+      .select(col("b.0").as("w1"), col("b.1").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    assert(rows(LmFilter.bigramCounts(spark, SfDir)) === rows(want))
+  }
+}
