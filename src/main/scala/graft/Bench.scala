@@ -154,16 +154,32 @@ object Bench {
     // plus 18-39x bursts on arbitrary queries, so control cells alone
     // under-detect. The median ratio vs reference catches the uniform
     // component; the >=4x burst count catches stalls wherever they
-    // land. Reference file format is exactly the `queries` map, so a
-    // flat "name":number regex parse is lossless.
+    // land. The reference may be either a bare `queries` map or a
+    // full bench artifact (whose health block repeats query names in
+    // controls_*/bands_2x — ADVICE r15 #4: a whole-file regex would
+    // let those later matches overwrite the real cells). Parse is
+    // therefore scoped to the `queries` object when one exists (its
+    // values are flat numbers, so the first `}` closes it), and keys
+    // are validated against the live query set.
     val refCells: Map[String, Double] = {
       val f = new java.io.File("BENCH_REF.json")
       if (!f.exists()) Map.empty
       else {
         val txt = new String(java.nio.file.Files.readAllBytes(f.toPath))
+        val scope = {
+          val qi = txt.indexOf("\"queries\"")
+          if (qi < 0) txt
+          else {
+            val s = txt.indexOf('{', qi)
+            val e = if (s >= 0) txt.indexOf('}', s) else -1
+            if (s >= 0 && e > s) txt.substring(s, e + 1) else txt
+          }
+        }
         """"([A-Za-z0-9_]+)"\s*:\s*([0-9.eE+-]+)""".r
-          .findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          .findAllMatchIn(scope)
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .filter { case (k, _) => SparkEntry.queries.contains(k) }
+          .toMap
       }
     }
     val ratios = timings.toSeq.flatMap { case (k, v) =>

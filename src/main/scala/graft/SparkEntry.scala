@@ -77,6 +77,7 @@ object SparkEntry {
     "bm25_search" -> (Search.bm25Search _),
     "incremental_dedup" -> (Dedup.incrementalDedup _),
     "approx_percentiles" -> (Olap.approxPercentiles _),
+    "approx_percentiles_exact" -> (Olap.approxPercentilesExact _),
     "curation_pipeline" -> (Curation.curationPipeline _),
     // §2.G time-series / warehouse / packing (round 9)
     "resample_ffill" -> (TimeSeries.resampleFfill _),
@@ -549,10 +550,12 @@ object SparkEntry {
     "approx_distinct" -> {
       val m = graft.operators.Olap.HllRegisters
       val wb = graft.operators.Olap.HllWindowBits + 1
+      val hs = graft.operators.Olap.HllHashStart
+      val hl = graft.operators.Olap.HllHashLen
       val alpha = 0.7213 / (1.0 + 1.079 / m)
       s"""WITH ev AS (SELECT event_type,
          |    CAST(('0x' || substr(md5('hll|' || CAST(user_id AS VARCHAR)),
-         |      25, 8))::UBIGINT AS BIGINT) AS h
+         |      $hs, $hl))::UBIGINT AS BIGINT) AS h
          |  FROM events),
          |rg AS (SELECT event_type, h % $m AS reg, h // $m AS w FROM ev),
          |rr AS (SELECT event_type, reg,
@@ -582,11 +585,13 @@ object SparkEntry {
          |  cast(n_events AS bigint) AS n_events
          |FROM est ORDER BY event_type""".stripMargin
     },
-    // Exact-regime GK twin (round 15): on the 1-in-97 md5 slice every
+    // Exact-regime GK twin (round 15; split out of approx_percentiles
+    // in round 16, ADVICE r15 #1): on the 1-in-97 md5 slice every
     // group is far below accuracy/2 rows, where the sketch is
     // lossless and query(p) returns the ceil(p·n)-th smallest value —
-    // replayed here as an explicit rank pick.
-    "approx_percentiles" ->
+    // replayed here as an explicit rank pick. Every corpus group is
+    // emitted (left join); an empty slice carries NULL percentiles.
+    "approx_percentiles_exact" ->
       """WITH s AS (SELECT event_type, value FROM events
         |  WHERE value IS NOT NULL AND
         |    CAST(('0x' || substr(md5('apx|' || CAST(event_id AS VARCHAR)),
@@ -595,8 +600,8 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY event_type ORDER BY value)
         |      AS rn,
         |    count(*) OVER (PARTITION BY event_type) AS n
-        |  FROM s)
-        |SELECT event_type,
+        |  FROM s),
+        |q AS (SELECT event_type,
         |  round(max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT)
         |    THEN value END), 6) AS p25,
         |  round(max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
@@ -605,7 +610,10 @@ object SparkEntry {
         |    THEN value END), 6) AS p90,
         |  round(max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
         |    THEN value END), 6) AS p99
-        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM r GROUP BY 1)
+        |SELECT g.event_type, q.p25, q.p50, q.p90, q.p99
+        |FROM (SELECT DISTINCT event_type FROM events) g
+        |LEFT JOIN q USING (event_type) ORDER BY 1""".stripMargin,
     // Portable sign-LSH twin (round 13): integer hyperplane banding
     // (lshKeysCtes ≡ PortableSignBandKeys), bucket probe on
     // (band, key), exact 6 dp-rounded cosine re-rank.

@@ -160,22 +160,19 @@ object Olap {
     * distribution; OlapSessionsSpec asserts both against the exact
     * answer at FULL corpus size).
     *
-    * Driver-gate configuration (round 15, VERDICT r14 #8): the gated
-    * query runs the sketch in its provably EXACT regime — a portable
-    * md5 1-in-97 slice keeps every group below accuracy/2 rows, where
-    * GK compression is lossless by construction (dropping any sample
-    * would open an integer rank gap > 2·ε·n < 1) and `query(p)`
-    * returns exactly the ceil(p·n)-th smallest value. That closed
-    * form IS the DuckDB oracle (the heavy_hitters #91 exact-below-
-    * capacity precedent), so the sketch machinery is hash-verified;
-    * the approximate regime at full size stays property-tested. */
+    * Shipped form (round 16, ADVICE r15 #1): the sketch runs over the
+    * FULL corpus, so the query reports corpus percentiles — declared
+    * rows-only (approx_percentile's compression path is
+    * implementation-private, so no engine-portable oracle exists),
+    * with the n/accuracy rank bound property-asserted at full corpus
+    * size in CurationSpec. The sampled exact-regime form that r15
+    * shipped under this key (sample statistics, not corpus statistics)
+    * moved to [[approxPercentilesExact]], which keeps the full hash
+    * oracle. */
   val SketchAccuracy = 10000
 
   def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")
-      .filter(conv(substring(md5(concat(lit("apx|"),
-          col("event_id").cast("string"))), 25, 8), 16, 10)
-        .cast("long") % 97 === 0)
       .groupBy("event_type")
       .agg(expr(s"approx_percentile(value, array(0.25D, 0.5D, 0.9D, 0.99D), " +
         s"$SketchAccuracy)").as("ps"))
@@ -185,6 +182,40 @@ object Olap {
         round(element_at(col("ps"), 3), 6).as("p90"),
         round(element_at(col("ps"), 4), 6).as("p99"))
       .orderBy("event_type")
+
+  /** #79 (oracled twin) Quantile sketch in its provably EXACT regime:
+    * a portable md5 1-in-97 slice keeps every group below accuracy/2
+    * rows, where GK compression is lossless by construction (dropping
+    * any sample would open an integer rank gap > 2·ε·n < 1) and
+    * `query(p)` returns exactly the ceil(p·n)-th smallest value. That
+    * closed form IS the DuckDB oracle (the heavy_hitters #91
+    * exact-below-capacity precedent), so the sketch machinery stays
+    * hash-verified while [[approxPercentiles]] ships corpus-fidelity
+    * output. Output is SAMPLE statistics by construction.
+    *
+    * Dropout guard (ADVICE r15 #1): every event_type present in the
+    * corpus is emitted — a group whose 1-in-97 slice is empty carries
+    * NULL percentiles (an honest "no sample") instead of vanishing,
+    * via a left join from the full group set (the Pctl all-null-group
+    * re-emit pattern, `Pctl.scala:123`). */
+  def approxPercentilesExact(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val sliced = ev
+      .filter(conv(substring(md5(concat(lit("apx|"),
+          col("event_id").cast("string"))), 25, 8), 16, 10)
+        .cast("long") % 97 === 0)
+      .groupBy("event_type")
+      .agg(expr(s"approx_percentile(value, array(0.25D, 0.5D, 0.9D, 0.99D), " +
+        s"$SketchAccuracy)").as("ps"))
+    ev.select("event_type").distinct()
+      .join(sliced, Seq("event_type"), "left")
+      .select(col("event_type"),
+        round(element_at(col("ps"), 1), 6).as("p25"),
+        round(element_at(col("ps"), 2), 6).as("p50"),
+        round(element_at(col("ps"), 3), 6).as("p90"),
+        round(element_at(col("ps"), 4), 6).as("p99"))
+      .orderBy("event_type")
+  }
 
   /** #51+#63 Top-k per group: each customer's 3 most valuable orders
     * via the custom bounded-heap TopKAgg aggregate — per-group state
@@ -409,22 +440,34 @@ object Olap {
 
   /** #40 Sketched distinct counts — a PORTABLE HyperLogLog computed
     * relationally (round 15; the cms_freq precedent of building the
-    * sketch as a TABLE from portable hashes): registers from the md5
-    * tail-32 hash (top 22 bits = rank window, low 10 bits = register),
-    * rho from the exact integer bit length (`length(bin(w))` — both
-    * engines' bin() is minimal-width), the register maxima reduced to
-    * an EXACT integer Z accumulator (every 2⁻ᴹ term is a multiple of
-    * 2⁻²³, so the sum is order-free and partition-independent), then
-    * the classic bias-corrected estimator with the linear-counting
-    * small-range branch. Every step is engine-exact → the sketch
-    * carries a full DuckDB oracle (VERDICT r14 #8; a native HLL++
-    * never can — its hash and estimator are implementation-private),
-    * while keeping what matters at 100 TB: O(m)=1024 mergeable state
-    * per group ((group, register) maxima combine map-side), ONE scan,
-    * no distinct expansion. Error bound vs the exact distinct count
-    * stays asserted in OlapSessionsSpec. */
-  val HllRegisters = 1024     // m = 2^10
-  val HllWindowBits = 22      // 32-bit hash minus the 10 register bits
+    * sketch as a TABLE from portable hashes): registers from a 60-bit
+    * md5 window (15 hex chars — top 48 bits = rank window, low
+    * 12 bits = register; round 16, ADVICE r15 #2: the r15 32-bit tail
+    * saturated near 2³² distinct values, biasing low exactly where a
+    * 100 TB per-group cardinality lives), rho from the exact integer
+    * bit length (`length(bin(w))` — both engines' bin() is
+    * minimal-width), the register maxima reduced to an EXACT integer
+    * Z accumulator (every 2⁻ᴹ term is a multiple of 2⁻⁴⁹, so the sum
+    * is order-free and partition-independent; ≤ m·2⁴⁸ < 2⁶¹ fits a
+    * long), then the classic bias-corrected estimator with the
+    * linear-counting small-range branch. No large-range correction is
+    * needed below ~2⁶⁰ distinct (the 32-bit form needed it from
+    * ~10⁸). m=4096 puts the standard error at 1.04/√4096 ≈ 1.6%,
+    * tighter than the HLL++ (rsd 0.02) this replaced. Every step is
+    * engine-exact → the sketch carries a full DuckDB oracle (VERDICT
+    * r14 #8; a native HLL++ never can — its hash and estimator are
+    * implementation-private), while keeping what matters at 100 TB:
+    * O(m)=4096 mergeable state per group ((group, register) maxima
+    * combine map-side), ONE scan, no distinct expansion. NOTE for
+    * consumers: `approx_users` is DOUBLE (an estimate), where the
+    * pre-r15 HLL++ column was LONG. Error bound vs the exact distinct
+    * count stays asserted in OlapSessionsSpec. */
+  val HllRegisters = 4096     // m = 2^12
+  val HllWindowBits = 48      // 60-bit hash minus the 12 register bits
+  /** md5 substring (1-based start, length) for the 60-bit hash window:
+    * 15 hex chars < 2⁶⁰ fit both engines' signed BIGINT. */
+  val HllHashStart = 18
+  val HllHashLen = 15
   /** α_m · m² and the small-range gate 2.5·m, from the shared m. */
   private val HllAlpha = 0.7213 / (1.0 + 1.079 / HllRegisters)
 
@@ -437,8 +480,8 @@ object Olap {
     val ev = Tables.load(spark, dir, "events")
       .select(col("event_type"),
         conv(substring(md5(concat(lit("hll|"),
-          col("user_id").cast("string"))), 25, 8), 16, 10)
-          .cast("long").as("h"))
+          col("user_id").cast("string"))), HllHashStart, HllHashLen),
+          16, 10).cast("long").as("h"))
     val regs = ev
       .select(col("event_type"), expr(s"h % $m").as("reg"),
         expr(s"h div $m").as("w"))

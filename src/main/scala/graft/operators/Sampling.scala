@@ -243,10 +243,14 @@ object Sampling {
     // kept ⇔ (skey, doc_id) ≤ₗₑₓ the class threshold — exactly the
     // rows rnk ≤ minCount selected (rank order IS (skey, doc_id));
     // a class absent from the threshold map keeps nothing (defensive:
-    // cannot happen — every class has ≥ minCount rows)
+    // cannot happen — every class has ≥ minCount rows). Null-safe
+    // match (ADVICE r15 #3): a NULL lang class is a real partition in
+    // the probe (groupBy keeps it, it can even set minCount), so its
+    // branch must fire — `===` against null is null and the class
+    // would silently keep 0 rows.
     val kept = stats.thresholds.foldLeft(lit(false)) {
       case (acc, (lang, (ts, td))) =>
-        when(col("lang") === lang,
+        when(col("lang") <=> lit(lang),
           col("skey") < ts ||
             (col("skey") === ts && col("doc_id") <= td)).otherwise(acc)
     }

@@ -89,13 +89,18 @@ class CurationSpec extends SparkTestBase {
       s"expected exactly the probe-side shuffle, got $joinKeyExchanges")
   }
 
-  test("approx_percentiles exact regime: the ceil(p*n)-th order " +
-    "statistic of the gated slice") {
+  test("approx_percentiles_exact: the ceil(p*n)-th order statistic " +
+    "of the gated slice, every corpus group emitted") {
     import org.apache.spark.sql.functions._
-    // the driver-gate configuration runs the GK sketch below
-    // accuracy/2 rows per group, where it is provably lossless and
-    // query(p) is exactly the ceil(p*n)-th smallest value — assert
-    // that closed form (and the regime precondition) directly
+    // the oracled twin runs the GK sketch below accuracy/2 rows per
+    // group, where it is provably lossless and query(p) is exactly
+    // the ceil(p*n)-th smallest value — assert that closed form (and
+    // the regime precondition) directly. The keySet must be the FULL
+    // corpus group set, not the sliced one (ADVICE r15 #1: an
+    // empty-slice group must surface with NULL percentiles, not
+    // vanish).
+    val allTypes = graft.sources.Tables.load(spark, SfDir, "events")
+      .select("event_type").distinct().as[String].collect().toSet
     val sliced = graft.sources.Tables.load(spark, SfDir, "events")
       .filter(conv(substring(md5(concat(lit("apx|"),
           col("event_id").cast("string"))), 25, 8), 16, 10)
@@ -103,20 +108,28 @@ class CurationSpec extends SparkTestBase {
       .filter(col("value").isNotNull)
       .select("event_type", "value").as[(String, Double)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
-    val approx = Olap.approxPercentiles(spark, SfDir)
-      .as[(String, Double, Double, Double, Double)].collect()
+    val approx = Olap.approxPercentilesExact(spark, SfDir)
+      .as[(String, Option[Double], Option[Double], Option[Double],
+        Option[Double])].collect()
       .map(r => r._1 -> Seq(0.25 -> r._2, 0.5 -> r._3, 0.9 -> r._4,
         0.99 -> r._5)).toMap
-    assert(approx.keySet == sliced.keySet)
+    assert(approx.keySet == allTypes,
+      "every corpus group must be emitted, slice empty or not")
     approx.foreach { case (k, ps) =>
-      val xs = sliced(k); val n = xs.length
-      assert(n < Olap.SketchAccuracy / 2,
-        s"$k: slice of $n rows left the exact regime")
-      ps.foreach { case (p, a) =>
-        val want = xs(math.ceil(p * n).toInt - 1)
-        // query output is rounded to 6dp — compare with epsilon
-        assert(math.abs(want - a) < 5e-7,
-          s"$k p$p: got $a, want order statistic $want (n=$n)")
+      sliced.get(k) match {
+        case None =>
+          assert(ps.forall(_._2.isEmpty),
+            s"$k: empty slice must carry NULL percentiles")
+        case Some(xs) =>
+          val n = xs.length
+          assert(n < Olap.SketchAccuracy / 2,
+            s"$k: slice of $n rows left the exact regime")
+          ps.foreach { case (p, a) =>
+            val want = xs(math.ceil(p * n).toInt - 1)
+            // query output is rounded to 6dp — compare with epsilon
+            assert(a.nonEmpty && math.abs(want - a.get) < 5e-7,
+              s"$k p$p: got $a, want order statistic $want (n=$n)")
+          }
       }
     }
   }
@@ -124,29 +137,25 @@ class CurationSpec extends SparkTestBase {
   test("GK sketch rank error at FULL corpus size stays within " +
     "n/accuracy") {
     import org.apache.spark.sql.functions._
-    // the approximate regime the gated query no longer exercises:
-    // run the same sketch over the full events table and assert the
-    // documented rank bound vs exact order statistics
+    // the SHIPPED query (full-corpus sketch since round 16, ADVICE
+    // r15 #1 — this rank-bound property IS its rows-only gate):
+    // assert the documented bound vs exact order statistics. Output
+    // is rounded to 6dp, so element membership is epsilon-matched.
     val vals = graft.sources.Tables.load(spark, SfDir, "events")
       .select("event_type", "value").as[(String, Double)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
-    val approx = graft.sources.Tables.load(spark, SfDir, "events")
-      .groupBy("event_type")
-      .agg(expr(s"approx_percentile(value, array(0.25D, 0.5D, 0.9D), " +
-        s"${Olap.SketchAccuracy})").as("ps"))
-      .select(col("event_type"),
-        element_at(col("ps"), 1), element_at(col("ps"), 2),
-        element_at(col("ps"), 3))
-      .as[(String, Double, Double, Double)].collect()
-      .map(r => r._1 -> Seq(0.25 -> r._2, 0.5 -> r._3, 0.9 -> r._4))
+    val approx = Olap.approxPercentiles(spark, SfDir)
+      .as[(String, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> Seq(0.25 -> r._2, 0.5 -> r._3, 0.9 -> r._4,
+        0.99 -> r._5))
       .toMap
     approx.foreach { case (k, ps) =>
       val xs = vals(k); val n = xs.length
       val tol = n.toDouble / Olap.SketchAccuracy + 1.0
       ps.foreach { case (p, a) =>
-        val idx = xs.indexWhere(_ == a)
+        val idx = xs.indexWhere(x => math.abs(x - a) < 5e-7)
         assert(idx >= 0, s"$k p$p: $a is not an element of the group")
-        val lastIdx = xs.lastIndexWhere(_ == a)
+        val lastIdx = xs.lastIndexWhere(x => math.abs(x - a) < 5e-7)
         val target = p * n
         assert(target >= idx - tol && target <= lastIdx + 1 + tol,
           s"$k p$p: rank of $a is [$idx,$lastIdx], target $target")
