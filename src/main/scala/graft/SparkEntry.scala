@@ -195,6 +195,7 @@ object SparkEntry {
     "stickiness" -> (Dimensional.stickiness _),
     "item_cf" -> (Analytics.itemCf _),
     "containment" -> (Dedup.containmentPairs _),
+    "containment_content" -> (Dedup.containmentContent _),
     "benford_screen" -> (Olap.benfordScreen _),
     "target_encode" -> (Analytics.targetEncode _),
     "novelty_score" -> (TextOps.noveltyScore _),
@@ -3592,6 +3593,46 @@ object SparkEntry {
         |FROM p
         |WHERE greatest(round(cast(inter AS double) / cast(na AS double), 6),
         |    round(cast(inter AS double) / cast(nb AS double), 6)) >= 0.8
+        |ORDER BY greatest(cont_a, cont_b) DESC, a, b
+        |LIMIT 200""".stripMargin,
+    // Content-keyed containment twin (round 16): identical shingle
+    // index as lsh_eval (distinct word-bigram md5 tail-32), identical
+    // df-band anchor rule, exact full-index intersection recount.
+    "containment_content" ->
+      s"""WITH t AS (SELECT doc_id, list_filter(
+        |    string_split_regex(lower(trim(text)), '\\s+'),
+        |    x -> x <> '') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |shl AS (SELECT doc_id,
+        |    unnest([array_to_string(list_slice(toks, i + 1, i + 2), ' ')
+        |      for i in range(len(toks) - 1)]) AS sh
+        |  FROM t WHERE len(toks) >= 2),
+        |dd AS (SELECT DISTINCT doc_id,
+        |    cast(('0x' || substr(md5(sh), 25, 8))::UBIGINT AS bigint) AS h
+        |  FROM shl),
+        |sz AS (SELECT doc_id, count(*) AS n FROM dd GROUP BY 1),
+        |anchors AS (SELECT h FROM (
+        |    SELECT h, count(*) AS df FROM dd GROUP BY 1)
+        |  WHERE df >= 2 AND df <= ${Dedup.ContainAnchorDfCap}),
+        |anchored AS (SELECT dd.* FROM dd JOIN anchors USING (h)),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM anchored x JOIN anchored y USING (h)
+        |  WHERE x.doc_id < y.doc_id),
+        |inter AS (SELECT c.a, c.b, count(*) AS inter
+        |  FROM cand c
+        |  JOIN dd da ON da.doc_id = c.a
+        |  JOIN dd db ON db.doc_id = c.b AND db.h = da.h
+        |  GROUP BY 1, 2),
+        |scored AS (SELECT a, b, sa.n AS na, sb.n AS nb, inter,
+        |    round(cast(inter AS double) / cast(sa.n AS double), 6)
+        |      AS cont_a,
+        |    round(cast(inter AS double) / cast(sb.n AS double), 6)
+        |      AS cont_b
+        |  FROM inter
+        |  JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b)
+        |SELECT a, b, na, nb, inter, cont_a, cont_b
+        |FROM scored
+        |WHERE greatest(cont_a, cont_b) >= ${Dedup.ContainMin}
         |ORDER BY greatest(cont_a, cont_b) DESC, a, b
         |LIMIT 200""".stripMargin,
     // Benford twin: leading digit from the unscaled-integer STRING,

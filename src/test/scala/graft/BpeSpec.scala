@@ -60,6 +60,69 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
+  /** Independent reference TRAINER (SURVEY §6 oracle endgame): plain
+    * functional Scala — its own whitespace pretokenizer, tuple-keyed
+    * pair counting, lexicographic tie-break, recursive rewrite.
+    * Shares nothing with Bpe.train but the published Sennrich
+    * algorithm. */
+  private def refTrain(docs: Seq[Array[Byte]], n: Int): Seq[(Int, Int)] = {
+    def isWs(b: Int) = b == ' ' || b == '\t' || b == '\n' ||
+      b == 0x0B || b == '\f' || b == '\r'
+    def splitTokens(xs: List[Int]): List[List[Int]] = {
+      val rest = xs.dropWhile(isWs)
+      if (rest.isEmpty) Nil
+      else {
+        val (tok, tail) = rest.span(x => !isWs(x))
+        tok :: splitTokens(tail)
+      }
+    }
+    var words: List[List[Int]] =
+      docs.toList.flatMap(d => splitTokens(d.map(_ & 0xff).toList))
+    val out = scala.collection.mutable.ListBuffer[(Int, Int)]()
+    var id = 256
+    var exhausted = false
+    while (out.size < n && !exhausted) {
+      val counts = words.flatMap(w => w.zip(w.drop(1)))
+        .groupBy(identity).view.mapValues(_.size.toLong)
+        .filter(_._2 >= 2) // a pair must repeat to earn a merge
+      if (counts.isEmpty) exhausted = true
+      else {
+        val best = counts.toSeq
+          .minBy { case ((a, b), c) => (-c, a.toLong, b.toLong) }._1
+        out += best
+        def fuse(w: List[Int]): List[Int] = w match {
+          case a :: b :: rest if (a, b) == best => id :: fuse(rest)
+          case x :: rest => x :: fuse(rest)
+          case Nil => Nil
+        }
+        words = words.map(fuse)
+        id += 1
+      }
+    }
+    out.toList
+  }
+
+  test("corpus merge table: sample selection pinned, trainer equals " +
+    "an independent reference on a corpus subsample") {
+    // 1. trainedMerges == train(sample recomputed here): pins the
+    //    deterministic hashed-id sample selection end-to-end
+    val sample = graft.sources.Tables.load(spark, SfDir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"), xxhash64(col("doc_id")).as("h"))
+      .orderBy(col("h"), col("doc_id")).limit(Bpe.SampleDocs)
+      .select("text").as[String].collect()
+      .map(_.getBytes("UTF-8")).toSeq
+    assert(Bpe.trainedMerges(spark, SfDir) ===
+      Bpe.train(sample, Bpe.NumMerges))
+    // 2. merge-table equality vs the independent reference trainer on
+    //    real corpus text (subsample keeps the O(rounds x tokens)
+    //    list-based reference affordable)
+    val sub = sample.take(64)
+    val got = Bpe.train(sub, 64)
+      .map(p => ((p >> 32).toInt, (p & 0xffffffffL).toInt))
+    assert(got === refTrain(sub, 64))
+  }
+
   test("training merges are deterministic, repeat-justified, and compress") {
     val m1 = Bpe.train(Seq("the cat sat on the mat", "the mat sat")
       .map(_.getBytes("UTF-8")), 50)

@@ -102,4 +102,45 @@ class DedupEvalSpec extends SparkTestBase {
     assert(jac < Dedup.ContainMin)
     assert(!rows.exists(r => r.getAs[Long]("b") == 3L))
   }
+
+  test("containment_content catches a quote inside a far longer " +
+    "article the length-band form structurally misses") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_contain_content").toString
+    val quote = "market analysts watch quarterly earnings reports " +
+      "closely every single season"
+    // filler of UNIQUE tokens so no filler bigram repeats anywhere
+    // (df=1 → never an anchor); length delta vs the quote is ~600
+    // chars, far outside containmentPairs' ±(span+1)*20 ≈ 120 window
+    val filler = (1 to 80).map(i => s"filler$i").mkString(" ")
+    val article = filler + " " + quote + " " +
+      (81 to 160).map(i => s"filler$i").mkString(" ")
+    Seq(
+      (1L, article, "en", "news", article.length.toLong),
+      (2L, quote, "en", "news", quote.length.toLong),
+      (3L, "completely unrelated text about gardening tulips",
+        "en", "news", 47L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // the length-band form cannot see the pair
+    val banded = Dedup.containmentPairs(spark, dir).collect()
+    assert(!banded.exists(r => r.getAs[Long]("a") == 1L
+      && r.getAs[Long]("b") == 2L),
+      "length-band form unexpectedly surfaced the asymmetric pair")
+    // the content-keyed form must flag it with full quote containment
+    val rows = Dedup.containmentContent(spark, dir).collect()
+    val pair = rows.find(r => r.getAs[Long]("a") == 1L
+      && r.getAs[Long]("b") == 2L)
+    assert(pair.isDefined, "quote-inside-article pair not flagged")
+    val p = pair.get
+    // every distinct quote bigram appears in the article verbatim
+    assert(p.getAs[Double]("cont_b") === 1.0)
+    // ... while symmetric Jaccard is tiny (the measure #22 uses)
+    val jac = p.getAs[Long]("inter").toDouble /
+      (p.getAs[Long]("na") + p.getAs[Long]("nb") -
+        p.getAs[Long]("inter")).toDouble
+    assert(jac < 0.2)
+    assert(!rows.exists(r => r.getAs[Long]("a") == 3L
+      || r.getAs[Long]("b") == 3L))
+  }
 }
