@@ -107,11 +107,21 @@ object Bench {
     // rep. Interleaved whole-suite passes do NOT settle (every rep is
     // a "first rep" again), so reps must be consecutive.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // Cold-artifact mode (VERDICT r15 #6): corpus-keyed build-once
+    // caches (centroid models, graph fixed points, Pctl geometry,
+    // collapse tables) make the default suite floor a WARM steady
+    // state. SPARK_GRAFT_COLD=1 clears every registered artifact
+    // cache before each timed rep, so every cell pays its build-once
+    // probe — the deployment-honesty number reported beside the warm
+    // floor in BASELINE, and a guard against benchmark-only caching
+    // creep.
+    val cold = sys.env.get("SPARK_GRAFT_COLD").contains("1")
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.ListBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       var best = Double.MaxValue
       for (rep <- 1 to reps) {
+        if (cold) graft.CorpusCache.clearAll()
         val t0 = System.nanoTime()
         try {
           fn(spark, runDir).collect()
@@ -182,18 +192,44 @@ object Bench {
           .toMap
       }
     }
-    val ratios = timings.toSeq.flatMap { case (k, v) =>
-      refCells.get(k).filter(_ > 0).map(v / _) }.sorted
+    val ratioByQ = timings.toSeq.flatMap { case (k, v) =>
+      refCells.get(k).filter(_ > 0).map(k -> v / _) }.toMap
+    val ratios = ratioByQ.values.toSeq.sorted
     val medianVsRef =
       if (ratios.isEmpty) -1.0 else ratios(ratios.length / 2)
     val nBurst4x = ratios.count(_ >= 4.0)
     val isSf01 = sfDir.contains("sf0.1")
-    val degraded = isSf01 && (
+    // a cold run's cells INCLUDE build-once probes, so comparing them
+    // to the warm reference would self-flag every artifact-backed
+    // query — cold runs never claim degraded (their purpose is the
+    // cold/warm delta, not regression detection)
+    val degraded = isSf01 && !cold && (
       controlBands.exists { case (name, band) =>
         timings.get(name).exists(_ > band * 2) ||
           controlsEnd.get(name).exists(_ > band * 2)
       } ||
         (ratios.nonEmpty && (medianVsRef > 1.5 || nBurst4x >= 3)))
+    // Burst-cell auto-retry (VERDICT r15 #1): when the run self-flags,
+    // re-time each >=4x burst cell SOLO at suite end (consecutive
+    // settled reps, min), so a flagged artifact still carries a
+    // usable per-cell number — the difference between "host stall"
+    // (retry lands back in band) and "real regression" (retry
+    // confirms the slow cell) is visible without a second session.
+    val retryCells: Map[String, Double] =
+      if (!degraded) Map.empty
+      else ratioByQ.filter(_._2 >= 4.0).keys.toSeq.sorted.flatMap { name =>
+        SparkEntry.queries.get(name).flatMap { fn =>
+          var best = Double.MaxValue
+          for (_ <- 1 to math.max(reps, 4))
+            try {
+              if (cold) graft.CorpusCache.clearAll()
+              val t0 = System.nanoTime()
+              fn(spark, runDir).collect()
+              best = math.min(best, (System.nanoTime() - t0) / 1e9)
+            } catch { case _: Throwable => }
+          if (best < Double.MaxValue) Some(name -> best) else None
+        }
+      }.toMap
     val cpuSec = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean match {
         case os: com.sun.management.OperatingSystemMXBean =>
@@ -210,6 +246,7 @@ object Bench {
       s""""cpu_sec":$cpuSec,"wall_sec":$wallSec,""" +
       s""""median_vs_ref":$medianVsRef,"n_burst_4x":$nBurst4x,""" +
       s""""n_ref_cells":${ratios.length},""" +
+      s""""retry":${jmap(retryCells)},"cold":$cold,""" +
       s""""bands_apply":$isSf01,"degraded":$degraded}"""
     if (degraded)
       System.err.println("[bench] DEGRADED RUN: control queries exceed " +
@@ -220,13 +257,15 @@ object Bench {
     val total = if (timings.nonEmpty) timings.values.sum else 0.0
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"health":$health,"sf":"$sfDir","staged_files":$stageFiles,"stage_sec":$stageSec}"""
     println(json)
+    val artifactName =
+      if (cold) "BENCH_full_cold.json" else "BENCH_full.json"
     // ALSO persist the full artifact (VERDICT r13 #9): the driver's
     // stdout capture truncates the JSON mid-dict (only the o-z slice
     // of the per-query map survived r12/r13), so round-over-round
     // diffs lost half the suite. The file in the repo root survives
     // the round commit intact.
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_full.json"), json + "\n")
+      java.nio.file.Paths.get(artifactName), json + "\n")
     catch { case e: Exception =>
       System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
     }

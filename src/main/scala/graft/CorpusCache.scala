@@ -29,9 +29,32 @@ object CorpusCache {
     * bounding a corpus-regeneration loop. */
   val MaxEntries = 64
 
+  // Registry of every cache map that has passed through value()/df()
+  // or register(), identity-keyed — lets clearAll() drop all
+  // corpus-keyed artifacts at once (the bench's cold mode, VERDICT
+  // r15 #6: the build-once cost must be measurable, not silently
+  // amortized into the floor).
+  private val registry = java.util.Collections.newSetFromMap(
+    new ConcurrentHashMap[ConcurrentHashMap[_, _], java.lang.Boolean])
+
+  /** Enroll a module-private artifact cache that manages its own
+    * computeIfAbsent (the Similarity model caches, Pctl geometry,
+    * the BPE merge table) so [[clearAll]] reaches it too. */
+  def register[M <: ConcurrentHashMap[_, _]](m: M): M = {
+    registry.add(m)
+    m
+  }
+
+  /** Drop every registered corpus-keyed artifact (cold-start state:
+    * the next call of each operator pays its build-once probe). */
+  def clearAll(): Unit = {
+    registry.forEach(m => m.clear())
+  }
+
   /** Capped computeIfAbsent for session-independent driver values. */
   def value[V](m: ConcurrentHashMap[String, V], k: String)(
       compute: => V): V = {
+    registry.add(m)
     if (m.size > MaxEntries) m.clear()
     m.computeIfAbsent(k, _ => compute)
   }
@@ -41,6 +64,7 @@ object CorpusCache {
     * not served). */
   def df(m: ConcurrentHashMap[String, DataFrame], k: String,
       spark: SparkSession)(compute: => DataFrame): DataFrame = {
+    registry.add(m)
     if (m.size > MaxEntries) m.clear()
     val cur = m.get(k)
     if (cur != null && (cur.sparkSession eq spark) &&

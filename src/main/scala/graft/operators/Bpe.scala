@@ -30,8 +30,8 @@ object Bpe {
 
   // merge-table cache keyed by corpus dir + mtime (same freshness rule
   // as Similarity.modelKey)
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[Long]]
+  private val cache = graft.CorpusCache.register(
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Long]])
 
   private def modelKey(dir: String): String =
     dir + "@" + new java.io.File(dir, "documents.parquet").lastModified

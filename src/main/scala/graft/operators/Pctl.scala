@@ -70,8 +70,8 @@ object Pctl {
     * flag, not a group list (group counts are data-sized at 100 TB). */
   private case class BlockedE(geo: Geo, anyAllNull: Boolean) extends Entry
 
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, Entry]
+  private val cache = graft.CorpusCache.register(
+    new java.util.concurrent.ConcurrentHashMap[String, Entry])
 
   /** Cache key for the corpus analysis: corpus identity (dir + source
     * table mtime) + call site. The ps list and grouping keys (the

@@ -252,8 +252,8 @@ object Similarity {
   // dim doubles — here 32×64), trained once per corpus and reused by
   // every probe query, exactly like a production IVF index. The
   // driver-side materialization is bounded by C, never by data size.
-  private val centroidCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Seq[Double])]]
+  private val centroidCache = graft.CorpusCache.register(
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Seq[Double])]])
 
   /** Cache key carrying the corpus identity AND freshness. */
   private def modelKey(dir: String): String =
@@ -574,8 +574,8 @@ object Similarity {
   // dim doubles, computed once per corpus, reused by every
   // assignment query. The collect is bounded by label cardinality,
   // never by data size.
-  private val labelCentroidCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Seq[Double])]]
+  private val labelCentroidCache = graft.CorpusCache.register(
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Seq[Double])]])
 
   def centroidAssign(spark: SparkSession, dir: String): DataFrame = {
     val cached = labelCentroidCache.computeIfAbsent(modelKey(dir), _ => {
@@ -723,8 +723,8 @@ object Similarity {
 
   // Sub-codebook cache: M×K×subDim doubles (8×16×8 = 1024) — the
   // same bounded model-artifact pattern as [[trainedCentroids]].
-  private val pqCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Int, Seq[Double])]]
+  private val pqCache = graft.CorpusCache.register(
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Int, Seq[Double])]])
 
   /** Lloyd-trained PQ sub-codebooks (L2 geometry): assignment by
     * argmax(sv·c - |c|²/2) ≡ argmin ‖sv-c‖², recompute by

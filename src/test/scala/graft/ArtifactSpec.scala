@@ -17,6 +17,19 @@ class ArtifactSpec extends SparkTestBase {
   private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
     df.collect().map(_.toString).toSet
 
+  test("CorpusCache.clearAll reaches value/df-managed AND " +
+    "self-managed registered caches (the bench cold mode)") {
+    val managed =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+    graft.CorpusCache.value(managed, "k")(java.lang.Long.valueOf(7L))
+    val selfManaged = graft.CorpusCache.register(
+      new java.util.concurrent.ConcurrentHashMap[String, String])
+    selfManaged.put("a", "b")
+    assert(managed.size === 1 && selfManaged.size === 1)
+    graft.CorpusCache.clearAll()
+    assert(managed.isEmpty && selfManaged.isEmpty)
+  }
+
   test("userCard equals the inline user-grain aggregates") {
     val card = Dimensional.userCard(spark, SfDir)
       .select(col("user_id"), col("f.event_type").as("channel"),

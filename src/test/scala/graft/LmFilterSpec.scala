@@ -83,4 +83,19 @@ class LmFilterSpec extends SparkTestBase {
       assert(a === b)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
+
+  test("lm_perplexity ships the model broadcast below the type gate") {
+    // this corpus' bigram-type count is far under LmBroadcastMaxTypes,
+    // so the scoring join must be a broadcast hash join — the
+    // corpus-scale instance stream is scored inside its scan stage,
+    // with no exchange carrying (w1, w2)
+    val plan = planOf(LmFilter.lmPerplexity(spark, SfDir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"scoring join must broadcast the model:\n${plan.take(1500)}")
+    val streamShuffles = plan.linesIterator.count(l =>
+      l.contains("hashpartitioning") && l.contains("w1") &&
+        l.contains("w2"))
+    assert(streamShuffles === 0,
+      s"no exchange may carry the bigram instance stream, got $streamShuffles")
+  }
 }
