@@ -47,10 +47,15 @@ object BenchOne {
     // (SPARK_GRAFT_STAGE_FILES=0 to profile the raw single-file SF)
     val staged = if (stageFiles > 0) Bench.stage(spark, sfDir, stageFiles) else sfDir
     val runDir = if (mult > 1) ScaleBench.multiply(staged, mult) else staged
+    // SPARK_GRAFT_COLD=1: clear all corpus-keyed artifact caches
+    // before each rep, so every rep pays its build-once probes (the
+    // Bench cold-mode contract, per-query)
+    val cold = sys.env.get("SPARK_GRAFT_COLD").contains("1")
     args.foreach { name =>
       val fn = SparkEntry.queries(name)
       fn(spark, runDir).collect() // warmup
       val times = (1 to reps).map { _ =>
+        if (cold) graft.CorpusCache.clearAll()
         val t0 = System.nanoTime()
         fn(spark, runDir).collect() // full result, like Bench and the DuckDB fetchall
         (System.nanoTime() - t0) / 1e9

@@ -33,9 +33,16 @@ object CorpusCache {
   // or register(), identity-keyed — lets clearAll() drop all
   // corpus-keyed artifacts at once (the bench's cold mode, VERDICT
   // r15 #6: the build-once cost must be measurable, not silently
-  // amortized into the floor).
-  private val registry = java.util.Collections.newSetFromMap(
-    new ConcurrentHashMap[ConcurrentHashMap[_, _], java.lang.Boolean])
+  // amortized into the floor). MUST be IDENTITY-based: java.util.Map
+  // hashCode/equals are content-based, so a hash-keyed set treats
+  // every empty cache as the same element (maps registered while
+  // empty silently dropped — caught live by a ×100 cold BenchOne
+  // whose first rep read a cache clearAll never reached) and a
+  // mutated key's bucket goes stale.
+  private val registry = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[ConcurrentHashMap[_, _],
+        java.lang.Boolean]))
 
   /** Enroll a module-private artifact cache that manages its own
     * computeIfAbsent (the Similarity model caches, Pctl geometry,
@@ -46,8 +53,9 @@ object CorpusCache {
   }
 
   /** Drop every registered corpus-keyed artifact (cold-start state:
-    * the next call of each operator pays its build-once probe). */
-  def clearAll(): Unit = {
+    * the next call of each operator pays its build-once probe).
+    * Iteration over a synchronizedSet requires holding its monitor. */
+  def clearAll(): Unit = registry.synchronized {
     registry.forEach(m => m.clear())
   }
 

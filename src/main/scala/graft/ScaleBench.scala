@@ -149,6 +149,14 @@ object ScaleBench {
     // round 15 batch J: the duplication-invariant basket triple
     // collapse and the user-grain feature export
     "itemset_3", "user_features",
+    // round 16: containment_content is ADMITTED where lsh_eval and
+    // the length-band containment stay out — its shingle index is a
+    // DISTINCT (doc_id, hash) collapse, so hardlink-duplicated doc_ids
+    // merge before df counting and the anchor pair set is
+    // multiplication-invariant; the ×100 cell measures the row-linear
+    // explode + distinct. The #79 sketch pair is row-linear mergeable
+    // state (full-corpus GK; the _exact twin adds the 1-in-97 slice).
+    "containment_content", "approx_percentiles", "approx_percentiles_exact",
     // round 14 (r13 verdict #1): the percentile family is ADMITTED —
     // Pctl's blocked route bounds every task (geometry cached as a
     // corpus statistic, steady state = one value-range fetch pass),

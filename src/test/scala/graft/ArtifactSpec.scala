@@ -22,12 +22,20 @@ class ArtifactSpec extends SparkTestBase {
     val managed =
       new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
     graft.CorpusCache.value(managed, "k")(java.lang.Long.valueOf(7L))
-    val selfManaged = graft.CorpusCache.register(
+    // register several maps while ALL are still EMPTY: Java Maps are
+    // content-equal, so a hash-keyed registry would keep only one of
+    // them (the bug a ×100 cold BenchOne caught live — identity
+    // semantics are the contract here)
+    val a = graft.CorpusCache.register(
       new java.util.concurrent.ConcurrentHashMap[String, String])
-    selfManaged.put("a", "b")
-    assert(managed.size === 1 && selfManaged.size === 1)
+    val b = graft.CorpusCache.register(
+      new java.util.concurrent.ConcurrentHashMap[String, String])
+    val c = graft.CorpusCache.register(
+      new java.util.concurrent.ConcurrentHashMap[String, String])
+    a.put("a", "1"); b.put("b", "2"); c.put("c", "3")
+    assert(managed.size === 1 && a.size + b.size + c.size === 3)
     graft.CorpusCache.clearAll()
-    assert(managed.isEmpty && selfManaged.isEmpty)
+    assert(managed.isEmpty && a.isEmpty && b.isEmpty && c.isEmpty)
   }
 
   test("userCard equals the inline user-grain aggregates") {
