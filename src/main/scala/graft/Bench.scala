@@ -209,20 +209,25 @@ object Bench {
           controlsEnd.get(name).exists(_ > band * 2)
       } ||
         (ratios.nonEmpty && (medianVsRef > 1.5 || nBurst4x >= 3)))
-    // Burst-cell auto-retry (VERDICT r15 #1): when the run self-flags,
-    // re-time each >=4x burst cell SOLO at suite end (consecutive
-    // settled reps, min), so a flagged artifact still carries a
-    // usable per-cell number — the difference between "host stall"
-    // (retry lands back in band) and "real regression" (retry
-    // confirms the slow cell) is visible without a second session.
+    // Burst-cell auto-retry (VERDICT r15 #1, gate widened per VERDICT
+    // r16 #1): when the run self-flags, re-time each cell >2x its
+    // reference cell SOLO at suite end (consecutive settled reps,
+    // min), so a flagged artifact still carries a usable per-cell
+    // number — the difference between "host stall" (retry lands back
+    // in band) and "real regression" (retry confirms the slow cell)
+    // is visible without a second session. The r16 driver run showed
+    // why 4x alone is not enough: a second co-tenant window left
+    // 1.8-3.0x cells (ship_lag, session_entry_exit, shard_union,
+    // sessionize) unadjudicated under the old >=4x-only gate. Cold
+    // runs never reach here (degraded is forced false when cold), so
+    // the retry loop is warm-only by construction.
     val retryCells: Map[String, Double] =
       if (!degraded) Map.empty
-      else ratioByQ.filter(_._2 >= 4.0).keys.toSeq.sorted.flatMap { name =>
+      else ratioByQ.filter(_._2 > 2.0).keys.toSeq.sorted.flatMap { name =>
         SparkEntry.queries.get(name).flatMap { fn =>
           var best = Double.MaxValue
           for (_ <- 1 to math.max(reps, 4))
             try {
-              if (cold) graft.CorpusCache.clearAll()
               val t0 = System.nanoTime()
               fn(spark, runDir).collect()
               best = math.min(best, (System.nanoTime() - t0) / 1e9)
@@ -257,8 +262,14 @@ object Bench {
     val total = if (timings.nonEmpty) timings.values.sum else 0.0
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"health":$health,"sf":"$sfDir","staged_files":$stageFiles,"stage_sec":$stageSec}"""
     println(json)
+    // A self-flagged run writes to its own artifact (VERDICT r16 #2:
+    // the driver's degraded runs kept overwriting the clean committed
+    // BENCH_full.json in the working tree) — BENCH_full.json only
+    // ever holds an unflagged pair member.
     val artifactName =
-      if (cold) "BENCH_full_cold.json" else "BENCH_full.json"
+      if (cold) "BENCH_full_cold.json"
+      else if (degraded) "BENCH_full_degraded.json"
+      else "BENCH_full.json"
     // ALSO persist the full artifact (VERDICT r13 #9): the driver's
     // stdout capture truncates the JSON mid-dict (only the o-z slice
     // of the per-query map survived r12/r13), so round-over-round

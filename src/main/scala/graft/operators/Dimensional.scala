@@ -20,9 +20,12 @@ object Dimensional {
 
   private val DayUs = 86400L * 1000000L
 
-  /** Per-corpus max purchase-chain length (see scd2DimWith). */
-  private val chainCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+  /** Per-corpus max purchase-chain length (see scd2DimWith).
+    * Registered so the bench's cold mode (ADVICE r16 #1: clearAll
+    * must reach self-managed computeIfAbsent caches too) drops the
+    * probe along with every other corpus-keyed artifact. */
+  private val chainCache = graft.CorpusCache.register(
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long])
 
   // ---- corpus-keyed staged collapses (VERDICT r14 #5) ----
   // The user-grain family (#196 wilson_funnel, #201 survival_curve,
@@ -101,8 +104,11 @@ object Dimensional {
   private[graft] case class Scd2Artifact(dim: DataFrame, rows: Long,
     maxChain: Long)
 
-  private val scd2Cache =
-    new java.util.concurrent.ConcurrentHashMap[String, Scd2Artifact]
+  // Registered for the same reason as chainCache: without enrollment
+  // a cold rep of scd2_lookup / band_migration reuses the warm
+  // dimension artifact and understates the cold floor.
+  private val scd2Cache = graft.CorpusCache.register(
+    new java.util.concurrent.ConcurrentHashMap[String, Scd2Artifact])
 
   private[graft] def scd2Artifact(spark: SparkSession,
       dir: String): Scd2Artifact = {

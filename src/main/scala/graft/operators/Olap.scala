@@ -448,7 +448,9 @@ object Olap {
     * bit length (`length(bin(w))` — both engines' bin() is
     * minimal-width), the register maxima reduced to an EXACT integer
     * Z accumulator (every 2⁻ᴹ term is a multiple of 2⁻⁴⁹, so the sum
-    * is order-free and partition-independent; ≤ m·2⁴⁸ < 2⁶¹ fits a
+    * is order-free and partition-independent; each register
+    * contributes at most 2⁴⁹ — the rho=0/absent case — so the
+    * numerator is ≤ m·2⁴⁹ = 2⁶¹ < 2⁶³, comfortably a signed
     * long), then the classic bias-corrected estimator with the
     * linear-counting small-range branch. No large-range correction is
     * needed below ~2⁶⁰ distinct (the 32-bit form needed it from

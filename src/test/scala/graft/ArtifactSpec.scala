@@ -38,6 +38,20 @@ class ArtifactSpec extends SparkTestBase {
     assert(managed.isEmpty && a.isEmpty && b.isEmpty && c.isEmpty)
   }
 
+  test("clearAll reaches an operator that self-manages its " +
+    "computeIfAbsent (scd2Artifact — ADVICE r16 #1)") {
+    val warm1 = Dimensional.scd2Artifact(spark, SfDir)
+    val warm2 = Dimensional.scd2Artifact(spark, SfDir)
+    // warm: the second call must serve the SAME pinned artifact
+    assert(warm2.dim eq warm1.dim)
+    graft.CorpusCache.clearAll()
+    // cold: a fresh build — if scd2Cache weren't enrolled, the warm
+    // artifact would leak through and understate the cold floor
+    val cold = Dimensional.scd2Artifact(spark, SfDir)
+    assert(!(cold.dim eq warm1.dim))
+    assert(rows(cold.dim) === rows(warm1.dim))
+  }
+
   test("userCard equals the inline user-grain aggregates") {
     val card = Dimensional.userCard(spark, SfDir)
       .select(col("user_id"), col("f.event_type").as("channel"),
