@@ -233,6 +233,12 @@ object ScaleBench {
       "stickiness",
       // first-touch min-struct user collapse (latest_per_key family)
       "wilson_funnel",
+      // round 17 (VERDICT r16 #3): the length-banded containment
+      // screen under the 90%-one-lang corpus — relabeling inflates
+      // (en, source, blk) block populations; above ContainBlockCap
+      // the guard drops-and-logs the block instead of squaring, so
+      // the skew/uniform slope stays bounded by construction
+      "containment",
       // round 14: the funnel chain's adaptive gate (window below,
       // three grouped mins above — the hot user streams through min
       // partials instead of sorting 90% of the corpus on one task);

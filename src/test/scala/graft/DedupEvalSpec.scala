@@ -103,6 +103,45 @@ class DedupEvalSpec extends SparkTestBase {
     assert(!rows.exists(r => r.getAs[Long]("b") == 3L))
   }
 
+  test("containment block cap drops an oversized 90%-one-block " +
+    "population from the length-banded screen, small blocks " +
+    "unaffected (VERDICT r16 #3)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_contain_cap").toString
+    // 12 near-identical docs land in ONE (en, news, blk) block —
+    // fixed-width suffixes keep every n_chars equal, and the shared
+    // prefix keeps pairwise containment >= 0.8 (the quadratic shape
+    // the cap exists for). Two much longer docs form a small healthy
+    // block (|delta blk| = 9 > span, so no cross-block candidates)
+    // holding a genuine containment pair.
+    val base = "market analysts watch quarterly earnings reports"
+    val hot = (10L to 21L).map(i => (i, f"$base copy ${i}%02d", "en",
+      "news", (base.length + 8).toLong))
+    val small1 = "abcdefghij " * 21
+    val small2 = small1.dropRight(2)
+    val docs = hot ++ Seq(
+      (1L, small1, "en", "news", small1.length.toLong),
+      (2L, small2, "en", "news", small2.length.toLong))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def hotPair(r: org.apache.spark.sql.Row) =
+      r.getAs[Long]("a") >= 10L && r.getAs[Long]("b") >= 10L
+    def smallPair(r: org.apache.spark.sql.Row) =
+      r.getAs[Long]("a") == 1L && r.getAs[Long]("b") == 2L
+    // default cap (4096): nothing dropped — the hot block pairs
+    // normally, proving the guard (not the band) removes them below
+    val uncapped = Dedup.containmentPairs(spark, dir).collect()
+    assert(uncapped.count(hotPair) == 12 * 11 / 2,
+      "hot block should pair fully when under the cap")
+    assert(uncapped.exists(smallPair))
+    // cap 10 < hot population 12: the oversized block is excluded
+    // (logged at guard build), the small block is untouched
+    val capped = Dedup.containmentPairsWith(spark, dir, 10L).collect()
+    assert(!capped.exists(hotPair),
+      "oversized block must be dropped from the capped screen")
+    assert(capped.exists(smallPair))
+  }
+
   test("containment_content catches a quote inside a far longer " +
     "article the length-band form structurally misses") {
     val dir = java.nio.file.Files
