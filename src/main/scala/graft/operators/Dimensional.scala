@@ -484,19 +484,21 @@ object Dimensional {
     * 2-row arm table pays one 1-partition window for the cross-arm
     * term. No collect, no skew exposure (arm keys are a coin flip). */
   def experimentStats(spark: SparkSession, dir: String): DataFrame = {
-    val events = Tables.load(spark, dir, "events")
-    val revenue = events.filter(col("event_type") === "purchase")
-      .groupBy("user_id")
-      .agg(sum(col("value").cast("decimal(18,6)")).as("rev"))
-    val perUser = events.select("user_id").distinct()
-      .join(revenue, Seq("user_id"), "left")
+    // User grain rides the pinned [[userCard]] artifact (round 17 —
+    // the wilson_funnel/rfm/stickiness family move): p_mon is the
+    // same exact decimal purchase sum, present for EVERY user (null
+    // when no purchase), so the two full event scans this query used
+    // to pay per call (distinct users + revenue groupBy) collapse to
+    // one bounded artifact read. Values are bit-identical: both
+    // routes are exact micro-unit sums pinned back to (18,6).
+    val perUser = userCard(spark, dir)
       .select(col("user_id"),
         (conv(substring(md5(concat_ws(":", lit("exp1"), col("user_id"))),
           25, 8), 16, 10).cast("long") % 2).as("arm"),
         // pinned back to (18,6) so the square below is (37,12) —
         // exact in BOTH engines (28,6)² would overflow 38 digits and
         // silently lose scale on the Spark side
-        coalesce(col("rev"), lit(0).cast("decimal(18,6)"))
+        coalesce(col("p_mon"), lit(0).cast("decimal(18,6)"))
           .cast("decimal(18,6)").as("rev"))
     val arms = perUser.groupBy("arm")
       .agg(count(lit(1)).as("n_users"),

