@@ -267,7 +267,12 @@ object Bench {
     // BENCH_full.json in the working tree) — BENCH_full.json only
     // ever holds an unflagged pair member.
     val artifactName =
-      if (cold) "BENCH_full_cold.json"
+      // cold + model store = "fresh service, committed model tables"
+      // (VERDICT r16 #5): retraining is replaced by persisted-model
+      // loads, everything else still pays its build-once probe
+      if (cold && graft.operators.ModelStore.enabled)
+        "BENCH_full_cold_persisted.json"
+      else if (cold) "BENCH_full_cold.json"
       else if (degraded) "BENCH_full_degraded.json"
       else "BENCH_full.json"
     // ALSO persist the full artifact (VERDICT r13 #9): the driver's

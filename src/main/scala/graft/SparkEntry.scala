@@ -2411,26 +2411,32 @@ object SparkEntry {
         |  cast(est - exact_cnt AS bigint) AS overcount
         |FROM est ORDER BY exact_cnt DESC, user_id ASC""".stripMargin,
     // Feature-card twin: 1-based generate_subscripts shifted to the
-    // 0-based dim, the same 6 dp value quantization and exact moment
-    // sums, the same last-ulp variance guard.
+    // 0-based dim, the same round(v*1e6) long micro-unit quantization
+    // (round 17 — integer moment sums; each double division below
+    // mirrors the Spark expression tree exactly so every rounding is
+    // shared), the same last-ulp variance guard.
     "embed_stats" ->
       """WITH d AS (SELECT
         |    unnest(cast(embedding AS double[])) AS v,
         |    generate_subscripts(cast(embedding AS double[]), 1) - 1
         |      AS dim0
         |  FROM embeddings),
-        |d6 AS (SELECT cast(dim0 AS bigint) AS dim, v,
-        |    cast(v AS decimal(18,6)) AS v6 FROM d),
+        |du AS (SELECT cast(dim0 AS bigint) AS dim, v,
+        |    cast(round(v * cast(1000000.0 AS double), 0) AS bigint)
+        |      AS vu FROM d),
         |s AS (SELECT dim, count(*) AS n,
-        |    cast(sum(v6) AS double) AS sx,
-        |    cast(sum(cast(v6 AS decimal(19,6)) * v6) AS double) AS sxx,
+        |    cast(sum(vu) AS double) AS su,
+        |    cast(sum(vu * vu) AS double) AS suu,
         |    min(v) AS min_v, max(v) AS max_v,
         |    cast(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS bigint)
         |      AS n_zero
-        |  FROM d6 GROUP BY 1)
-        |SELECT dim, n, round(sx / n, 6) AS mean,
-        |  round(sqrt(greatest((sxx - sx * sx / n) / (n - 1), 0)), 6)
-        |    AS std,
+        |  FROM du GROUP BY 1)
+        |SELECT dim, n,
+        |  round(su / cast(1000000.0 AS double) / n, 6) AS mean,
+        |  round(sqrt(greatest((suu / 1e12
+        |      - (su / cast(1000000.0 AS double))
+        |        * (su / cast(1000000.0 AS double)) / n)
+        |    / (n - 1), 0)), 6) AS std,
         |  round(min_v, 6) AS min_v, round(max_v, 6) AS max_v, n_zero
         |FROM s ORDER BY dim""".stripMargin,
     // Basket twin: same distinct collapse, basket-bounded pair join,

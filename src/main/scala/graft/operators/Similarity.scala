@@ -260,27 +260,33 @@ object Similarity {
     dir + "@" + new java.io.File(dir, "embeddings.parquet").lastModified
 
   /** Deterministic seed sample + Lloyd refinement over an arbitrary
-    * training slice, cached under `key` (the slice form exists for
-    * the append path, whose centroids must be trained on the BASE
-    * corpus only — the whole point of append-without-retrain). */
+    * training slice, cached under modelKey(dir) + `variant` (the
+    * slice form exists for the append path, whose centroids must be
+    * trained on the BASE corpus only — the whole point of
+    * append-without-retrain). With [[ModelStore]] enabled the trained
+    * table persists once per corpus and later sessions LOAD it
+    * (round 17, VERDICT r16 #5) instead of re-running Lloyd. */
   private[graft] def trainCentroidsOf(spark: SparkSession, e: DataFrame,
-      key: String, iters: Int): DataFrame = {
-    val cached = centroidCache.computeIfAbsent(key, _ => {
-      val seed = e
-        // PORTABLE pseudo-random sample order (round 13): the md5
-        // tail-32 of the id string, not Murmur3 `hash` — so the
-        // DuckDB semantic_dedup oracle can replay seed selection
-        // exactly. Same spread properties; nothing else changes.
-        .select(col("vec_id").as("c_id"), col("vec").as("cvec"),
-          conv(substring(md5(col("vec_id").cast("string")), 25, 8),
-            16, 10).cast("long").as("h"))
-        // c_id tiebreak: hash alone is not a total order, and the
-        // limit boundary must be run-independent
-        .orderBy(col("h"), col("c_id")).limit(IvfCells).drop("h")
+      dir: String, variant: String, iters: Int): DataFrame = {
+    val cached = centroidCache.computeIfAbsent(modelKey(dir) + variant,
+      _ => {
       import spark.implicits._
-      kmeansRefine(e.select(col("vec_id"), col("vec")), seed, iters)
-        .select(col("c_id"), col("cvec"))
-        .as[(Long, Seq[Double])].collect().toSeq
+      ModelStore.table(spark, dir,
+        "centroids" + variant.replace('#', '_'), "embeddings") {
+        val seed = e
+          // PORTABLE pseudo-random sample order (round 13): the md5
+          // tail-32 of the id string, not Murmur3 `hash` — so the
+          // DuckDB semantic_dedup oracle can replay seed selection
+          // exactly. Same spread properties; nothing else changes.
+          .select(col("vec_id").as("c_id"), col("vec").as("cvec"),
+            conv(substring(md5(col("vec_id").cast("string")), 25, 8),
+              16, 10).cast("long").as("h"))
+          // c_id tiebreak: hash alone is not a total order, and the
+          // limit boundary must be run-independent
+          .orderBy(col("h"), col("c_id")).limit(IvfCells).drop("h")
+        kmeansRefine(e.select(col("vec_id"), col("vec")), seed, iters)
+          .select(col("c_id"), col("cvec"))
+      }.as[(Long, Seq[Double])].collect().toSeq
     })
     import spark.implicits._
     cached.toDF("c_id", "cvec")
@@ -289,8 +295,7 @@ object Similarity {
   /** Deterministic seed sample + Lloyd refinement, cached per corpus. */
   def trainedCentroids(spark: SparkSession, dir: String,
       iters: Int = IvfKmeansIters): DataFrame =
-    trainCentroidsOf(spark, emb(spark, dir),
-      modelKey(dir) + "#" + iters, iters)
+    trainCentroidsOf(spark, emb(spark, dir), dir, "#" + iters, iters)
 
   def annIvf(spark: SparkSession, dir: String): DataFrame =
     annIvfWith(spark, dir, IvfAssign, IvfProbe, IvfProbeMargin, IvfProbeMax)
@@ -490,7 +495,7 @@ object Similarity {
       val base = e.filter(pmod(col("vec_id"), lit(AppendMod)) =!= 0L)
       val batch = e.filter(pmod(col("vec_id"), lit(AppendMod)) === 0L)
       val centroids = broadcast(trainCentroidsOf(spark, base,
-        modelKey(dir) + "#append", IvfKmeansIters))
+        dir, "#append", IvfKmeansIters))
       centroids.write.mode("overwrite")
         .parquet(s"$root/centroids.parquet")
       ivfAssignCells(base, centroids, IvfAssign)
@@ -580,11 +585,12 @@ object Similarity {
   def centroidAssign(spark: SparkSession, dir: String): DataFrame = {
     val cached = labelCentroidCache.computeIfAbsent(modelKey(dir), _ => {
       import spark.implicits._
-      centroidDims(spark, dir)
-        .groupBy(col("label").as("c_label"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), t -> t.m)")
-          .as("cvec"))
-        .as[(Int, Seq[Double])].collect().toSeq
+      ModelStore.table(spark, dir, "label_centroids", "embeddings") {
+        centroidDims(spark, dir)
+          .groupBy(col("label").as("c_label"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), t -> t.m)")
+            .as("cvec"))
+      }.as[(Int, Seq[Double])].collect().toSeq
     })
     import spark.implicits._
     val cvecs = cached.toDF("c_label", "cvec")
@@ -734,6 +740,8 @@ object Similarity {
     * codebooks train on a sampled slice, same plan. */
   def trainedPqCodebooks(spark: SparkSession, dir: String): DataFrame = {
     val cached = pqCache.computeIfAbsent(modelKey(dir), _ => {
+      import spark.implicits._
+      ModelStore.table(spark, dir, "pq_codebooks", "embeddings") {
       val e = emb(spark, dir).select(col("vec_id"), col("vec"))
       val sub = subVectors(e)
       // PORTABLE seed order (round 15, the trainCentroidsOf idiom):
@@ -768,8 +776,8 @@ object Similarity {
           .agg(expr("transform(array_sort(collect_list(struct(pos, mu)))," +
             " x -> x.mu)").as("cvec"))
       }
-      import spark.implicits._
-      cb.as[(Int, Int, Seq[Double])].collect().toSeq
+      cb.select(col("m"), col("cid"), col("cvec"))
+      }.as[(Int, Int, Seq[Double])].collect().toSeq
     })
     import spark.implicits._
     cached.toDF("m", "cid", "cvec")
@@ -964,29 +972,43 @@ object Similarity {
     * paths #77/#92), and NaN/zero counts. One posexplode to
     * (dim, value) grain, one hash aggregate keyed by dim — at 100 TB
     * this is a single pass with map-side partials, output = |dims|
-    * rows. Mean/var ride exact decimal Σx/Σx² (values rounded to 6 dp
-    * first — the established engine-portable quantization), min/max
-    * are raw doubles, so the whole card is DuckDB-oracle-exact. */
+    * rows. Mean/var ride exact INTEGER micro-unit moments (round 17,
+    * VERDICT r16 #4 — the realized_vol discipline replacing the r16
+    * decimal(18,6)/(38,12) casts whose boxed BigDecimal sums were the
+    * measured 3.4× cost): each value is quantized once to
+    * vu = round(v·10⁶) (a long; identical half-up rounding both
+    * engines, ties unreachable from binary float inputs), then Σvu
+    * and Σvu² are plain codegen long sums — exact, order-free, and
+    * the terminal doubles divide by 10⁶/10¹² with the SAME expression
+    * tree as the oracle, so every rounding is shared. OVERFLOW BOUND
+    * (ANSI: a breach throws, never silently wraps): Σvu² ≤
+    * n·(10⁶·max|v|)² must stay < 2⁶³ — for unit-normalized
+    * embeddings (max|v| ≤ 1) that is n ≤ 9.2·10⁶ rows per dimension
+    * per sum; the committed corpora are ≤ 4·10⁵ at ×200 (|v| ≤ 0.58
+    * ⇒ 69× headroom). Past that regime, shard the sum (a (dim,
+    * pmod(vec_id, B)) two-level ladder raises the bound ×B) before
+    * reaching for decimal. min/max are raw doubles; the whole card
+    * stays DuckDB-oracle-exact. */
   def embedStats(spark: SparkSession, dir: String): DataFrame = {
     val dims = emb(spark, dir)
       .select(posexplode(col("vec")).as(Seq("dim", "v")))
-      .select(col("dim").cast("long").as("dim"),
-        col("v"), col("v").cast("decimal(18,6)").as("v6"))
+      .select(col("dim").cast("long").as("dim"), col("v"),
+        round(col("v") * lit(1000000.0), 0).cast("long").as("vu"))
+    val sx = col("su").cast("double") / lit(1000000.0)
     dims.groupBy("dim")
       .agg(count(lit(1)).as("n"),
-        sum(col("v6")).cast("double").as("sx"),
-        sum((col("v6") * col("v6")).cast("decimal(38,12)"))
-          .cast("double").as("sxx"),
+        sum(col("vu")).as("su"),
+        sum(col("vu") * col("vu")).as("suu"),
         min(col("v")).as("min_v"), max(col("v")).as("max_v"),
         sum(when(col("v") === 0.0, 1L).otherwise(0L)).as("n_zero"))
       .select(col("dim"), col("n"),
-        round(col("sx") / col("n").cast("double"), 6).as("mean"),
-        // greatest(…, 0): the exact Σx/Σx² make the variance
+        round(sx / col("n").cast("double"), 6).as("mean"),
+        // greatest(…, 0): the exact Σvu/Σvu² make the variance
         // mathematically ≥ 0, but the terminal double ops can land a
         // last-ulp negative on a constant dimension — identical on
         // both engines, so the guard is too
-        round(sqrt(greatest((col("sxx") - col("sx") * col("sx")
-            / col("n").cast("double"))
+        round(sqrt(greatest((col("suu").cast("double") / lit(1.0e12)
+            - sx * sx / col("n").cast("double"))
           / (col("n") - 1).cast("double"), lit(0.0))), 6).as("std"),
         round(col("min_v"), 6).as("min_v"),
         round(col("max_v"), 6).as("max_v"), col("n_zero"))

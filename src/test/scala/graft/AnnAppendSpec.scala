@@ -16,7 +16,7 @@ class AnnAppendSpec extends SparkTestBase {
     val base = e.filter(pmod(col("vec_id"), lit(Similarity.AppendMod)) =!= 0L)
     val batch = e.filter(pmod(col("vec_id"), lit(Similarity.AppendMod)) === 0L)
     val centroids = broadcast(Similarity.trainCentroidsOf(spark, base,
-      s"spec-append-$root", Similarity.IvfKmeansIters))
+      SfDir, s"#spec-append-${root.getName}", Similarity.IvfKmeansIters))
     val postingsDir = new java.io.File(root, "postings.parquet")
     Similarity.ivfAssignCells(base, centroids, Similarity.IvfAssign)
       .repartition(col("cell"))

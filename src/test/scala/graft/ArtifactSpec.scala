@@ -52,6 +52,47 @@ class ArtifactSpec extends SparkTestBase {
     assert(rows(cold.dim) === rows(warm1.dim))
   }
 
+  test("ModelStore: persisted models ≡ trained, and the load path " +
+    "actually reads the persisted table (VERDICT r16 #5)") {
+    import graft.operators.{ModelStore, Similarity}
+    // store OFF: honest in-session training (the default posture)
+    graft.CorpusCache.clearAll()
+    val trainedC = rows(Similarity.trainedCentroids(spark, SfDir))
+    val trainedPq = rows(Similarity.trainedPqCodebooks(spark, SfDir))
+    val root = ModelStore.root(SfDir)
+    org.apache.commons.io.FileUtils.deleteQuietly(root)
+    sys.props("graft.modelstore") = "1"
+    try {
+      // first store-enabled pass: trains, PERSISTS, serves the
+      // re-read — must be bit-identical to plain training
+      graft.CorpusCache.clearAll()
+      assert(rows(Similarity.trainedCentroids(spark, SfDir))
+        === trainedC)
+      assert(rows(Similarity.trainedPqCodebooks(spark, SfDir))
+        === trainedPq)
+      val f = new java.io.File(root,
+        s"centroids_${Similarity.IvfKmeansIters}.parquet")
+      assert(f.exists(), "centroid model table not persisted")
+      assert(new java.io.File(root, "pq_codebooks.parquet").exists())
+      // second pass must LOAD, not retrain: doctor the persisted
+      // table and assert the doctored row is what comes back
+      import spark.implicits._
+      Seq((999999L, Seq.fill(4)(0.5)))
+        .toDF("c_id", "cvec")
+        .write.mode("overwrite").parquet(f.getPath)
+      graft.CorpusCache.clearAll()
+      val loaded = rows(Similarity.trainedCentroids(spark, SfDir))
+      assert(loaded.size === 1 && loaded.head.contains("999999"),
+        "store-enabled reload retrained instead of reading the table")
+    } finally {
+      sys.props.remove("graft.modelstore")
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      graft.CorpusCache.clearAll()
+    }
+    // store OFF again: training is back (no stale persisted serve)
+    assert(rows(Similarity.trainedCentroids(spark, SfDir)) === trainedC)
+  }
+
   test("userCard equals the inline user-grain aggregates") {
     val card = Dimensional.userCard(spark, SfDir)
       .select(col("user_id"), col("f.event_type").as("channel"),
