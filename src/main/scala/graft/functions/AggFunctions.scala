@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
-import graft.functions.expressions.{BloomAgg, BloomMightContain, FreqSketchAgg, TopKAgg}
+import graft.functions.expressions.{BloomAgg, BloomMightContain, FreqSketchAgg, TopKAgg, VecMomentsAgg}
 
 /** Column API over the custom Catalyst aggregates. */
 object AggFunctions {
@@ -31,6 +31,15 @@ object AggFunctions {
   def freqSketch(key: Column, capacity: Int): Column =
     GraftSqlBridge.column(FreqSketchAgg(GraftSqlBridge.expression(key),
       capacity).toAggregateExpression())
+
+  /** Per-dimension embedding moments in one pass, no row explode:
+    * O(dims) mergeable state (count, exact integer micro-unit Σvu /
+    * Σvu², min/max, zero count per dim) — the scan-shaped form of the
+    * feature card. Result: array<struct<dim, n, su, suu, min_v,
+    * max_v, n_zero>>, dim-ascending. */
+  def vecMoments(vec: Column): Column =
+    GraftSqlBridge.column(VecMomentsAgg(GraftSqlBridge.expression(vec))
+      .toAggregateExpression())
 
   /** Membership probe against a built filter (no false negatives). */
   def bloomMightContain(filter: Column, hash: Column): Column =

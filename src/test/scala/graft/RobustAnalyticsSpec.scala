@@ -168,6 +168,27 @@ class RobustAnalyticsSpec extends SparkTestBase {
     assert(r.filter(col("std") < 0 || isnan(col("std"))).count() === 0)
   }
 
+  test("VecMomentsAgg raw moments ≡ the explode + groupBy(dim) form " +
+    "it replaced (exact-equality contract, round 17)") {
+    import org.apache.spark.sql.functions._
+    val e = graft.operators.Similarity.emb(spark, SfDir)
+    val agg = e
+      .agg(graft.functions.AggFunctions.vecMoments(col("vec")).as("ms"))
+      .select(explode(col("ms")).as("m")).select("m.*")
+    val inline = e
+      .select(posexplode(col("vec")).as(Seq("dim", "v")))
+      .select(col("dim").cast("long").as("dim"), col("v"),
+        round(col("v") * lit(1000000.0), 0).cast("long").as("vu"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum(col("vu")).as("su"),
+        sum(col("vu") * col("vu")).as("suu"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"),
+        sum(when(col("v") === 0.0, 1L).otherwise(0L)).as("n_zero"))
+    val a = agg.collect().map(_.toString).toSet
+    val b = inline.collect().map(_.toString).toSet
+    assert(a === b)
+  }
+
   test("co_occurrence: supports bounded by part frequencies, " +
     "basket-pair symmetry respected") {
     val r = graft.operators.Analytics.coOccurrence(spark, SfDir).cache()
