@@ -114,6 +114,10 @@ object GraftFunctions {
       info("quality_stats",
         "quality_stats(s) - struct(n_chars, n_tok, n_punct, n_stop) quality-scoring ingredients in one pass"),
       (es: Seq[Expression]) => QualityStats(es(0))),
+    ("lex_stats",
+      info("lex_stats",
+        "lex_stats(s) - struct(n_tok, n_types, hapax, tf2): per-document lexical-diversity moments in one pass, no token explode"),
+      (es: Seq[Expression]) => LexStats(es(0))),
     ("trigram_stats",
       info("trigram_stats",
         "trigram_stats(s) - struct(n_tok, n_tg, n_dup): token-trigram duplication stats, no trigram strings materialized"),

@@ -102,6 +102,13 @@ object TextFunctions {
     GraftSqlBridge.column(
       expressions.QualityStats(GraftSqlBridge.expression(text)))
 
+  /** Fused lexical-diversity moments: struct<n_tok, n_types, hapax,
+    * tf2> in one codegen'd pass (see LexStats for the exact-semantics
+    * contract vs the exploded (doc, token) grouped form). */
+  def lexStats(text: Column): Column =
+    GraftSqlBridge.column(
+      expressions.LexStats(GraftSqlBridge.expression(text)))
+
   /** Composite quality metrics from a materialized [[qualityStruct]]
     * column; every ratio is an exact int/int double division →
     * engine-agnostic and identical to the pre-kernel composed form. */

@@ -336,25 +336,30 @@ object LmFilter {
     * to the #152 rule verdicts (a high-K doc is repetitive even when
     * no single token trips the Gopher top-token rule).
     *
-    * All-integer until the one terminal division in K; same
-    * explode → (doc, token) → doc-grain shape as [[gopherRules]],
-    * both aggregates partial-aggregating map-side. */
+    * All-integer until the one terminal division in K. Round 17:
+    * every statistic is DOCUMENT-LOCAL, so the corpus-wide
+    * (doc, token) explode + two-level aggregate this shipped with
+    * (one shuffle of rows × tokens — the >2×-at-×200 explode-kernel
+    * band) is replaced by the fused [[TextFunctions.lexStats]]
+    * kernel: the doc's own term-frequency table lives in a per-row
+    * hash map, one codegen'd pass per document, NO shuffle at all
+    * (terminal orderBy aside) — no hot key can exist because nothing
+    * groups. Values are identical (the kernel's scaladoc carries the
+    * token-semantics contract); the DuckDB oracle still computes the
+    * grouped form, unchanged. Docs with zero tokens stay absent, as
+    * the explode form left them. */
   def lexicalDiversity(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
-    val perTok = docs.select(col("doc_id"),
-        explode(filter(split(lower(trim(col("text"))), "\\s+"),
-          t => t =!= "")).as("tok"))
-      .groupBy("doc_id", "tok")
-      .agg(count(lit(1)).as("tf"))
-    perTok.groupBy("doc_id")
-      .agg(sum(col("tf")).as("n_tok"),
-        count(lit(1)).as("n_types"),
-        sum((col("tf") === 1L).cast("long")).as("hapax"),
-        sum(col("tf") * col("tf")).as("tf2"))
-      .select(col("doc_id"), col("n_tok"), col("n_types"), col("hapax"),
-        expr("n_types * 1000000 div n_tok").as("ttr_ppm"),
-        round((lit(10000L) * (col("tf2") - col("n_tok"))).cast("double")
-          / (col("n_tok") * col("n_tok")).cast("double"), 6)
+    Tables.load(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.lexStats(col("text")).as("s"))
+      .filter(col("s.n_tok") > 0L)
+      .select(col("doc_id"), col("s.n_tok").as("n_tok"),
+        col("s.n_types").as("n_types"), col("s.hapax").as("hapax"),
+        expr("s.n_types * 1000000 div s.n_tok").as("ttr_ppm"),
+        round((lit(10000L) * (col("s.tf2") - col("s.n_tok")))
+            .cast("double")
+          / (col("s.n_tok") * col("s.n_tok")).cast("double"), 6)
           .as("yule_k"))
       .orderBy("doc_id")
   }
