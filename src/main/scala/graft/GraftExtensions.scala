@@ -140,6 +140,14 @@ object GraftFunctions {
       info("quantize_i8",
         "quantize_i8(v) - symmetric int8 quantization of a double array (codes in [-127,127])"),
       (es: Seq[Expression]) => QuantizeI8(es(0))),
+    ("rp_coords",
+      info("rp_coords",
+        "rp_coords(v) - 8 exact integer random-projection (JL) coordinates of a double array in one pass"),
+      (es: Seq[Expression]) => RpCoords(es(0))),
+    ("vec_moments",
+      info("vec_moments",
+        "vec_moments(v) - aggregate: per-dimension embedding moments (n, integer micro-unit sum/sum2, min, max, zero count) with O(dims) state, no explode"),
+      (es: Seq[Expression]) => VecMomentsAgg(es(0)).toAggregateExpression()),
     ("int_cosine",
       info("int_cosine",
         "int_cosine(a, b) - cosine of two int-code arrays via exact integer dot/norms"),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
-import graft.functions.expressions.{CosineSim, DotProduct, Fnv64, IntCosine, PqAdc, PortableSignBandKeys, QuantizeI8, SignBandKeys}
+import graft.functions.expressions.{CosineSim, DotProduct, Fnv64, IntCosine, PqAdc, PortableSignBandKeys, QuantizeI8, RpCoords, SignBandKeys}
 
 /** Column-level vector API over the custom Catalyst kernels plus the
   * random-hyperplane LSH used by the similarity operators
@@ -22,6 +22,10 @@ object VectorFunctions {
   def asDouble(col: Column): Column = col.cast(ArrayType(DoubleType))
 
   def dot(a: Column, b: Column): Column = c(DotProduct(e(a), e(b)))
+
+  /** Random-projection coordinates: 8 exact integer JL-sketch
+    * coordinates per vector in one scan-stage pass (see RpCoords). */
+  def rpCoords(v: Column): Column = c(RpCoords(e(v)))
   def cosine(a: Column, b: Column): Column = c(CosineSim(e(a), e(b)))
   def fnv64(a: Column): Column = c(Fnv64(e(a)))
 

@@ -185,3 +185,84 @@ object Fnv64 {
   val Offset: Long = 0xcbf29ce484222325L
   val Prime: Long = 0x100000001b3L
 }
+
+/** Random-projection coordinates (SURVEY.md §2 #179, round 17): the
+  * [[graft.operators.Similarity.randomProjection]] sketch in ONE
+  * per-row pass — coord[j] = Σ_{d < min(dims, 128)} sign(d, j)·q_d,
+  * with q_d = [[Unscaled6.compute]] of the element (the exact 6 dp
+  * micro-unit quantization) and sign(d, j) the same md5-affine ±1
+  * the SQL sign table derives (`md5(concat_ws('_', d, j))` tail-8
+  * hex, even → +1) — precomputed once at class load (128×8 entries),
+  * byte-identical to the broadcast table because MD5 is MD5.
+  *
+  * Replaces: posexplode(rows×dims) ⋈ broadcast signs (rows×dims×8
+  * intermediate rows) + a (vec, j)-grain exchange — this kernel emits
+  * the 8 coordinates per row inside the scan stage; the consumer
+  * explodes an 8-element array instead. The SQL form's inner join
+  * dropped d ≥ 128 contributions (the sign table's range); the kernel
+  * iterates min(dims, 128) to match. Empty/all-null vectors return an
+  * EMPTY array (the join form emitted no groups for them).
+  * Σ bound: ≤ 128·10⁶·max|v| ≪ 2⁶³, Math.addExact keeps the ANSI
+  * loud-overflow posture. */
+case class RpCoords(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckSuccess
+      case t => TypeCheckFailure(
+        s"rp_coords requires array<double>, got ${t.simpleString}")
+    }
+  }
+  override def nullSafeEval(v: Any): Any =
+    RpCoords.compute(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.RpCoords.compute($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RpCoords {
+  /** Output dims — must equal Similarity.RpDims (spec-pinned). */
+  val Dims = 8
+  /** Sign-table input range — the SQL form's `spark.range(0, 128)`. */
+  val MaxInDims = 128
+
+  /** sign(d, j) = +1 iff the tail-8-hex of md5("d_j") is even — the
+    * exact broadcast-table derivation, replayed once per class load. */
+  private val Signs: Array[Array[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(MaxInDims, Dims) { (d, j) =>
+      md.reset()
+      val hex = md.digest(s"${d}_$j".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      val v = java.lang.Long.parseLong(hex.substring(24, 32), 16)
+      if (v % 2 == 0) 1L else -1L
+    }
+  }
+
+  def compute(a: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = math.min(a.numElements(), MaxInDims)
+    val out = new Array[Long](Dims)
+    var any = false
+    var d = 0
+    while (d < n) {
+      if (!a.isNullAt(d)) {
+        any = true
+        val q = Unscaled6.compute(a.getDouble(d))
+        val s = Signs(d)
+        var j = 0
+        while (j < Dims) {
+          out(j) = Math.addExact(out(j), s(j) * q)
+          j += 1
+        }
+      }
+      d += 1
+    }
+    if (!any) new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.emptyLongArray)
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}

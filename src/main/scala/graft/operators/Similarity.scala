@@ -1039,24 +1039,22 @@ object Similarity {
     * coordinates per vector (inputs 6 dp-quantized, coordinates exact
     * ±sums of micro-units — fully oracled, unlike any float sketch).
     *
-    * Scale: one posexplode (rows × dim) + a broadcast join against
-    * the dim × [[RpDims]] sign table + a (vec, j)-grain map-side
-    * aggregate. Row-linear; no shuffle wider than the output. */
+    * Scale (round 17): ONE scan-stage pass — the fused
+    * [[graft.functions.expressions.RpCoords]] kernel emits the 8
+    * exact coordinates per vector (its class-load sign table replays
+    * the identical md5-affine derivation byte-for-byte), so the
+    * posexplode(rows × dim) ⋈ broadcast-signs fan-out (rows × dim × 8
+    * intermediate rows) and the (vec, j)-grain exchange are gone;
+    * only the 8-element result array explodes. Values identical;
+    * the DuckDB oracle still builds the sign table relationally,
+    * unchanged. */
   def randomProjection(spark: SparkSession, dir: String): DataFrame = {
-    val x = emb(spark, dir)
-      .select(col("vec_id"), posexplode(col("vec")).as(Seq("d", "xv")))
-      .select(col("vec_id"), col("d").cast("long").as("d"),
-        Num.unscaled6(col("xv")).as("q"))
-    val signs = spark.range(0, 128).select(col("id").as("d"))
-      .crossJoin(spark.range(0, RpDims).select(col("id").as("j")))
-      .withColumn("sgn",
-        when(pmod(conv(substring(md5(concat_ws("_", col("d"), col("j"))),
-          25, 8), 16, 10).cast("long"), lit(2L)) === 0L, 1L)
-          .otherwise(-1L))
-    x.join(broadcast(signs), "d")
-      .groupBy("vec_id", "j")
-      .agg(sum(col("q") * col("sgn")).as("coord"))
-      .select(col("vec_id"), col("j").as("proj_dim"), col("coord"))
+    emb(spark, dir)
+      .select(col("vec_id"), rpCoords(col("vec")).as("cs"))
+      .select(col("vec_id"),
+        posexplode(col("cs")).as(Seq("proj_dim", "coord")))
+      .select(col("vec_id"), col("proj_dim").cast("long").as("proj_dim"),
+        col("coord"))
       .orderBy("vec_id", "proj_dim")
   }
 
