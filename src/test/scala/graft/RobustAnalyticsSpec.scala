@@ -189,6 +189,18 @@ class RobustAnalyticsSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("VecMomentsAgg on the raw array<float> column ≡ on the " +
+    "asDouble cast (float→double widening exactness)") {
+    import org.apache.spark.sql.functions._
+    def run(c: org.apache.spark.sql.Column) =
+      Tables.load(spark, SfDir, "embeddings")
+        .agg(graft.functions.AggFunctions.vecMoments(c).as("ms"))
+        .select(explode(col("ms")).as("m")).select("m.*")
+        .collect().map(_.toString).toSet
+    assert(run(col("embedding")) ===
+      run(graft.functions.VectorFunctions.asDouble(col("embedding"))))
+  }
+
   test("co_occurrence: supports bounded by part frequencies, " +
     "basket-pair symmetry respected") {
     val r = graft.operators.Analytics.coOccurrence(spark, SfDir).cache()

@@ -72,6 +72,45 @@ class TextSeqStatsSpec extends SparkTestBase {
     }
   }
 
+  test("LexStats kernel ≡ the built-in split+explode form on " +
+    "adversarial whitespace/unicode inputs") {
+    import org.apache.spark.sql.functions._
+    // the contract: Java regex \s = the six ASCII whitespace bytes.
+    // NBSP ( ), EM SPACE ( ) and IDEOGRAPHIC SPACE
+    // (　) are Character.isWhitespace-ish but NOT \s — they must
+    // JOIN tokens, not split them; multibyte tokens, case folding,
+    // repeated tokens, tabs/CR/LF/VT/FF runs and boundary whitespace
+    // all exercise the byte scanner against the Pattern split.
+    val texts = Seq(
+      "The the THE the",
+      "a\tb\rc\ndef  g",
+      "café CAFÉ naïve 世界 世界",
+      "join ed em spaced wide　space",
+      "  leading and trailing  ",
+      "\t\n", "single", "")
+    val df = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val kernel = df.select(col("doc_id"),
+        graft.functions.TextFunctions.lexStats(col("text")).as("s"))
+      .select(col("doc_id"), col("s.n_tok"), col("s.n_types"),
+        col("s.hapax"), col("s.tf2"))
+      .collect().map(_.toString).toSet
+    val builtin = df.select(col("doc_id"),
+        explode_outer(filter(split(lower(trim(col("text"))), "\\s+"),
+          t => t =!= "")).as("tok"))
+      // count(tok), not count(1): explode_outer's null row for an
+      // empty doc must contribute tf 0, not a phantom token
+      .groupBy("doc_id", "tok").agg(count(col("tok")).as("tf"))
+      .groupBy("doc_id")
+      .agg(coalesce(sum(col("tf")), lit(0L)).as("n_tok"),
+        count(col("tok")).as("n_types"),
+        coalesce(sum((col("tf") === 1L).cast("long")), lit(0L))
+          .as("hapax"),
+        coalesce(sum(col("tf") * col("tf")), lit(0L)).as("tf2"))
+      .collect().map(_.toString).toSet
+    assert(kernel === builtin)
+  }
+
   test("session entry/exit matrix conserves the sessionize partition") {
     val matrix = Sessions.sessionEntryExit(spark, SfDir).collect()
     val sessions = Sessions.sessionize(spark, SfDir).collect()
