@@ -190,6 +190,7 @@ object SparkEntry {
     "systematic_sample" -> (Sampling.systematicSample _),
     "assign_ids" -> (TrainExport.assignIds _),
     "random_projection" -> (Similarity.randomProjection _),
+    "rp_moments" -> (Similarity.rpMoments _),
     "embed_outliers" -> (Similarity.embedOutliers _),
     "lsh_eval" -> (Dedup.lshEval _),
     "stickiness" -> (Dimensional.stickiness _),
@@ -3470,6 +3471,30 @@ object SparkEntry {
         |SELECT x.vec_id, s.j AS proj_dim,
         |  cast(sum(x.q * s.sgn) AS bigint) AS coord
         |FROM x JOIN s USING (d) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // #179's bounded-output measurement twin: the random_projection
+    // coordinate CTE collapsed to an 8-row per-proj-dim moment card.
+    "rp_moments" ->
+      """WITH e AS (SELECT vec_id, cast(embedding AS double[]) AS v
+        |  FROM embeddings),
+        |x AS (SELECT vec_id, dd.d AS d,
+        |    cast(cast(v[dd.d + 1] AS decimal(18,6)) * 1000000 AS bigint)
+        |      AS q
+        |  FROM e, (SELECT unnest(range(128)) AS d) dd
+        |  WHERE dd.d < len(v)),
+        |s AS (SELECT dd.d, jj.j,
+        |    CASE WHEN ('0x'||substr(md5(dd.d || '_' || jj.j), 25, 8))
+        |      ::UBIGINT % 2 = 0 THEN 1 ELSE -1 END AS sgn
+        |  FROM (SELECT unnest(range(128)) AS d) dd,
+        |       (SELECT unnest(range(8)) AS j) jj),
+        |c AS (SELECT x.vec_id, s.j AS proj_dim,
+        |    cast(sum(x.q * s.sgn) AS bigint) AS coord
+        |  FROM x JOIN s USING (d) GROUP BY 1, 2)
+        |SELECT proj_dim, count(*) AS n_vecs,
+        |  cast(sum(coord) AS bigint) AS su,
+        |  min(coord) AS min_c, max(coord) AS max_c,
+        |  cast(sum(CASE WHEN coord > 0 THEN 1 ELSE 0 END) AS bigint)
+        |    AS n_pos
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     // Outlier-screen twin: the centroid_assign centroid CTE, cosine
     // to the OWN label's centroid, 6dp-rounded membership.
     "embed_outliers" ->

@@ -22,16 +22,23 @@ import org.apache.spark.sql.types._
   * EXACT-EQUALITY contract with the expression form it replaced
   * (values must stay hash-identical to the DuckDB oracle):
   *
-  *  - vu = round(v·10⁶) with Spark/DuckDB `round` semantics
-  *    (half away from zero). Implemented as floor(x+0.5) /
-  *    ceil(x−0.5): for |x| < 2⁵¹ the ±0.5 addition is EXACT (ulp(x)
-  *    ≤ 0.5), so this is the true half-away rounding of the double x
-  *    — and k+0.5 is always representable, so a non-tie x is never
-  *    misread as a tie. Spark's ROUND goes through the shortest
-  *    decimal repr r of x (BigDecimal.valueOf): |r−x| < ulp(x)/2 and
-  *    the boundary k+0.5 IS a double, so r sits strictly on x's side
-  *    of every boundary — identical result. (|x| here ≤ 10⁶·max|v|,
-  *    far under 2⁵¹.)
+  *  - vu = round(v·10⁶) with Spark/DuckDB `round` semantics: both
+  *    route the scaled double x through its SHORTEST-decimal repr
+  *    (BigDecimal.valueOf(x), HALF_UP — Spark's Decimal cast and
+  *    DuckDB's round agree on doubles). Implemented with the
+  *    [[Unscaled6]] tie-guard pattern: fast path floor(x) + fraction
+  *    compare, and any x whose fraction lands within an eps band of
+  *    the .5 boundary (where fl arithmetic cannot decide the side —
+  *    e.g. x = 0.5−2⁻⁵⁴, whose naive fl(x+0.5) ties up to 1.0 while
+  *    the shortest-decimal HALF_UP answer is 0) is routed to the
+  *    exact BigDecimal slow path, as is every |x| ≥ 2⁵² (fraction no
+  *    longer representable) — where longValueExact also restores the
+  *    loud-overflow posture. Off the band, frac = x − floor(x) is
+  *    computed exactly (Sterbenz for |x| ≥ 1, exact small-value
+  *    subtraction below), so the fast path IS the HALF_UP answer:
+  *    the boundary k+0.5 is itself a double, so the shortest repr of
+  *    a non-tie x never crosses it. (|x| here ≤ 10⁶·max|v|, far
+  *    under 2⁵².)
   *  - Σvu, Σvu² via Math.addExact/multiplyExact — order-free exact
   *    longs, and a breach of the 2⁶³ bound throws like ANSI instead
   *    of wrapping (same loud-overflow posture as the SQL form).
@@ -144,6 +151,40 @@ case class VecMomentsAgg(vecExpr: Expression,
 
 object VecMomentsAgg {
 
+  /** Shortest-decimal HALF_UP round(x) — the [[Unscaled6]] tie-guard
+    * pattern at scale 0 (round 18, ADVICE r17 #1; see the exactness
+    * argument in the class scaladoc). Fast path decides via the exact
+    * fraction; ties the double can't adjudicate (|frac−0.5| ≤ eps)
+    * and every |x| ≥ ~2⁵² (fraction below ulp — where the old
+    * floor(x+0.5) form bumped every odd integer in [2⁵², 2⁵³) up by
+    * one, and pred(0.5)'s +0.5 tied up to 1) take the BigDecimal
+    * reference path, which also throws loudly on NaN/Inf/long
+    * overflow (same posture as the addExact sums). Package-visible
+    * so RobustAnalyticsSpec can pin it against the reference on
+    * exactly the adversarial doubles the aggregate's value domain
+    * can't reach (suu would addExact-overflow long before 2⁵²). */
+  private[graft] def roundHalfUp(x: Double): Long = {
+    val ax = math.abs(x)
+    if (!(ax < 4.5e15)) return roundSlow(x) // ≥ ~2⁵²; also NaN/Inf
+    val f = Math.floor(x)
+    val frac = x - f
+    val eps = ax * 4.5e-16 + 1e-9
+    if (Math.abs(frac - 0.5) <= eps) roundSlow(x)
+    else if (frac > 0.5) f.toLong + 1L
+    else f.toLong
+  }
+
+  /** The reference path: shortest-decimal repr of x, HALF_UP to an
+    * integer — exactly what Spark's round/Decimal cast and DuckDB's
+    * round produce on a double. */
+  private def roundSlow(x: Double): Long = {
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x))
+      throw new ArithmeticException(s"vec_moments: cannot round $x")
+    java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP)
+      .longValueExact()
+  }
+
   /** Fixed per-dim accumulators; grows to the longest vector seen.
     * min/max start at the Spark-ordering identities (NaN-greatest
     * ordering: +∞ is below NaN, so NaN survives as a max; a dim that
@@ -177,10 +218,7 @@ object VecMomentsAgg {
       dims = d
     }
 
-    /** Half-away-from-zero round(x) — see the exactness argument in
-      * the class scaladoc. */
-    private def roundAway(x: Double): Long =
-      (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+    private def roundAway(x: Double): Long = VecMomentsAgg.roundHalfUp(x)
 
     def offer(a: ArrayData, isFloat: Boolean): Unit = {
       val d = a.numElements()

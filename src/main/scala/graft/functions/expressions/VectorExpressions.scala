@@ -200,12 +200,19 @@ object Fnv64 {
   * the 8 coordinates per row inside the scan stage; the consumer
   * explodes an 8-element array instead. The SQL form's inner join
   * dropped d ≥ 128 contributions (the sign table's range); the kernel
-  * iterates min(dims, 128) to match. Empty/all-null vectors return an
-  * EMPTY array (the join form emitted no groups for them).
+  * iterates min(dims, 128) to match. Degenerate inputs follow the
+  * join form exactly: an EMPTY array returns an empty array
+  * (posexplode emits no rows → no groups), while a non-empty vector
+  * whose first min(dims, 128) elements are ALL null returns 8 NULL
+  * coordinates (posexplode emits (d, null) rows, the sign join still
+  * matches on d, and sum over only-null contributions is NULL per
+  * group — 8 groups survive).
   * Σ bound: ≤ 128·10⁶·max|v| ≪ 2⁶³, Math.addExact keeps the ANSI
   * loud-overflow posture. */
 case class RpCoords(child: Expression) extends UnaryExpression {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // containsNull: an all-null (non-empty) vector yields NULL coords,
+  // matching the replaced join form's null-sum groups
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
@@ -261,8 +268,13 @@ object RpCoords {
       }
       d += 1
     }
-    if (!any) new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      Array.emptyLongArray)
-    else new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    if (any)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    else if (a.numElements() == 0)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.emptyLongArray)
+    else // elements seen but every contribution null → NULL per group
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Any](Dims))
   }
 }

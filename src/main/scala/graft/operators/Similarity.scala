@@ -338,6 +338,18 @@ object Similarity {
     * dedup multi-assigned candidates, exact-cosine re-rank. */
   private[graft] def ivfSearch(e: DataFrame, centroids: DataFrame,
       assigned: DataFrame, probe: Int, margin: Double,
+      probeMax: Int): DataFrame =
+    ivfServe(e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("vec").as("qvec")),
+      centroids, assigned, probe, margin, probeMax)
+
+  /** [[ivfSearch]] with the probe set supplied by the CALLER — the
+    * serving entry point (round 18, VERDICT r17 next-round #7): a
+    * probe micro-batch from a stream runs through exactly the code
+    * path the batch queries are oracled on. `queryVecs` must carry
+    * (q_id, qvec). */
+  private[graft] def ivfServe(queryVecs: DataFrame, centroids: DataFrame,
+      assigned: DataFrame, probe: Int, margin: Double,
       probeMax: Int): DataFrame = {
     // probe selection on the 6 dp-ROUNDED centroid cosine (round 15):
     // rank, best-cell anchor and the adaptive margin all compare
@@ -349,8 +361,7 @@ object Similarity {
     val qw = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cs").desc, col("c_id").asc)
     val qb = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
-    val probes = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("q_id"), col("vec").as("qvec"))
+    val probes = queryVecs
       .crossJoin(centroids)
       .select(col("q_id"), col("qvec"), col("c_id"),
         round(cosine(col("qvec"), col("cvec")), 6).as("cs"))
@@ -453,17 +464,24 @@ object Similarity {
 
   private def searchIndex(spark: SparkSession, dir: String, probe: Int,
       margin: Double, probeMax: Int): DataFrame = {
+    val (centroids, postings) = ivfIndexTables(spark, dir)
+    ivfSearch(emb(spark, dir), broadcast(centroids), postings, probe,
+      margin, probeMax)
+  }
+
+  /** The persisted #119 index tables (built first if absent) — also
+    * the STATIC side of the streaming serving twin
+    * [[graft.streaming.EventStream.annServe]]. */
+  def ivfIndexTables(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val root = indexRoot(dir)
     val marker = new java.io.File(root, "_BUILT")
     if (marker.lastModified() == 0L) {
       buildIvfIndex(spark, dir, root)
       marker.setLastModified(System.currentTimeMillis())
     }
-    val centroids =
-      broadcast(spark.read.parquet(s"$root/centroids.parquet"))
-    val postings = spark.read.parquet(s"$root/postings.parquet")
-    ivfSearch(emb(spark, dir), centroids, postings, probe, margin,
-      probeMax)
+    (spark.read.parquet(s"$root/centroids.parquet"),
+      spark.read.parquet(s"$root/postings.parquet"))
   }
 
   /** Every third vector is "new" in the append scenario. */
@@ -1056,6 +1074,33 @@ object Similarity {
       .select(col("vec_id"), col("proj_dim").cast("long").as("proj_dim"),
         col("coord"))
       .orderBy("vec_id", "proj_dim")
+  }
+
+  /** #179's bounded-output measurement twin (round 18, VERDICT r17
+    * next-round #4): the SAME scan + [[rpCoords]] kernel + 8-way
+    * explode as [[randomProjection]], collapsed to ONE moment-card
+    * row per projected dimension — count, exact integer coordinate
+    * sum, min/max, positive count. `random_projection`'s bench cell
+    * is dominated by its contract's ordered full-corpus driver fetch
+    * (1.6M rows at ×100 — a harness artifact, adjudicated in
+    * BASELINE's perf-endgame block); this twin returns 8 rows, so its
+    * cell measures the kernel honestly. Σ|coord| ≤ rows·128·10⁶·
+    * max|v| ≈ 4·10¹⁴ at ×200 — far inside long.
+    *
+    * Scale: scan-stage kernel + an 8-group map-side-combined
+    * aggregate; ships 8 rows per task, no exchange wider than the
+    * final 8-key shuffle. */
+  def rpMoments(spark: SparkSession, dir: String): DataFrame = {
+    emb(spark, dir)
+      .select(rpCoords(col("vec")).as("cs"))
+      .select(posexplode(col("cs")).as(Seq("proj_dim", "coord")))
+      .groupBy(col("proj_dim").cast("long").as("proj_dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("coord")).as("su"),
+        min(col("coord")).as("min_c"),
+        max(col("coord")).as("max_c"),
+        sum((col("coord") > 0L).cast("long")).as("n_pos"))
+      .orderBy("proj_dim")
   }
 
   /** Own-centroid cosine floor for [[embedOutliers]] (6 dp-rounded

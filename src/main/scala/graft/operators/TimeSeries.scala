@@ -267,10 +267,16 @@ object TimeSeries {
     // derivation matters. The calendar DATE is reconstructed from the
     // epoch day AFTER the minute-grain collapse (≤1440 rows per
     // ticker-day), where it is free. UTC session ⇒ identical values.
+    // FLOOR-division semantics (round 18): pmod keeps the remainder
+    // non-negative, so pre-1970 timestamps land on the same epoch day
+    // and minute-of-day the to_date/hour/minute form produced —
+    // `div`/`%` alone truncate toward zero and would shift them.
+    // For ts ≥ 0 pmod ≡ %, so the committed corpora hash unchanged.
     val m = Tables.load(spark, dir, "events")
       .select(col("user_id").as("ticker_id"),
-        expr(s"unix_micros(ts) div $DayUs").as("d"),
-        expr(s"(unix_micros(ts) % $DayUs) div 60000000").as("mi"))
+        expr(s"(unix_micros(ts) - pmod(unix_micros(ts), $DayUs))" +
+          s" div $DayUs").as("d"),
+        expr(s"pmod(unix_micros(ts), $DayUs) div 60000000").as("mi"))
       .groupBy("ticker_id", "d", "mi")
       .agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window

@@ -93,6 +93,44 @@ class ArtifactSpec extends SparkTestBase {
     assert(rows(Similarity.trainedCentroids(spark, SfDir)) === trainedC)
   }
 
+  test("ModelStore: a stale marker (corpus regenerated after the " +
+    "model was built) forces a retrain, never a stale serve " +
+    "(round 18 hardening, ADVICE r17 #2)") {
+    import graft.operators.{ModelStore, Similarity}
+    graft.CorpusCache.clearAll()
+    val trainedC = rows(Similarity.trainedCentroids(spark, SfDir))
+    val root = ModelStore.root(SfDir)
+    org.apache.commons.io.FileUtils.deleteQuietly(root)
+    sys.props("graft.modelstore") = "1"
+    try {
+      graft.CorpusCache.clearAll()
+      Similarity.trainedCentroids(spark, SfDir).collect()
+      val f = new java.io.File(root,
+        s"centroids_${Similarity.IvfKmeansIters}.parquet")
+      val marker = new java.io.File(root,
+        s"_BUILT_centroids_${Similarity.IvfKmeansIters}")
+      assert(f.exists() && marker.exists(), "persist pass incomplete")
+      // doctor the persisted table, then BACKDATE the marker below
+      // the corpus mtime — the freshness guard must retrain (i.e.
+      // the doctored rows must NOT come back, unlike the fresh-marker
+      // doctored-serve case above which proves the load path)
+      import spark.implicits._
+      Seq((999999L, Seq.fill(4)(0.5))).toDF("c_id", "cvec")
+        .write.mode("overwrite").parquet(f.getPath)
+      assert(marker.setLastModified(1000L))
+      graft.CorpusCache.clearAll()
+      assert(rows(Similarity.trainedCentroids(spark, SfDir)) === trainedC,
+        "stale-marker store served the doctored model instead of retraining")
+      // and the retrain re-published + re-marked: a fresh marker now
+      // guards a table equal to honest training
+      assert(marker.lastModified() > 1000L)
+    } finally {
+      sys.props.remove("graft.modelstore")
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      graft.CorpusCache.clearAll()
+    }
+  }
+
   test("userCard equals the inline user-grain aggregates") {
     val card = Dimensional.userCard(spark, SfDir)
       .select(col("user_id"), col("f.event_type").as("channel"),

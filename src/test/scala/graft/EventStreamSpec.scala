@@ -609,4 +609,52 @@ class EventStreamSpec extends SparkTestBase {
     assert(got.getAs[Long]("n_rows") === batch.getAs[Long]("n_rows"))
     assert(got.getAs[Long]("checksum") === batch.getAs[Long]("checksum"))
   }
+
+  test("streaming ANN serving over the persisted index equals the " +
+    "batch probe path, replay-idempotent (#119's serving twin, round 18)") {
+    import graft.operators.Similarity
+    val (centroids, postings) = Similarity.ivfIndexTables(spark, SfDir)
+    // the probe set the batch contract is oracled on, arriving as two
+    // file micro-batches
+    val probesAll = Similarity.emb(spark, SfDir)
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("vec").as("qvec"))
+    val inDir = Files.createTempDirectory("graft_annserve_in").toString
+    val outDir = Files.createTempDirectory("graft_annserve_out").toString
+    val chkDir = Files.createTempDirectory("graft_annserve_chk").toString
+    probesAll.filter(col("q_id") < 4).coalesce(1)
+      .write.mode("overwrite").parquet(inDir)
+    val stream = spark.readStream.schema(probesAll.schema).parquet(inDir)
+    val q = EventStream.annServe(stream, centroids, postings, outDir,
+      chkDir)
+    try {
+      q.processAllAvailable()
+      probesAll.filter(col("q_id") >= 4).coalesce(1)
+        .write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    def served: Set[String] = spark.read.parquet(outDir)
+      .select("q_id", "rnk", "cand_id", "cos_sim")
+      .collect().map(_.toString).toSet
+    val batch = Similarity.annIvfIndexedTuned(spark, SfDir)
+      .select("q_id", "rnk", "cand_id", "cos_sim")
+      .collect().map(_.toString).toSet
+    assert(served === batch,
+      "streamed serve diverged from the oracled batch probe path")
+    assert(spark.read.parquet(outDir).select("batch_id").distinct()
+      .count() >= 2, "expected at least two micro-batches")
+    // replay idempotence — the at-least-once REDELIVERY case
+    // foreachBatch contracts for (same batchId, same rows, re-run
+    // after a simulated sink failure): the per-batch overwrite
+    // partition must leave both the row count and the served set
+    // unchanged, not append duplicates
+    val cnt1 = spark.read.parquet(outDir).count()
+    Similarity.ivfServe(probesAll.filter(col("q_id") < 4),
+        broadcast(centroids), postings, Similarity.IvfProbe,
+        Similarity.IvfProbeMargin, Similarity.IvfProbeMax)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=0")
+    assert(spark.read.parquet(outDir).count() === cnt1,
+      "redelivered batch duplicated rows")
+    assert(served === batch, "redelivered batch mutated served rows")
+  }
 }

@@ -201,6 +201,76 @@ class RobustAnalyticsSpec extends SparkTestBase {
       run(graft.functions.VectorFunctions.asDouble(col("embedding"))))
   }
 
+  test("VecMomentsAgg.roundHalfUp ≡ shortest-decimal HALF_UP on " +
+    "adversarial doubles (binade ties, odd ints ≥ 2^52 — ADVICE r17 #1)") {
+    import graft.functions.expressions.VecMomentsAgg.roundHalfUp
+    def ref(x: Double): Long =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    // the documented old-kernel failures: pred(0.5) (fl(x+0.5) ties
+    // up to 1.0; shortest-repr HALF_UP says 0) and odd integers in
+    // [2^52, 2^53) (fl(x+0.5) ties up to x+1)
+    val pred05 = java.lang.Math.nextDown(0.5)
+    assert(roundHalfUp(pred05) === 0L && ref(pred05) === 0L)
+    assert(roundHalfUp(-pred05) === 0L)
+    val oddBig = (1L << 52) + 1L
+    assert(roundHalfUp(oddBig.toDouble) === oddBig)
+    assert(roundHalfUp(-oddBig.toDouble) === -oddBig)
+    // exact ties round away from zero on both paths
+    Seq(0.5, 1.5, 2.5, -0.5, -1.5, -2.5, 1048576.5, -1048576.5)
+      .foreach { x => assert(roundHalfUp(x) === ref(x), s"tie $x") }
+    // ulp-neighborhood sweep around many .5 boundaries + randoms:
+    // kernel must equal the BigDecimal reference everywhere
+    val rnd = new scala.util.Random(18)
+    def ulps(v: Double, k: Int): Double = {
+      val b = java.lang.Double.doubleToLongBits(v)
+      java.lang.Double.longBitsToDouble(b + k)
+    }
+    for (_ <- 1 to 20000) {
+      val k = rnd.nextLong(1L << 50)
+      val x0 = ulps(k + 0.5, rnd.nextInt(9) - 4)
+      val x = if (rnd.nextBoolean()) x0 else -x0
+      assert(roundHalfUp(x) === ref(x), s"boundary sweep $x")
+      val y = rnd.nextDouble() * math.pow(10, rnd.nextInt(16)) *
+        (if (rnd.nextBoolean()) 1 else -1)
+      assert(roundHalfUp(y) === ref(y), s"random $y")
+    }
+    // loud failure posture preserved
+    intercept[ArithmeticException](roundHalfUp(Double.NaN))
+    intercept[ArithmeticException](roundHalfUp(Double.PositiveInfinity))
+    intercept[ArithmeticException](roundHalfUp(1e19))
+  }
+
+  test("RpCoords degenerate inputs match the replaced join form: " +
+    "empty → no groups, all-null non-empty → 8 NULL coords (ADVICE r17 #3)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(Seq[Option[Double]](Some(0.25), None, Some(-1.0)))),
+      (2L, Some(Seq[Option[Double]]())), // empty vector
+      (3L, Some(Seq[Option[Double]](None, None))) // all-null elements
+    ).toDF("vec_id", "v")
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.rpCoords(
+          col("v").cast("array<double>")).as("cs"))
+    val byId = df.collect().map(r => r.getLong(0) ->
+      r.getSeq[Any](1)).toMap
+    assert(byId(1L).length === 8 && byId(1L).forall(_ != null))
+    assert(byId(2L).isEmpty, "empty vector must emit an empty array")
+    assert(byId(3L).length === 8 && byId(3L).forall(_ == null),
+      "all-null vector must emit 8 NULL coords like the join form")
+    // and the SQL join form agrees on the all-null case: posexplode
+    // keeps (d, null) rows, the sign join matches on d, sum(null)=null
+    val joinForm = Seq((3L, Seq[Option[Double]](None, None)))
+      .toDF("vec_id", "v")
+      .select(col("vec_id"),
+        posexplode(col("v").cast("array<double>")).as(Seq("d", "x")))
+      .crossJoin(spark.range(8).select(col("id").as("j")))
+      .groupBy("vec_id", "j").agg(sum(col("x")).as("coord"))
+    assert(joinForm.count() === 8)
+    assert(joinForm.filter(col("coord").isNotNull).count() === 0)
+  }
+
   test("co_occurrence: supports bounded by part frequencies, " +
     "basket-pair symmetry respected") {
     val r = graft.operators.Analytics.coOccurrence(spark, SfDir).cache()
