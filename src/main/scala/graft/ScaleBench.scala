@@ -119,6 +119,10 @@ object ScaleBench {
     "rfm_segments", "autocorr", "khop_reach", "zipf_fit",
     "lexical_diversity", "session_entry_exit", "cusum_alerts",
     "systematic_sample", "assign_ids", "random_projection",
+    // round 19: random_projection's bounded-output measurement twin —
+    // same scan + RpCoords kernel, 8 rows out, so the cell times the
+    // kernel without the contract's rows×8 ordered driver fetch
+    "rp_moments",
     "embed_outliers",
     // round 15 batch D: duplication-invariant collapses (stickiness's
     // (user, day) distinct; item_cf's basket distinct). lsh_eval and

@@ -65,10 +65,13 @@ object ModelStore {
     sys.props.get("graft.modelstore")
       .orElse(sys.env.get("SPARK_GRAFT_MODEL_STORE")).contains("1")
 
-  /** Configurable store base; per-user 0700 tmpdir fallback. */
-  def storeBase: java.io.File =
+  private def configuredRoot: Option[String] =
     sys.props.get("graft.modelstore.root")
       .orElse(sys.env.get("SPARK_GRAFT_MODEL_ROOT"))
+
+  /** Configurable store base; per-user 0700 tmpdir fallback. */
+  def storeBase: java.io.File =
+    configuredRoot
       .map(new java.io.File(_))
       .getOrElse(new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_models_${sys.props.getOrElse("user.name", "anon")}"))
@@ -80,21 +83,31 @@ object ModelStore {
 
   private def mkdirsPrivate(d: java.io.File): Unit = {
     d.mkdirs()
-    // owner-only on the store base (the world-writable-tmpdir risk)
-    // and the corpus dir; a non-POSIX or ACL-governed configured
-    // root keeps its own permissions
-    val own = java.nio.file.attribute.PosixFilePermissions
-      .fromString("rwx------")
-    try {
-      Files.setPosixFilePermissions(storeBase.toPath, own)
-      Files.setPosixFilePermissions(d.toPath, own)
-    } catch { case _: UnsupportedOperationException => () }
+    // owner-only ONLY on the default tmpdir fallback (the
+    // world-writable-tmpdir risk); an explicitly configured root is
+    // the operator's trust domain — possibly shared with other
+    // services — so its permissions are left untouched (ADVICE r18 #2)
+    if (configuredRoot.isEmpty) {
+      val own = java.nio.file.attribute.PosixFilePermissions
+        .fromString("rwx------")
+      try {
+        Files.setPosixFilePermissions(storeBase.toPath, own)
+        Files.setPosixFilePermissions(d.toPath, own)
+      } catch { case _: UnsupportedOperationException => () }
+    }
   }
 
+  /** Fails LOUDLY when a delete returns false while the path still
+    * exists (ADVICE r18 #1): a half-deleted stale table must surface
+    * as an error, never fall through to the publish-race catch where
+    * the marker would re-certify the stale bytes as fresh. A false
+    * return with the path gone is a concurrent deleter — fine. */
   private def deleteRecursively(f: java.io.File): Unit = {
     val cs = f.listFiles()
     if (cs != null) cs.foreach(deleteRecursively)
-    f.delete()
+    if (!f.delete() && f.exists())
+      throw new java.io.IOException(
+        s"ModelStore: could not delete ${f.getPath}")
   }
 
   /** The model table `name` for corpus `dir`: when the store is
@@ -116,13 +129,19 @@ object ModelStore {
       val tmp = new java.io.File(r, s".$name.tmp_" +
         s"${ProcessHandle.current().pid()}_${System.nanoTime()}")
       train.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+      // Stale-table removal happens OUTSIDE the race catch: a failed
+      // delete throws (see deleteRecursively) before any move, so the
+      // catch below can only be reached with f either absent at move
+      // time or atomically replaced by a concurrent publisher — never
+      // with our half-deleted stale table (ADVICE r18 #1).
+      if (f.exists()) deleteRecursively(f) // stale per the marker check
       try {
-        if (f.exists()) deleteRecursively(f) // stale per the marker check
         Files.move(tmp.toPath, f.toPath, StandardCopyOption.ATOMIC_MOVE)
       } catch {
-        // lost the publish race: the winner's table is equivalent
-        case _: java.nio.file.FileSystemException if f.exists() =>
-          deleteRecursively(tmp)
+        // lost the publish race: the winner trained against the same
+        // (current) corpus + code version, so its table is equivalent
+        case e: java.nio.file.FileSystemException =>
+          if (f.exists()) deleteRecursively(tmp) else throw e
       }
       marker.createNewFile()
       marker.setLastModified(System.currentTimeMillis())

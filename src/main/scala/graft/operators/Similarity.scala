@@ -1099,7 +1099,10 @@ object Similarity {
         sum(col("coord")).as("su"),
         min(col("coord")).as("min_c"),
         max(col("coord")).as("max_c"),
-        sum((col("coord") > 0L).cast("long")).as("n_pos"))
+        // when/otherwise(0) mirrors the oracle's CASE … ELSE 0 END:
+        // an all-NULL coord group (the RpCoords all-null-vector path)
+        // must count 0, not NULL (ADVICE r18 #3)
+        sum(when(col("coord") > 0L, 1L).otherwise(0L)).as("n_pos"))
       .orderBy("proj_dim")
   }
 
