@@ -131,6 +131,47 @@ class ArtifactSpec extends SparkTestBase {
     }
   }
 
+  test("ModelStore: an explicitly configured root keeps its own " +
+    "permissions; the tmpdir fallback is owner-only (ADVICE r18 #2)") {
+    import graft.operators.{ModelStore, Similarity}
+    import java.nio.file.Files
+    import java.nio.file.attribute.PosixFilePermissions
+    val shared = Files.createTempDirectory("graft_shared_store")
+    val groupReadable = PosixFilePermissions.fromString("rwxr-xr-x")
+    Files.setPosixFilePermissions(shared, groupReadable)
+    sys.props("graft.modelstore") = "1"
+    sys.props("graft.modelstore.root") = shared.toString
+    try {
+      graft.CorpusCache.clearAll()
+      Similarity.trainedCentroids(spark, SfDir).collect()
+      assert(new java.io.File(ModelStore.root(SfDir),
+        s"centroids_${Similarity.IvfKmeansIters}.parquet").exists(),
+        "model did not persist under the configured root")
+      // the configured root is the operator's trust domain, possibly
+      // shared with other services — chmod must NOT have touched it
+      assert(Files.getPosixFilePermissions(shared) === groupReadable,
+        "configured store root's permissions were rewritten")
+    } finally {
+      sys.props.remove("graft.modelstore.root")
+      sys.props.remove("graft.modelstore")
+      org.apache.commons.io.FileUtils.deleteQuietly(shared.toFile)
+      graft.CorpusCache.clearAll()
+    }
+    // and the default fallback stays locked down: owner-only perms
+    graft.CorpusCache.clearAll()
+    sys.props("graft.modelstore") = "1"
+    try {
+      Similarity.trainedCentroids(spark, SfDir).collect()
+      val own = PosixFilePermissions.fromString("rwx------")
+      assert(Files.getPosixFilePermissions(
+        ModelStore.storeBase.toPath) === own,
+        "tmpdir-fallback store base must be owner-only")
+    } finally {
+      sys.props.remove("graft.modelstore")
+      graft.CorpusCache.clearAll()
+    }
+  }
+
   test("userCard equals the inline user-grain aggregates") {
     val card = Dimensional.userCard(spark, SfDir)
       .select(col("user_id"), col("f.event_type").as("channel"),

@@ -271,6 +271,36 @@ class RobustAnalyticsSpec extends SparkTestBase {
     assert(joinForm.filter(col("coord").isNotNull).count() === 0)
   }
 
+  test("rp_moments: an all-null-vector corpus yields n_pos = 0 " +
+    "(the oracle's CASE … ELSE 0), never NULL (ADVICE r18 #3)") {
+    import spark.implicits._
+    // every vector all-null ⇒ every (proj_dim) group's coords are all
+    // NULL — the one input where sum((coord>0)::long) and the SQL
+    // CASE/ELSE-0 diverge (NULL vs 0); reachable since the RpCoords
+    // all-null path (ADVICE r17 #3) emits 8 NULL coords
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_rpnull").toFile
+    try {
+      Seq(
+        (1L, Seq[Option[Float]](None, None, None), 0),
+        (2L, Seq[Option[Float]](None, None), 1))
+        .toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite")
+        .parquet(new java.io.File(dir, "embeddings.parquet").getPath)
+      val r = graft.operators.Similarity
+        .rpMoments(spark, dir.getPath).collect()
+      assert(r.length === 8)
+      r.foreach { row =>
+        assert(!row.isNullAt(row.fieldIndex("n_pos")),
+          "n_pos must be 0 on an all-NULL group, not NULL")
+        assert(row.getAs[Long]("n_pos") === 0L)
+        assert(row.getAs[Long]("n_vecs") === 2L)
+        assert(row.isNullAt(row.fieldIndex("su")),
+          "sum over all-NULL coords stays NULL on both engines")
+      }
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
   test("co_occurrence: supports bounded by part frequencies, " +
     "basket-pair symmetry respected") {
     val r = graft.operators.Analytics.coOccurrence(spark, SfDir).cache()
