@@ -53,6 +53,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * path) or -Dgraft.modelstore=1 (tests). Model row ORDER is not part
   * of the contract — every consumer joins or argmaxes with explicit
   * tiebreaks.
+  *
+  * Known single-writer window (STALE rebuilds only): when the corpus
+  * was REGENERATED, the rebuild deletes the published table before
+  * moving the new one in, so a reader concurrent with that rebuild
+  * can glimpse a missing table (fresh-corpus publish races are fully
+  * closed by the atomic rename). Production posture: corpus
+  * regeneration and the model rebuild it forces are one pipeline
+  * step in the warehouse trust domain — a single writer by
+  * construction; readers arrive after the step commits.
   */
 object ModelStore {
 
