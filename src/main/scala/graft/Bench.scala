@@ -265,7 +265,16 @@ object Bench {
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (timings.nonEmpty) timings.values.sum else 0.0
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"health":$health,"sf":"$sfDir","staged_files":$stageFiles,"stage_sec":$stageSec}"""
-    println(json)
+    // Full line goes to stderr only (operator logs). Stdout gets a
+    // COMPACT line instead — the driver captures only a ~1.9 KB tail
+    // of stdout and two rounds running (r18/r19) the 5.7 KB full line
+    // was truncated mid-dict, costing the driver its per-query view
+    // (VERDICT r19 #2). The compact line keeps the driver-contract
+    // keys (metric/value/unit/queries/sf) but caps the per-query map
+    // at the slowest cells that fit a fixed byte budget; the full
+    // 192-cell map lives in the committed BENCH_full*.json artifact,
+    // referenced by name + sha256 so the two are tied together.
+    System.err.println(json)
     // A self-flagged run writes to its own artifact (VERDICT r16 #2:
     // the driver's degraded runs kept overwriting the clean committed
     // BENCH_full.json in the working tree) — BENCH_full.json only
@@ -289,6 +298,30 @@ object Bench {
     catch { case e: Exception =>
       System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
     }
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(json.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // slowest-first, 3 dp, as many cells as fit the byte budget — the
+    // slow cells are the ones a round-over-round diff needs first
+    val slow = timings.toSeq.sortBy(-_._2)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val healthShort =
+      s"""{"cpu_sec":${math.round(cpuSec)},"wall_sec":${math.round(wallSec)},""" +
+      s""""median_vs_ref":$medianVsRef,"n_burst_4x":$nBurst4x,""" +
+      s""""cold":$cold,"degraded":$degraded}"""
+    val fixed = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
+      s""""n_queries":${timings.size},"n_errors":${errors.size},""" +
+      s""""health":$healthShort,"full":"$artifactName","sha256":"$digest",""" +
+      s""""staged_files":$stageFiles,"queries":"""
+    val budget = 1400 - fixed.length - 2
+    val kept = new StringBuilder
+    var used = 0
+    slow.foreach { cell =>
+      if (used + cell.length + 1 <= budget) {
+        if (kept.nonEmpty) { kept.append(','); used += 1 }
+        kept.append(cell); used += cell.length
+      }
+    }
+    println(fixed + "{" + kept + "}}")
     spark.stop()
   }
 }

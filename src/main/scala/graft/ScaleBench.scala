@@ -256,6 +256,32 @@ object ScaleBench {
       // hours (bounded input, plain route)
       "funnel_stages", "funnel_times")
 
+  /** Pinned skew bands (round 20, VERDICT r19 #4): the maximum
+    * acceptable skewed/uniform ratio per kill-test shape, derived
+    * from the round-15 full ×100 refresh plus the r17 funnel and
+    * containment rows — each measured ratio plus a noise margin
+    * (co-tenant windows vary ±20-30%). A shape exceeding its band in
+    * a skew-mode run flags `within: false` in SKEW_full.json — the
+    * mechanical regression gate for the two-level rewrites (a
+    * re-introduced single-task sort shows up as ratio >> band, the
+    * way pre-rewrite sessionize measured 20×). Bands assume mult ≥ 10
+    * (below that, fixed costs dominate and ratios drift up — the
+    * scd2_lookup ×10 spot-check read 1.68 vs its 1.37 ×100 cell).
+    * `containment`'s band is the documented §5 DESIGN slope (the
+    * quadratic per-block bound, 3.28× measured ≈ pop-ratio²), not a
+    * rewrite guard. */
+  val SkewBands: Map[String, Double] = Map(
+    "skew_agg" -> 1.5, "latest_per_key" -> 1.5, "vwap" -> 1.5,
+    "sessionize" -> 2.2, "scd2_dim" -> 1.5, "quality_filter" -> 1.8,
+    "attribution" -> 1.6, "interval_merge" -> 1.8,
+    "event_transitions" -> 2.2, "asof_join" -> 1.7,
+    "asof_tolerance" -> 1.5, "purchase_gaps" -> 1.7,
+    "session_entry_exit" -> 2.3, "cusum_alerts" -> 1.4,
+    "rfm_segments" -> 1.5, "zipf_fit" -> 1.6, "stickiness" -> 1.5,
+    "wilson_funnel" -> 1.5, "scd2_lookup" -> 2.2,
+    "containment" -> 4.5, "funnel_stages" -> 2.6,
+    "funnel_times" -> 2.2)
+
   /** Fabricate the skewed twin of the staged corpus: 90% of event
     * rows re-keyed to ONE user and 90% of documents re-labeled to
     * ONE language (deterministic via ids, not rand()); values,
@@ -364,16 +390,29 @@ object ScaleBench {
       }
       val skewOnly = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      var breaches = 0
       val cells = SkewQueries
         .filter(q => skewOnly.forall(_.contains(q))).map { q =>
         val u = best(q, uniform)
         val s = best(q, skewed)
+        val band = SkewBands.getOrElse(q, 2.0)
+        val within = s / u <= band
+        if (!within) breaches += 1
         System.err.println(f"[skew] $q uniform=$u%.2f skewed=$s%.2f " +
-          f"ratio=${s / u}%.2f")
-        s""""$q":{"uniform":$u,"skewed":$s,"ratio":${s / u}}"""
+          f"ratio=${s / u}%.2f band=$band%.1f within=$within")
+        s""""$q":{"uniform":$u,"skewed":$s,"ratio":${s / u},""" +
+          s""""band":$band,"within":$within}"""
       }
-      println(s"""{"metric":"skew","queries":{${cells.mkString(",")}},""" +
-        s""""mult":$mult,"sf":"$sfDir"}""")
+      val json = s"""{"metric":"skew","queries":{${cells.mkString(",")}},""" +
+        s""""mult":$mult,"n_breaches":$breaches,"sf":"$sfDir"}"""
+      println(json)
+      // committed gate artifact (VERDICT r19 #4): the skew kill-test
+      // as a per-round mechanical check, same posture as BENCH_full
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("SKEW_full.json"), json + "\n")
+      catch { case e: Exception =>
+        System.err.println(s"[skew] artifact write failed: ${e.getMessage}")
+      }
       spark.stop()
       return
     }

@@ -37,16 +37,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * to newer code (retrain, not silently serve) — bump it whenever any
   * `train` derivation or model schema changes.
   *
-  * Crash/concurrency contract — WRITE, PUBLISH, THEN MARK:
-  *  1. the model parquet is written to a writer-private temp dir;
-  *  2. it is published under the final name with an ATOMIC rename —
-  *     readers only ever see a complete table, and of two concurrent
-  *     writers one wins the rename while the loser discards its temp
-  *     and reads the winner's (equivalent by determinism: same
-  *     corpus + same code version ⇒ same model);
-  *  3. the `_BUILT_<name>` marker is touched LAST, so marker-exists
-  *     implies table-complete. A crash between (2) and (3) just
-  *     retrains — safe, idempotent.
+  * Crash/concurrency contract — IMMUTABLE GENERATIONS + ATOMIC
+  * POINTER (round 20, ADVICE r19 #1/#2; replaces the r18/r19
+  * delete-in-place protocol, whose concurrent-rebuilder race the
+  * ArtifactSpec two-publisher test reproduced live):
+  *  1. each publish trains into a fresh writer-private GENERATION
+  *     dir `<name>_g<pid>_<nanos>.parquet` — never written to by
+  *     anyone else, complete when Spark's `_SUCCESS` lands;
+  *  2. the `_BUILT_<name>` POINTER file names the current generation
+  *     and is replaced with an ATOMIC rename of a whole tmp pointer
+  *     file (POSIX rename(2) — readers always resolve EITHER the old
+  *     complete generation or the new one, never a partial table and
+  *     never a missing path). Pointer mtime is the freshness marker
+  *     versus the corpus parquet's mtime;
+  *  3. a writer that finds the pointer already fresh AFTER training
+  *     (it lost a publish race) discards its own generation and
+  *     serves the winner's — equivalent by determinism: same corpus
+  *     + same code version ⇒ same model;
+  *  4. superseded generations are reclaimed by a GRACE-window GC at
+  *     the start of a later rebuild: only non-pointed, `_SUCCESS`-
+  *     complete generation dirs untouched for [[GcGraceMs]] are
+  *     deleted, so in-flight writers and in-flight readers of a
+  *     just-superseded generation are never yanked. A crash mid-train
+  *     leaks at most its own incomplete generation until a post-grace
+  *     rebuild reclaims it.
   *
   * OFF by default: the plain cold floor must keep measuring honest
   * retraining. Enable with SPARK_GRAFT_MODEL_STORE=1 (env, the bench
@@ -54,21 +68,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * of the contract — every consumer joins or argmaxes with explicit
   * tiebreaks.
   *
-  * Known single-writer window (STALE rebuilds only): when the corpus
-  * was REGENERATED, the rebuild deletes the published table before
-  * moving the new one in, so a reader concurrent with that rebuild
-  * can glimpse a missing table (fresh-corpus publish races are fully
-  * closed by the atomic rename). Production posture: corpus
-  * regeneration and the model rebuild it forces are one pipeline
-  * step in the warehouse trust domain — a single writer by
-  * construction; readers arrive after the step commits.
+  * Concurrency posture: fresh publishes AND stale rebuilds are both
+  * glimpse-free for readers (the pointer never dangles, and a
+  * superseded generation outlives its readers by the grace window).
+  * The residual cost of lock-free directory GC is a BOUNDED leak:
+  * a generation superseded in the swap window between a racer's
+  * publish and re-check sticks around until a later rebuild's grace
+  * GC — one same-content dir per lost race, reclaimed on the next
+  * corpus regeneration. Production posture stays single-writer per
+  * pipeline step (corpus regeneration and the model rebuild it
+  * forces are one step in the warehouse trust domain), where none of
+  * these races arise.
   */
 object ModelStore {
 
   /** Model-format/code version, baked into the store path. Bump when
     * any training derivation or persisted schema changes so stale
-    * stores are skipped rather than served. */
-  val FormatVersion = 2
+    * stores are skipped rather than served. v3: the
+    * generation+pointer store layout (a v2 fixed-name store is
+    * invisible to it and vice versa — no migration path needed). */
+  val FormatVersion = 3
+
+  /** Grace before a non-pointed complete generation is GC-eligible:
+    * long enough that any reader or racing writer of a superseded
+    * generation has finished (training + a full suite read are
+    * minutes), short enough that rebuild-time GC actually reclaims
+    * crash leftovers. */
+  val GcGraceMs: Long = 60L * 60 * 1000
 
   def enabled: Boolean =
     sys.props.get("graft.modelstore")
@@ -95,7 +121,7 @@ object ModelStore {
     // owner-only ONLY on the default tmpdir fallback (the
     // world-writable-tmpdir risk); an explicitly configured root is
     // the operator's trust domain — possibly shared with other
-    // services — so its permissions are left untouched (ADVICE r18 #2)
+    // services — so its permissions are left untouched (ADVICE r18 #2).
     if (configuredRoot.isEmpty) {
       val own = java.nio.file.attribute.PosixFilePermissions
         .fromString("rwx------")
@@ -103,14 +129,31 @@ object ModelStore {
         Files.setPosixFilePermissions(storeBase.toPath, own)
         Files.setPosixFilePermissions(d.toPath, own)
       } catch { case _: UnsupportedOperationException => () }
+    } else {
+      // A configured root keeps its permissions, but its OWNERSHIP is
+      // verified (ADVICE r19 #3): the pre-fix chmod failed loudly on
+      // a root pre-created by another local user, and dropping it
+      // silently turned "hostile pre-created root under a shared
+      // directory" into "planted model tables get served". Restore
+      // the loud failure without touching the directory: owner must
+      // be the current user. Non-POSIX filesystems (no owner
+      // attribute) skip the check, same as the chmod path always did.
+      try {
+        val owner = Files.getOwner(storeBase.toPath).getName
+        val me = sys.props.getOrElse("user.name", "")
+        if (owner != me)
+          throw new SecurityException(
+            s"ModelStore: configured root ${storeBase.getPath} is owned " +
+              s"by '$owner', not the current user '$me' — refusing to " +
+              "serve model tables from a directory another user controls")
+      } catch { case _: UnsupportedOperationException => () }
     }
   }
 
   /** Fails LOUDLY when a delete returns false while the path still
-    * exists (ADVICE r18 #1): a half-deleted stale table must surface
-    * as an error, never fall through to the publish-race catch where
-    * the marker would re-certify the stale bytes as fresh. A false
-    * return with the path gone is a concurrent deleter — fine. */
+    * exists (ADVICE r18 #1): a half-deleted table must surface as an
+    * error, never silently pass. A false return with the path gone is
+    * a concurrent deleter — fine. */
   private def deleteRecursively(f: java.io.File): Unit = {
     val cs = f.listFiles()
     if (cs != null) cs.foreach(deleteRecursively)
@@ -119,42 +162,126 @@ object ModelStore {
         s"ModelStore: could not delete ${f.getPath}")
   }
 
+  /** The pointer file for model `name` — its CONTENT is the current
+    * generation dir's simple name, its MTIME the freshness stamp. */
+  private def pointer(r: java.io.File, name: String): java.io.File =
+    new java.io.File(r, s"_BUILT_$name")
+
+  /** The currently published generation dir for `name`, if the
+    * pointer resolves to an existing directory (spec hook + the read
+    * path's resolution step). */
+  def currentTable(dir: String, name: String): Option[java.io.File] = {
+    val r = root(dir)
+    val p = pointer(r, name)
+    if (!p.exists()) None
+    else {
+      val gen = new java.io.File(r,
+        new String(Files.readAllBytes(p.toPath), "UTF-8").trim)
+      // only a child of the store root is ever served (the pointer is
+      // inside the trust domain, but a corrupt one must not escape it)
+      if (gen.getParentFile == null ||
+          gen.getParentFile.getCanonicalFile != r.getCanonicalFile ||
+          !gen.isDirectory) None
+      else Some(gen)
+    }
+  }
+
   /** The model table `name` for corpus `dir`: when the store is
-    * enabled and fresh versus `dir/srcTable.parquet`, READ the
-    * persisted parquet; otherwise run `train` and publish the result
-    * per the write-publish-mark contract above (the re-read
-    * guarantees consumers use exactly the bytes a later session will
-    * load). Models are bounded artifacts (k·dim centroids, M×K
-    * codebooks), so the single-file coalesce is free. */
+    * enabled and the pointer is fresh versus `dir/srcTable.parquet`,
+    * READ the pointed generation; otherwise run `train` into a new
+    * generation and publish it per the generation+pointer contract
+    * above (the re-read guarantees consumers use exactly the bytes a
+    * later session will load). Models are bounded artifacts (k·dim
+    * centroids, M×K codebooks), so the single-file coalesce is free. */
   def table(spark: SparkSession, dir: String, name: String,
       srcTable: String)(train: => DataFrame): DataFrame = {
     if (!enabled) return train
     val r = root(dir)
-    val f = new java.io.File(r, s"$name.parquet")
-    val marker = new java.io.File(r, s"_BUILT_$name")
+    val p = pointer(r, name)
     val srcM = new java.io.File(dir, s"$srcTable.parquet").lastModified
-    if (!(marker.exists() && marker.lastModified() >= srcM && f.exists())) {
-      mkdirsPrivate(r)
-      val tmp = new java.io.File(r, s".$name.tmp_" +
-        s"${ProcessHandle.current().pid()}_${System.nanoTime()}")
-      train.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
-      // Stale-table removal happens OUTSIDE the race catch: a failed
-      // delete throws (see deleteRecursively) before any move, so the
-      // catch below can only be reached with f either absent at move
-      // time or atomically replaced by a concurrent publisher — never
-      // with our half-deleted stale table (ADVICE r18 #1).
-      if (f.exists()) deleteRecursively(f) // stale per the marker check
-      try {
-        Files.move(tmp.toPath, f.toPath, StandardCopyOption.ATOMIC_MOVE)
-      } catch {
-        // lost the publish race: the winner trained against the same
-        // (current) corpus + code version, so its table is equivalent
-        case e: java.nio.file.FileSystemException =>
-          if (f.exists()) deleteRecursively(tmp) else throw e
-      }
-      marker.createNewFile()
-      marker.setLastModified(System.currentTimeMillis())
+    def fresh: Option[java.io.File] =
+      if (p.exists() && p.lastModified() >= srcM) currentTable(dir, name)
+      else None
+    fresh match {
+      case Some(gen) => spark.read.parquet(gen.getPath)
+      case None =>
+        mkdirsPrivate(r)
+        gcStale(r, name)
+        val uniq = s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
+        val gen = new java.io.File(r, s"${name}_g$uniq.parquet")
+        // Every failure path from here reclaims the writer-private
+        // generation (ADVICE r19 #1: its unique name means no later
+        // run ever overwrites a leaked copy) — hence the catch-all.
+        try {
+          train.coalesce(1).write.mode("overwrite").parquet(gen.getPath)
+          // lost-race check AFTER the (minutes-long) train: a racer
+          // that published a fresh model meanwhile trained against
+          // the same corpus + code version ⇒ equivalent table. Serve
+          // theirs, reclaim ours — our generation was never pointed,
+          // so nobody can be reading it.
+          fresh match {
+            case Some(winner) =>
+              deleteRecursively(gen)
+              spark.read.parquet(winner.getPath)
+            case None =>
+              val tmpPtr = new java.io.File(r, s".${name}.ptr_$uniq")
+              Files.write(tmpPtr.toPath, gen.getName.getBytes("UTF-8"))
+              // POSIX rename(2): replaces any existing pointer in one
+              // atomic step — a reader resolves either the previous
+              // complete generation or this one, never neither
+              Files.move(tmpPtr.toPath, p.toPath,
+                StandardCopyOption.REPLACE_EXISTING,
+                StandardCopyOption.ATOMIC_MOVE)
+              p.setLastModified(System.currentTimeMillis())
+              spark.read.parquet(gen.getPath)
+          }
+        } catch {
+          case e: Throwable =>
+            // best-effort reclaim, never masking the real failure —
+            // but ONLY while unpublished (a published generation has
+            // readers; the pointer must keep resolving)
+            try {
+              if (currentTable(dir, name).forall(_ != gen) && gen.exists())
+                deleteRecursively(gen)
+            } catch { case _: Throwable => () }
+            throw e
+        }
     }
-    spark.read.parquet(f.getPath)
+  }
+
+  /** Grace-window GC, run when a REBUILD starts: reclaims generation
+    * dirs for `name` that are (a) not the currently pointed one,
+    * (b) `_SUCCESS`-complete — an in-flight writer's dir is never
+    * touched — and (c) untouched for [[GcGraceMs]], so a reader
+    * mid-scan of a just-superseded generation is never yanked.
+    * Best-effort and delete-race-tolerant by design. */
+  private def gcStale(r: java.io.File, name: String): Unit = {
+    val pointed = Option(pointer(r, name))
+      .filter(_.exists())
+      .map(f => new String(
+        try Files.readAllBytes(f.toPath) catch { case _: Exception => Array[Byte]() },
+        "UTF-8").trim)
+    val cutoff = System.currentTimeMillis() - GcGraceMs
+    val gens = Option(r.listFiles()).getOrElse(Array.empty)
+      .filter { d =>
+        d.getName.startsWith(s"${name}_g") &&
+        d.getName.endsWith(".parquet") &&
+        !pointed.contains(d.getName) &&
+        d.isDirectory &&
+        new java.io.File(d, "_SUCCESS").exists() &&
+        d.lastModified() < cutoff
+      }
+    gens.foreach { d =>
+      try deleteRecursively(d)
+      catch { case e: Exception =>
+        System.err.println(s"[modelstore] gc skipped ${d.getName}: " +
+          e.getMessage)
+      }
+    }
+    // stale tmp pointer files from crashed publishers age out too
+    Option(r.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(s".$name.ptr_") &&
+        f.lastModified() < cutoff)
+      .foreach(f => try f.delete() catch { case _: Exception => () })
   }
 }

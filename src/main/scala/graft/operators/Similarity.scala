@@ -273,23 +273,31 @@ object Similarity {
       import spark.implicits._
       ModelStore.table(spark, dir,
         "centroids" + variant.replace('#', '_'), "embeddings") {
-        val seed = e
-          // PORTABLE pseudo-random sample order (round 13): the md5
-          // tail-32 of the id string, not Murmur3 `hash` — so the
-          // DuckDB semantic_dedup oracle can replay seed selection
-          // exactly. Same spread properties; nothing else changes.
-          .select(col("vec_id").as("c_id"), col("vec").as("cvec"),
-            conv(substring(md5(col("vec_id").cast("string")), 25, 8),
-              16, 10).cast("long").as("h"))
-          // c_id tiebreak: hash alone is not a total order, and the
-          // limit boundary must be run-independent
-          .orderBy(col("h"), col("c_id")).limit(IvfCells).drop("h")
-        kmeansRefine(e.select(col("vec_id"), col("vec")), seed, iters)
-          .select(col("c_id"), col("cvec"))
+        lloydTrain(e, iters)
       }.as[(Long, Seq[Double])].collect().toSeq
     })
     import spark.implicits._
     cached.toDF("c_id", "cvec")
+  }
+
+  /** The raw training plan behind [[trainCentroidsOf]] — seed sample
+    * plus Lloyd refinement, NO cache and NO store (also the body the
+    * ArtifactSpec concurrent-publisher race drives directly, so both
+    * racing threads genuinely retrain). */
+  private[graft] def lloydTrain(e: DataFrame, iters: Int): DataFrame = {
+    val seed = e
+      // PORTABLE pseudo-random sample order (round 13): the md5
+      // tail-32 of the id string, not Murmur3 `hash` — so the
+      // DuckDB semantic_dedup oracle can replay seed selection
+      // exactly. Same spread properties; nothing else changes.
+      .select(col("vec_id").as("c_id"), col("vec").as("cvec"),
+        conv(substring(md5(col("vec_id").cast("string")), 25, 8),
+          16, 10).cast("long").as("h"))
+      // c_id tiebreak: hash alone is not a total order, and the
+      // limit boundary must be run-independent
+      .orderBy(col("h"), col("c_id")).limit(IvfCells).drop("h")
+    kmeansRefine(e.select(col("vec_id"), col("vec")), seed, iters)
+      .select(col("c_id"), col("cvec"))
   }
 
   /** Deterministic seed sample + Lloyd refinement, cached per corpus. */

@@ -70,12 +70,13 @@ class ArtifactSpec extends SparkTestBase {
         === trainedC)
       assert(rows(Similarity.trainedPqCodebooks(spark, SfDir))
         === trainedPq)
-      val f = new java.io.File(root,
-        s"centroids_${Similarity.IvfKmeansIters}.parquet")
-      assert(f.exists(), "centroid model table not persisted")
-      assert(new java.io.File(root, "pq_codebooks.parquet").exists())
+      val f = ModelStore.currentTable(SfDir,
+        s"centroids_${Similarity.IvfKmeansIters}")
+        .getOrElse(fail("centroid model table not persisted"))
+      assert(ModelStore.currentTable(SfDir, "pq_codebooks").nonEmpty)
       // second pass must LOAD, not retrain: doctor the persisted
-      // table and assert the doctored row is what comes back
+      // table IN PLACE (same generation the pointer names) and
+      // assert the doctored row is what comes back
       import spark.implicits._
       Seq((999999L, Seq.fill(4)(0.5)))
         .toDF("c_id", "cvec")
@@ -105,11 +106,12 @@ class ArtifactSpec extends SparkTestBase {
     try {
       graft.CorpusCache.clearAll()
       Similarity.trainedCentroids(spark, SfDir).collect()
-      val f = new java.io.File(root,
-        s"centroids_${Similarity.IvfKmeansIters}.parquet")
+      val f = ModelStore.currentTable(SfDir,
+        s"centroids_${Similarity.IvfKmeansIters}")
+        .getOrElse(fail("persist pass incomplete"))
       val marker = new java.io.File(root,
         s"_BUILT_centroids_${Similarity.IvfKmeansIters}")
-      assert(f.exists() && marker.exists(), "persist pass incomplete")
+      assert(marker.exists(), "persist pass incomplete")
       // doctor the persisted table, then BACKDATE the marker below
       // the corpus mtime — the freshness guard must retrain (i.e.
       // the doctored rows must NOT come back, unlike the fresh-marker
@@ -131,6 +133,11 @@ class ArtifactSpec extends SparkTestBase {
     }
   }
 
+  // NOTE (ADVICE r19 #4): the ModelStore tests flip global sys.props
+  // ('graft.modelstore', 'graft.modelstore.root') read dynamically by
+  // ModelStore.enabled/configuredRoot. Safe because Test/fork runs
+  // suites SEQUENTIALLY in one JVM; if testForkedParallel is ever
+  // enabled these must move behind a ModelStore test hook first.
   test("ModelStore: an explicitly configured root keeps its own " +
     "permissions; the tmpdir fallback is owner-only (ADVICE r18 #2)") {
     import graft.operators.{ModelStore, Similarity}
@@ -144,8 +151,8 @@ class ArtifactSpec extends SparkTestBase {
     try {
       graft.CorpusCache.clearAll()
       Similarity.trainedCentroids(spark, SfDir).collect()
-      assert(new java.io.File(ModelStore.root(SfDir),
-        s"centroids_${Similarity.IvfKmeansIters}.parquet").exists(),
+      assert(ModelStore.currentTable(SfDir,
+        s"centroids_${Similarity.IvfKmeansIters}").nonEmpty,
         "model did not persist under the configured root")
       // the configured root is the operator's trust domain, possibly
       // shared with other services — chmod must NOT have touched it
@@ -168,6 +175,114 @@ class ArtifactSpec extends SparkTestBase {
         "tmpdir-fallback store base must be owner-only")
     } finally {
       sys.props.remove("graft.modelstore")
+      graft.CorpusCache.clearAll()
+    }
+  }
+
+  test("ModelStore: a configured root owned by ANOTHER user is " +
+    "refused loudly, never silently served (ADVICE r19 #3)") {
+    import graft.operators.{ModelStore, Similarity}
+    import java.nio.file.Files
+    val shared = Files.createTempDirectory("graft_foreign_store")
+    // simulate the hostile pre-created root: chown to a different
+    // local user (works when the suite runs privileged — this
+    // container — otherwise the setup itself fails and we skip)
+    val foreign =
+      try {
+        val other = shared.getFileSystem.getUserPrincipalLookupService
+          .lookupPrincipalByName("daemon")
+        Files.setOwner(shared, other); true
+      } catch { case _: Exception => false }
+    assume(foreign, "cannot chown to a second user here — skipping")
+    sys.props("graft.modelstore") = "1"
+    sys.props("graft.modelstore.root") = shared.toString
+    try {
+      graft.CorpusCache.clearAll()
+      val e = intercept[SecurityException] {
+        Similarity.trainedCentroids(spark, SfDir).collect()
+      }
+      assert(e.getMessage.contains("daemon"),
+        s"refusal must name the foreign owner: ${e.getMessage}")
+    } finally {
+      sys.props.remove("graft.modelstore.root")
+      sys.props.remove("graft.modelstore")
+      org.apache.commons.io.FileUtils.deleteQuietly(shared.toFile)
+      graft.CorpusCache.clearAll()
+    }
+  }
+
+  test("ModelStore: two concurrent publishers (fresh AND stale " +
+    "rebuild) both serve the honest model glimpse-free; the pointer " +
+    "resolves a complete table throughout and nothing but grace-" +
+    "protected generations remains (VERDICT r19 #5, ADVICE r19 #1/#2)") {
+    import graft.operators.{ModelStore, Similarity}
+    graft.CorpusCache.clearAll()
+    val trainedC = rows(Similarity.trainedCentroids(spark, SfDir))
+    val root = ModelStore.root(SfDir)
+    val name = s"centroids_${Similarity.IvfKmeansIters}"
+    org.apache.commons.io.FileUtils.deleteQuietly(root)
+    sys.props("graft.modelstore") = "1"
+    def racePair(): Unit = {
+      // CorpusCache would serialize the two callers through one
+      // computeIfAbsent; go straight at the store layer so both
+      // threads really run the train→publish→pointer-swap path.
+      // Under the generation+pointer protocol BOTH callers must
+      // succeed with the honest model — the delete-in-place protocol
+      // this replaced failed exactly here (one caller's read
+      // glimpsed the table the other had renamed aside).
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      val fs = (1 to 2).map { _ =>
+        Future(rows(ModelStore.table(spark, SfDir, name, "embeddings") {
+          Similarity.lloydTrain(Similarity.emb(spark, SfDir),
+            Similarity.IvfKmeansIters)
+        }))
+      }
+      val got = fs.map(Await.result(_, 5.minutes))
+      pool.shutdown()
+      assert(got.forall(_ === trainedC),
+        "a concurrent publisher failed or served a non-trained model")
+    }
+    def pointedComplete(): java.io.File = {
+      val gen = ModelStore.currentTable(SfDir, name)
+        .getOrElse(fail("pointer does not resolve"))
+      assert(new java.io.File(gen, "_SUCCESS").exists(),
+        "pointer names an incomplete generation")
+      gen
+    }
+    try {
+      racePair() // fresh-corpus race: both train, one wins the swap
+      pointedComplete()
+      // stale rebuild race: backdate the pointer so BOTH callers see
+      // a stale store and rebuild concurrently over the same model.
+      // Superseded generations must survive (grace window protects
+      // in-flight readers), the pointer must keep resolving a
+      // complete table, and both callers must serve honest rows.
+      assert(new java.io.File(root, s"_BUILT_$name")
+        .setLastModified(1000L))
+      racePair()
+      pointedComplete()
+      assert(new java.io.File(root, s"_BUILT_$name").lastModified() >
+        1000L, "stale rebuild did not refresh the pointer")
+      // hygiene: no tmp pointer files linger; every generation dir on
+      // disk is COMPLETE (an in-flight/partial dir would mean a
+      // writer leaked mid-publish) even if superseded ones await GC
+      val entries = Option(root.listFiles()).getOrElse(Array.empty)
+      assert(!entries.exists(_.getName.contains(".ptr_")),
+        "tmp pointer file leaked")
+      val partial = entries.filter(d => d.getName.startsWith(name + "_g") &&
+        !new java.io.File(d, "_SUCCESS").exists())
+      assert(partial.isEmpty,
+        s"partial generation dirs leaked: ${partial.map(_.getName).toSeq}")
+      // and the table the races left behind is the honest model
+      graft.CorpusCache.clearAll()
+      assert(rows(Similarity.trainedCentroids(spark, SfDir)) === trainedC)
+    } finally {
+      sys.props.remove("graft.modelstore")
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
       graft.CorpusCache.clearAll()
     }
   }
