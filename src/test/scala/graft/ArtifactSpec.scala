@@ -287,6 +287,67 @@ class ArtifactSpec extends SparkTestBase {
     }
   }
 
+  test("ModelStore: grace-window GC reclaims old superseded " +
+    "generations at rebuild time but never the pointed one or a " +
+    "young one; a corrupt pointer is refused, never escapes the " +
+    "root, and heals by retrain (round 20 store protocol)") {
+    import graft.operators.{ModelStore, Similarity}
+    graft.CorpusCache.clearAll()
+    val trainedC = rows(Similarity.trainedCentroids(spark, SfDir))
+    val root = ModelStore.root(SfDir)
+    val name = s"centroids_${Similarity.IvfKmeansIters}"
+    org.apache.commons.io.FileUtils.deleteQuietly(root)
+    sys.props("graft.modelstore") = "1"
+    def store(): Set[String] = {
+      val r = rows(ModelStore.table(spark, SfDir, name, "embeddings") {
+        Similarity.lloydTrain(Similarity.emb(spark, SfDir),
+          Similarity.IvfKmeansIters)
+      })
+      assert(r === trainedC); r
+    }
+    try {
+      store() // publish generation 1
+      val gen1 = ModelStore.currentTable(SfDir, name).get
+      // fabricate GC candidates: an OLD superseded complete
+      // generation (copy of gen1, backdated past the grace window),
+      // a YOUNG superseded one, and an old PARTIAL one (no _SUCCESS —
+      // an in-flight writer's dir, which GC must never touch even
+      // when old... it has no _SUCCESS, so it is skipped)
+      val oldGen = new java.io.File(root, s"${name}_gOLD.parquet")
+      val youngGen = new java.io.File(root, s"${name}_gYOUNG.parquet")
+      val partial = new java.io.File(root, s"${name}_gPARTIAL.parquet")
+      org.apache.commons.io.FileUtils.copyDirectory(gen1, oldGen)
+      org.apache.commons.io.FileUtils.copyDirectory(gen1, youngGen)
+      partial.mkdirs()
+      val past = System.currentTimeMillis() - ModelStore.GcGraceMs - 60000
+      assert(oldGen.setLastModified(past) && partial.setLastModified(past))
+      // trigger a REBUILD (stale pointer) — its entry GC runs
+      assert(new java.io.File(root, s"_BUILT_$name").setLastModified(1000L))
+      store()
+      assert(!oldGen.exists(), "old superseded generation not reclaimed")
+      assert(youngGen.exists(), "grace-protected young generation yanked")
+      assert(partial.exists(), "in-flight (no _SUCCESS) dir yanked")
+      assert(ModelStore.currentTable(SfDir, name).exists(
+        _.getName != oldGen.getName), "pointer dangling after GC")
+      // corrupt pointer: a path-escape name must resolve to None
+      // (never served from outside the store root) and the next table
+      // call must retrain + republish over it
+      val escape = java.nio.file.Files.createTempDirectory("graft_escape")
+      java.nio.file.Files.writeString(
+        new java.io.File(root, s"_BUILT_$name").toPath,
+        "../../" + escape.getFileName)
+      assert(ModelStore.currentTable(SfDir, name).isEmpty,
+        "corrupt pointer escaped the store root")
+      store() // heals: retrains and swaps in a valid pointer
+      assert(ModelStore.currentTable(SfDir, name).nonEmpty)
+      org.apache.commons.io.FileUtils.deleteQuietly(escape.toFile)
+    } finally {
+      sys.props.remove("graft.modelstore")
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      graft.CorpusCache.clearAll()
+    }
+  }
+
   test("userCard equals the inline user-grain aggregates") {
     val card = Dimensional.userCard(spark, SfDir)
       .select(col("user_id"), col("f.event_type").as("channel"),
