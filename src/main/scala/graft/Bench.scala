@@ -265,16 +265,18 @@ object Bench {
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (timings.nonEmpty) timings.values.sum else 0.0
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"health":$health,"sf":"$sfDir","staged_files":$stageFiles,"stage_sec":$stageSec}"""
-    // Full line goes to stderr only (operator logs). Stdout gets a
-    // COMPACT line instead — the driver captures only a ~1.9 KB tail
-    // of stdout and two rounds running (r18/r19) the 5.7 KB full line
+    // The full line is NOT printed at all — only persisted to the
+    // BENCH_full*.json artifact below. Stdout gets a COMPACT line
+    // instead: the driver captures only a ~1.9 KB tail of the run
+    // output and two rounds running (r18/r19) the 5.7 KB full line
     // was truncated mid-dict, costing the driver its per-query view
-    // (VERDICT r19 #2). The compact line keeps the driver-contract
-    // keys (metric/value/unit/queries/sf) but caps the per-query map
-    // at the slowest cells that fit a fixed byte budget; the full
+    // (VERDICT r19 #2); under sbt even a stderr print re-enters that
+    // tail as "[error] ..." lines, so the full JSON goes to disk
+    // only. The compact line keeps the driver-contract keys
+    // (metric/value/unit/queries/sf) but caps the per-query map at
+    // the slowest cells that fit a fixed byte budget; the full
     // 192-cell map lives in the committed BENCH_full*.json artifact,
     // referenced by name + sha256 so the two are tied together.
-    System.err.println(json)
     // A self-flagged run writes to its own artifact (VERDICT r16 #2:
     // the driver's degraded runs kept overwriting the clean committed
     // BENCH_full.json in the working tree) — BENCH_full.json only
@@ -303,7 +305,8 @@ object Bench {
     // slowest-first, 3 dp, as many cells as fit the byte budget — the
     // slow cells are the ones a round-over-round diff needs first
     val slow = timings.toSeq.sortBy(-_._2)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k + "\":" + String.format(
+        java.util.Locale.ROOT, "%.3f", Double.box(v)) }
     val healthShort =
       s"""{"cpu_sec":${math.round(cpuSec)},"wall_sec":${math.round(wallSec)},""" +
       s""""median_vs_ref":$medianVsRef,"n_burst_4x":$nBurst4x,""" +
