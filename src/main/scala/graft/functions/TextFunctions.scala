@@ -162,4 +162,26 @@ object TextFunctions {
     val uni = (size(a) + size(b)).cast("double") - inter
     when(uni > 0d, inter / uni).otherwise(lit(0d))
   }
+
+  /** Distinct char n-grams as SORTED packed long codes — the round-21
+    * gram representation: bijective with [[charNgrams]]' string sets
+    * (16 bits per UTF-16 char, n ≤ 4), so sizes, intersections and
+    * Jaccards are bit-identical while pair kernels run as primitive
+    * merges instead of per-pair string hash sets. */
+  def charNgramCodes(text: Column, n: Int): Column =
+    GraftSqlBridge.column(
+      expressions.CharNgramCodes(GraftSqlBridge.expression(text), n))
+
+  /** |A∩B| of two sorted distinct code arrays (linear merge). */
+  def intersectCount(a: Column, b: Column): Column =
+    GraftSqlBridge.column(expressions.SortedLongIntersectCount(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** [[jaccard]] over sorted code arrays — same exact int/int double
+    * division, merge-count numerator. */
+  def jaccardCodes(a: Column, b: Column): Column = {
+    val inter = intersectCount(a, b).cast("double")
+    val uni = (size(a) + size(b)).cast("double") - inter
+    when(uni > 0d, inter / uni).otherwise(lit(0d))
+  }
 }

@@ -208,6 +208,95 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   * n-gram Jaccard (SURVEY.md §2 #22). Equivalent to the composed
   * transform(sequence…substr) form but one pass, no per-element
   * re-evaluation of the captured text subtree. */
+/** Distinct char n-grams as SORTED packed long codes (round 21):
+  * each n-gram's UTF-16 chars pack into one long (16 bits/char,
+  * n ≤ 4 — injective, so distinctness and intersection counts are
+  * EXACTLY those of the string n-gram sets [[CharNgrams]] emits).
+  * The string form spent the gram-comparison kernels' time hashing
+  * and allocating 3-char UTF8Strings per element (JobProfile: ~13 s
+  * of task time on containment's 63k candidate pairs at sf0.1);
+  * codes sort once per document and intersect by linear merge
+  * ([[SortedLongIntersectCount]]) — no hash set, no allocation per
+  * pair. Dedup is sort-then-unique on a primitive array. */
+case class CharNgramCodes(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1 && n <= 4, s"CharNgramCodes packs 16-bit chars: n=$n")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    CharNgramCodes.compute(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.CharNgramCodes.compute($c, $n);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharNgramCodes {
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    // SAME normalization walk as CharNgrams.compute: lowercase via
+    // Locale.ROOT on the whole string, then every length-n char
+    // window — the packed code is a bijection of the window's chars,
+    // so the distinct-code set is the distinct-gram set
+    val t = text.toString.toLowerCase(Locale.ROOT)
+    val m = t.length - (n - 1)
+    if (m < 1) return new GenericArrayData(Array.empty[Any])
+    val codes = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var code = 0L
+      var j = 0
+      while (j < n) { code = (code << 16) | t.charAt(i + j).toLong; j += 1 }
+      codes(i) = code
+      i += 1
+    }
+    java.util.Arrays.sort(codes)
+    var uniq = 1
+    i = 1
+    while (i < m) {
+      if (codes(i) != codes(uniq - 1)) { codes(uniq) = codes(i); uniq += 1 }
+      i += 1
+    }
+    val out = new Array[Any](uniq)
+    i = 0
+    while (i < uniq) { out(i) = codes(i); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** |A∩B| of two SORTED distinct long arrays by linear merge — the
+  * count `size(array_intersect(a, b))` computes, without the per-pair
+  * hash set or the intersect array allocation. */
+case class SortedLongIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SortedLongIntersectCount.compute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.expressions.SortedLongIntersectCount" +
+        s".compute($a, $b);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedLongIntersectCount {
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
 case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(v: Any): Any =

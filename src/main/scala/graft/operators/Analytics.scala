@@ -518,25 +518,34 @@ object Analytics {
     val wLoc = Window.partitionBy("band")
       .orderBy(col("rev").desc, col("l_partkey").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wBand = Window.orderBy(col("band").desc)
+    // the band table is |bands|-row bounded: partitionBy(lit(0))
+    // names the intended single partition (kills the WindowExec
+    // warning), and `total` rides it as a wN-style whole-set sum —
+    // round 21: the previous `rev.agg(sum).head()` driver action ran
+    // a SECOND full lineitem aggregate job per call (JobProfile:
+    // two identical ~530 taskMs scan+agg jobs) just to fetch one
+    // scalar the offsets table already knows. Σ band-totals of exact
+    // longs ≡ the global sum, so every value is unchanged.
+    val wBand = Window.partitionBy(lit(0)).orderBy(col("band").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(lit(0))
     val offsets = rev.groupBy("band").agg(sum(col("rev")).as("btot"))
       .withColumn("off", coalesce(sum(col("btot")).over(wBand), lit(0L)))
-      .select("band", "off")
-    val total = rev.agg(sum(col("rev"))).head().getLong(0)
+      .withColumn("total", sum(col("btot")).over(wAll))
+      .select("band", "off", "total")
     rev.withColumn("lcum", sum(col("rev")).over(wLoc))
       .join(broadcast(offsets), "band")
       .withColumn("cum", col("lcum") + col("off"))
       .withColumn("abc_class",
-        when(col("cum").cast(dec) * 5 <= lit(total).cast(dec) * 4, "A")
-          .when(col("cum").cast(dec) * 20 <= lit(total).cast(dec) * 19,
+        when(col("cum").cast(dec) * 5 <= col("total").cast(dec) * 4, "A")
+          .when(col("cum").cast(dec) * 20 <= col("total").cast(dec) * 19,
             "B")
           .otherwise("C"))
       .groupBy("abc_class")
       .agg(count(lit(1)).as("n_parts"),
         round(sum(col("rev")).cast("double") / 1e6, 6).as("revenue"),
-        round(sum(col("rev")).cast("double") / total.toDouble, 6)
-          .as("share"))
+        round(sum(col("rev")).cast("double") /
+          max(col("total")).cast("double"), 6).as("share"))
       .orderBy("abc_class")
   }
 

@@ -222,6 +222,95 @@ object Components {
   private val basketCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
 
+  /** Corpus-keyed SYMMETRIZED basket edges (both directions of
+    * [[basketPairs]]) — hoisted from khopReach (round 21) so the
+    * adjacency artifact below shares it. */
+  def basketPairsSym(spark: SparkSession, dir: String): DataFrame = {
+    def compute: DataFrame = {
+      val base = basketPairs(spark, dir)
+      base.unionByName(base.select(col("b").as("a"), col("a").as("b")))
+        .localCheckpoint()
+    }
+    Pctl.key(dir, "lineitem", "basket_pairs_sym") match {
+      case Some(k) => graft.CorpusCache.df(basketCache, k, spark)(compute)
+      case None => compute
+    }
+  }
+
+  /** Corpus-keyed ADJACENCY of the basket graph: one row per node —
+    * (node, sorted neighbor array). The round-21 optimization artifact
+    * (guide §2.3/§2.4): the per-iteration consumers (PageRank's
+    * contribution join, k-hop's frontier expansion) previously
+    * re-scanned the full EDGE LIST per round (2.4M rows ≈ 196 MB of
+    * in-memory blocks at sf0.1, measured via JobProfile) — the
+    * adjacency form carries the same information in |nodes| rows
+    * (~20k, ~40 MB), so a round scans 5× fewer bytes and probes its
+    * hash join per NODE instead of per EDGE; the fan-out explode is
+    * pipelined into the same stage (no shuffle of the arrays).
+    * Neighbor arrays are sorted (collect_list is order-free; the sort
+    * pins determinism) and bounded by the catalog, the same bound the
+    * old per-dst aggregate carried. Build-once per corpus, cold mode
+    * (SPARK_GRAFT_COLD=1) clears and re-pays it like every other
+    * graph artifact. */
+  def basketAdjacency(spark: SparkSession, dir: String): DataFrame = {
+    def compute: DataFrame = basketPairsSym(spark, dir)
+      .groupBy(col("a").as("node"))
+      .agg(sort_array(collect_list(col("b"))).as("nbrs"))
+      .localCheckpoint()
+    Pctl.key(dir, "lineitem", "basket_adj") match {
+      case Some(k) => graft.CorpusCache.df(basketCache, k, spark)(compute)
+      case None => compute
+    }
+  }
+
+  /** Corpus-keyed DEGREE-ORIENTED adjacency: for each node u, the
+    * sorted array of out-neighbors under the (deg, id) orientation
+    * [[triangleCount]] uses — every undirected edge appears exactly
+    * once, pointing from its (deg, id)-smaller endpoint. Out-degrees
+    * are arboricity-bounded (the orientation's point), so no row's
+    * array explodes on a degree hub. Same build-once discipline as
+    * [[basketAdjacency]]. */
+  def orientedAdjacency(spark: SparkSession, dir: String): DataFrame = {
+    def compute: DataFrame = {
+      val pairs = basketPairs(spark, dir)
+      val deg = pairs.select(col("a").as("v"))
+        .unionByName(pairs.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val withDeg = pairs
+        .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      withDeg.select(
+          when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+            struct(col("a").as("src"), col("b").as("dst")))
+            .otherwise(struct(col("b").as("src"), col("a").as("dst")))
+            .as("e"))
+        .groupBy(col("e.src").as("src"))
+        .agg(sort_array(collect_list(col("e.dst"))).as("nbrs"))
+        .localCheckpoint()
+    }
+    Pctl.key(dir, "lineitem", "basket_adj_oriented") match {
+      case Some(k) => graft.CorpusCache.df(basketCache, k, spark)(compute)
+      case None => compute
+    }
+  }
+
+  // corpus-keyed driver scalars for the broadcast gates (node and
+  // directed-edge counts of the pinned graph artifacts — one count
+  // job over a checkpointed frame each, cached like the frames)
+  private val graphStatCache = graft.CorpusCache.register(
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long])
+
+  private def cachedCount(dir: String, site: String)(
+      compute: => Long): Long =
+    Pctl.key(dir, "lineitem", site) match {
+      case Some(k) =>
+        if (graphStatCache.size > graft.CorpusCache.MaxEntries)
+          graphStatCache.clear()
+        graphStatCache.computeIfAbsent(k, _ => compute).longValue()
+      case None => compute
+    }
+
   def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
     val comp = nearDupComponents(spark, dir)
     val sizes = comp.groupBy("comp").agg(count(lit(1)).as("comp_size"))
@@ -245,6 +334,13 @@ object Components {
     * ~120 MB table re-broadcast every round right at the boundary.) */
   val PrBroadcastNodeMax = 500000L
 
+  /** Directed-edge bound for broadcasting the whole ORIENTED
+    * adjacency into [[triangleCount]]'s closing join: 5M out-edges
+    * ≈ 40 MB of longs plus array overhead — comfortably inside an
+    * executor, far under the 8 GB broadcast cap. Above it the closing
+    * join reverts to the round-14 shuffled form. */
+  val TriBroadcastEdgeMax = 5000000L
+
   /** #146 PageRank over the co-purchase part graph — the influence
     * ranking a catalog/recommendation pipeline derives from the same
     * basket edges as #143 (distinct co-ordered pairs, undirected).
@@ -262,14 +358,6 @@ object Components {
     * 5-deep lineage re-reads neither. Hot (high-degree) nodes are the
     * classic skew; the contribution join partial-aggregates map-side. */
   def pageRank(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = basketPairs(spark, dir)
-    // undirected → both directions; bounded by the part vocabulary²,
-    // generated basket-bounded
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
     // Broadcast the per-iteration rank/contribution tables when the
     // node set is dimension-bounded (a co-purchase graph's nodes are
     // the part vocabulary — catalog-sized, never fact-sized): each
@@ -278,46 +366,78 @@ object Components {
     // the r13 verdict measured. Above the gate every join reverts to
     // the shuffled form, the only unbounded-safe shape. Gate at
     // [[PrBroadcastNodeMax]] — genuinely catalog-sized (ADVICE r14:
-    // the old 5M gate allowed a ~120 MB broadcast per round); each
-    // round's state is also localCheckpoint'd under the broadcast
-    // route so a rebuilt broadcast never replays nested round lineage.
-    val nNodes = deg.count()
+    // the old 5M gate allowed a ~120 MB broadcast per round).
+    val adj = basketAdjacency(spark, dir)
+    val nNodes = cachedCount(dir, "basket_n_nodes")(adj.count())
     val bcastNodes = nNodes <= PrBroadcastNodeMax
-    // per-round lineage truncation only where the nested-broadcast
-    // rebuild can actually hurt (large node sets near the gate);
-    // a toy graph's 5-deep lineage is cheaper than 4 materializations
-    // (A/B at sf0.1: unconditional checkpoints cost ~0.3 s)
-    val ckptRounds = bcastNodes && nNodes > PrBroadcastNodeMax / 10
-    def maybeB(df: DataFrame): DataFrame =
-      if (bcastNodes) broadcast(df) else df
-    // state carries (node, deg, rank) so the contribution projection
-    // needs no per-round deg join
-    var ranks = deg.select(col("src").as("node"), col("deg"),
-      lit(PrScale).as("rank_u"))
-    for (it <- 1 to PrIters) {
-      // DIV, not `/`: double division of exact integers can round
-      // x.999… up before a cast truncates, off-by-one vs true floor
-      val contrib = edges
-        .join(maybeB(ranks.select(col("node"),
-          expr("rank_u DIV deg").as("c"))),
-          col("src") === col("node"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      ranks = deg.select(col("src").as("node"), col("deg"))
-        .join(maybeB(contrib), col("node") === contrib("dst"), "left")
-        .select(col("node"), col("deg"),
-          (lit(PrBase) + expr("(17 * coalesce(s, 0L)) DIV 20"))
-            .as("rank_u"))
-      // truncate lineage per round on the broadcast route (cheap: the
-      // state is gate-bounded); the final round stays lazy so the
-      // top-k consumer reads one plan. Shuffled route keeps lazy
-      // lineage — its joins never rebuild the whole chain driver-side.
-      if (ckptRounds && it < PrIters) ranks = ranks.localCheckpoint()
+    if (bcastNodes) {
+      // ADJACENCY iteration (round 21, guide §2.3): each round's
+      // contribution pass previously joined the 2-per-edge EDGE LIST
+      // against the broadcast ranks — a per-edge hash probe over
+      // ~196 MB of in-memory blocks per round at sf0.1 (JobProfile:
+      // 6 × ~180 ms jobs, the whole cell's cost). Here the round
+      // probes once per NODE over the |nodes|-row adjacency and
+      // explodes the neighbor array INSIDE the stage, so per round
+      // only the destination aggregate exchanges rows. Contributions
+      // are the same exact integers summed per dst (longs — order
+      // free), so ranks are bit-identical to the edge-list form.
+      val deg = adj.select(col("node"),
+        size(col("nbrs")).cast("long").as("deg"))
+      var ranks = deg.withColumn("rank_u", lit(PrScale))
+      for (_ <- 1 to PrIters) {
+        // DIV, not `/`: double division of exact integers can round
+        // x.999… up before a cast truncates, off-by-one vs true floor
+        val contrib = adj
+          .join(broadcast(ranks.select(col("node").as("cn"),
+            expr("rank_u DIV deg").as("c"))),
+            col("node") === col("cn"))
+          .select(explode(col("nbrs")).as("dst"), col("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+        ranks = deg
+          .join(broadcast(contrib), col("node") === contrib("dst"), "left")
+          .select(col("node"), col("deg"),
+            (lit(PrBase) + expr("(17 * coalesce(s, 0L)) DIV 20"))
+              .as("rank_u"))
+      }
+      pageRankTop(ranks)
+    } else {
+      // shuffled route: the only unbounded-safe shape — per-edge
+      // rows, shuffled joins, per-round lineage truncation (a nested
+      // broadcast rebuild can never replay the whole chain)
+      val pairs = basketPairs(spark, dir)
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint()
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
+      var ranks = deg.select(col("src").as("node"), col("deg"),
+        lit(PrScale).as("rank_u"))
+      for (it <- 1 to PrIters) {
+        val contrib = edges
+          .join(ranks.select(col("node"), expr("rank_u DIV deg").as("c")),
+            col("src") === col("node"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+        ranks = deg.select(col("src").as("node"), col("deg"))
+          .join(contrib, col("node") === contrib("dst"), "left")
+          .select(col("node"), col("deg"),
+            (lit(PrBase) + expr("(17 * coalesce(s, 0L)) DIV 20"))
+              .as("rank_u"))
+        if (it < PrIters) ranks = ranks.localCheckpoint()
+      }
+      pageRankTop(ranks)
     }
-    // TakeOrdered top-20 FIRST (no global window over the catalog),
-    // then rank the 20 survivors; deg already rides the rank state
+  }
+
+  /** TakeOrdered top-20 FIRST (no global window over the catalog),
+    * then rank the 20 survivors; deg already rides the rank state.
+    * partitionBy(lit(0)): the window runs over the 20 survivors by
+    * construction — naming the single partition silences WindowExec's
+    * "No Partition Defined" warning without changing anything. */
+  private def pageRankTop(ranks: DataFrame): DataFrame = {
     val top = ranks
       .orderBy(col("rank_u").desc, col("node").asc).limit(20)
     val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0))
       .orderBy(col("rank_u").desc, col("node").asc)
     top.withColumn("rnk", row_number().over(w).cast("long"))
       .select(col("rnk"), col("node").as("part_id"), col("deg"),
@@ -338,24 +458,6 @@ object Components {
     * (b, c) oriented edge. Pure integer joins; per-part triangle
     * participation from a 3-role explode, top-10 deterministic. */
   def triangleCount(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = basketPairs(spark, dir)
-    val deg = pairs.select(col("a").as("v"))
-      .unionByName(pairs.select(col("b").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("deg"))
-    // orient low (deg, id) -> high (deg, id)
-    val withDeg = pairs
-      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
-      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
-    val oriented = withDeg.select(
-        when(col("da") < col("db") ||
-          (col("da") === col("db") && col("a") < col("b")),
-          struct(col("a").as("src"), col("b").as("dst"),
-            col("db").as("ddeg")))
-          .otherwise(struct(col("b").as("src"), col("a").as("dst"),
-            col("da").as("ddeg"))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"),
-        col("e.ddeg").as("ddeg"))
-      .localCheckpoint()
     // EDGE-ITERATOR closing (round 14): for each oriented edge
     // (u, v), every common out-neighbor w ∈ N⁺(u) ∩ N⁺(v) closes the
     // triangle {u, v, w} exactly once (u the orientation-smallest
@@ -364,20 +466,46 @@ object Components {
     // wedge set (41M rows at sf0.1) and shuffled it into a semi-join
     // — two 41M-row exchanges that were this operator's entire cost
     // (6.1 s solo; a broadcast-edges variant measured WORSE, 9.5 s).
-    // Here the O(m^1.5) work collapses into per-row array
-    // intersection inside a 1.2M-row join pipeline: only O(m) rows
-    // ever shuffle (the adjacency build + two id-keyed joins), and
-    // per-row cost is d⁺(u)+d⁺(v) — arboricity-bounded by the
-    // orientation, so a degree hub never explodes a task.
-    val adj = oriented.groupBy(col("src").as("u"))
-      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-    val tris = oriented
-      .join(adj.select(col("u"), col("nbrs").as("nu")),
-        col("src") === col("u"))
-      .join(adj.select(col("u").as("v"), col("nbrs").as("nv")),
-        col("dst") === col("v"))
-      .select(col("src").as("pa"), col("dst").as("pb"),
-        explode(array_intersect(col("nu"), col("nv"))).as("pc"))
+    //
+    // Round 21 (guide §2.3/§3.1, JobProfile-measured): the round-14
+    // form still SHUFFLED the neighbor arrays — two id-keyed
+    // sort-merge joins attached nu/nv to each of the 1.2M oriented
+    // rows and exchanged the array-laden result (154 MB written /
+    // 163 MB read, over half the cell). The oriented edge list IS
+    // explode(orientedAdjacency), so below the broadcast gate the
+    // whole closing pipeline — explode to (u, nu, v), broadcast-hash
+    // attach nv, intersect, 3-role explode, partial aggregate — runs
+    // in ONE stage over the |nodes|-row artifact with ZERO array
+    // bytes shuffled; only the per-part tally exchanges. The
+    // broadcast holds the oriented adjacency (~8 B per edge + array
+    // overhead), gated on the directed edge count; above the gate the
+    // round-14 shuffled form runs unchanged (the unbounded-safe
+    // shape). Per-row cost stays d⁺(u)+d⁺(v), arboricity-bounded.
+    val adjO = orientedAdjacency(spark, dir)
+    val mEdges = cachedCount(dir, "basket_m_oriented")(
+      adjO.agg(sum(size(col("nbrs")))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      })
+    val tris = if (mEdges <= TriBroadcastEdgeMax) {
+      adjO.select(col("src").as("pa"), col("nbrs").as("nu"))
+        .select(col("pa"), col("nu"), explode(col("nu")).as("pb"))
+        .join(broadcast(adjO.select(col("src").as("pb"),
+          col("nbrs").as("nv"))), "pb")
+        .select(col("pa"), col("pb"),
+          explode(array_intersect(col("nu"), col("nv"))).as("pc"))
+    } else {
+      val oriented = adjO.select(col("src"),
+        explode(col("nbrs")).as("dst"))
+      val adj = adjO.select(col("src").as("u"), col("nbrs"))
+      oriented
+        .join(adj.select(col("u"), col("nbrs").as("nu")),
+          col("src") === col("u"))
+        .join(adj.select(col("u").as("v"), col("nbrs").as("nv")),
+          col("dst") === col("v"))
+        .select(col("src").as("pa"), col("dst").as("pb"),
+          explode(array_intersect(col("nu"), col("nv"))).as("pc"))
+    }
     // tris is consumed exactly ONCE (no checkpoint, no second pass):
     // the 3-role explode feeds the per-part tally, and the grand
     // total rides the PLAN as Σ n_tri / 3 over that tiny table — an
@@ -389,7 +517,9 @@ object Components {
       .groupBy("part_id").agg(count(lit(1)).as("n_tri"))
       .localCheckpoint()
     val total = perPart.agg(expr("sum(n_tri) div 3").as("total_tri"))
+    // partitionBy(lit(0)): runs over the 10 survivors by construction
     val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0))
       .orderBy(col("n_tri").desc, col("part_id").asc)
     perPart.orderBy(col("n_tri").desc, col("part_id").asc).limit(10)
       .withColumn("rnk", row_number().over(w).cast("long"))
@@ -444,18 +574,21 @@ object Components {
     * cap bounds rounds; lineage truncated per round like the
     * [[dedupComponents]] loop. */
   def khopReach(spark: SparkSession, dir: String): DataFrame = {
-    // symmetrized basket edges, corpus-keyed like the (a < b) pairs
-    // they derive from (round 15): the per-call symmetrize +
-    // checkpoint was one redundant materialization per query
-    def computeSym: DataFrame = {
-      val base = basketPairs(spark, dir)
-      base.unionByName(base.select(col("b").as("a"), col("a").as("b")))
-        .localCheckpoint()
-    }
-    val pairs = Pctl.key(dir, "lineitem", "basket_pairs_sym") match {
-      case Some(k) => graft.CorpusCache.df(basketCache, k, spark)(computeSym)
-      case None => computeSym
-    }
+    // Round 21 (guide §2.3/§2.4, JobProfile-measured): the per-hop
+    // frontier⋈edges join scanned — and, with the edge list's
+    // statistics unknown past its checkpoint, SHUFFLED — the full
+    // 2-per-edge list every hop (~196 MB in-memory + a 21 MB exchange
+    // per hop at sf0.1). Below the catalog gate the hop now probes
+    // the |nodes|-row adjacency artifact against the BROADCAST
+    // frontier (frontier ⊆ nodes, so the gate that bounds the node
+    // set bounds the broadcast) and explodes neighbors in-stage: per
+    // hop the only exchange left is the dst-grain distinct. Above the
+    // gate the frontier⋈edges shuffled form runs unchanged. Neighbor
+    // sets are identical either way, so hops and hashes are too.
+    val adj = basketAdjacency(spark, dir)
+    val nNodes = cachedCount(dir, "basket_n_nodes")(adj.count())
+    val bcastFrontier = nNodes <= PrBroadcastNodeMax
+    lazy val pairs = basketPairsSym(spark, dir)
     val part = Tables.load(spark, dir, "part").select("p_partkey")
     var visited = part
       .filter(col("p_partkey") % 97 === 0)
@@ -467,9 +600,14 @@ object Components {
       // union below and the next hop's join); `visited` stays a lazy
       // union of ≤ KhopMaxHops+1 checkpointed frames — truncating it
       // per hop was a second materialization with nothing to truncate
-      val next = frontier
-        .join(pairs, frontier("node") === pairs("a"))
-        .select(col("b").as("node")).distinct()
+      val expanded =
+        if (bcastFrontier)
+          adj.join(broadcast(frontier.select(col("node"))), "node")
+            .select(explode(col("nbrs")).as("node"))
+        else
+          frontier.join(pairs, frontier("node") === pairs("a"))
+            .select(col("b").as("node"))
+      val next = expanded.distinct()
         .join(visited.select("node"), Seq("node"), "left_anti")
         .select(col("node"), lit(h.toLong).as("hop"))
         .localCheckpoint()

@@ -321,7 +321,7 @@ object Dedup {
     val d = docs
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         floor(col("n_chars") / lit(20)).as("blk"),
-        TextFunctions.charNgrams(col("text"), 3).as("grams"))
+        TextFunctions.charNgramCodes(col("text"), 3).as("grams"))
     // The probe side fans out to its own and both ADJACENT length
     // blocks, so a ≤20-char pair straddling a block boundary (19 vs
     // 21 chars) is still generated — an equi-join on blk alone would
@@ -338,7 +338,7 @@ object Dedup {
       col("grams").as("grams_b"))
     a.join(b, Seq("lang", "source", "jblk"))
       .filter(col("a") < col("b") && abs(col("nc_a") - col("nc_b")) <= 20)
-      .withColumn("jac", TextFunctions.jaccard(col("grams_a"), col("grams_b")))
+      .withColumn("jac", TextFunctions.jaccardCodes(col("grams_a"), col("grams_b")))
       .select("a", "b", "jac")
   }
 
@@ -358,7 +358,7 @@ object Dedup {
       .select(col("doc_id").as("a"), col("lang"), col("source"),
         floor(col("n_chars") / lit(20)).as("jblk"),
         col("n_chars").as("nc_a"),
-        TextFunctions.charNgrams(col("text"), 3).as("grams_a"))
+        TextFunctions.charNgramCodes(col("text"), 3).as("grams_a"))
       .write.mode("overwrite")
       .bucketBy(8, "lang", "source", "jblk")
       .saveAsTable(name)
@@ -422,7 +422,7 @@ object Dedup {
       .select(col("doc_id").as("a"), col("lang"), col("source"),
         floor(col("n_chars") / lit(20)).as("jblk"),
         col("n_chars").as("nc_a"),
-        TextFunctions.charNgrams(col("text"), 3).as("grams_a"))
+        TextFunctions.charNgramCodes(col("text"), 3).as("grams_a"))
     incrementalDedupAgainst(spark, dir, index)
   }
 
@@ -436,7 +436,7 @@ object Dedup {
       .filter(col("doc_id") % IncrBatchMod === 0)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         floor(col("n_chars") / lit(20)).as("blk"),
-        TextFunctions.charNgrams(col("text"), 3).as("grams"))
+        TextFunctions.charNgramCodes(col("text"), 3).as("grams"))
     val probes = batch
       .select(col("doc_id").as("b"), col("lang"), col("source"), col("blk"),
         col("n_chars").as("nc_b"), col("grams").as("grams_b"))
@@ -449,7 +449,7 @@ object Dedup {
       // also excludes the self-pair: a == b is a batch doc, not < b)
       .filter(col("a") % IncrBatchMod =!= 0 || col("a") < col("b"))
       .select(col("b"),
-        TextFunctions.jaccard(col("grams_a"), col("grams_b")).as("jac"),
+        TextFunctions.jaccardCodes(col("grams_a"), col("grams_b")).as("jac"),
         col("a"))
       // best match per batch doc: max jac, min existing id on ties —
       // max of struct(jac, -a) realizes both in one agg
@@ -711,7 +711,7 @@ object Dedup {
     val d0 = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         floor(col("n_chars") / lit(20)).as("blk"),
-        TextFunctions.charNgrams(col("text"), 3).as("grams"))
+        TextFunctions.charNgramCodes(col("text"), 3).as("grams"))
     // the guard list is almost always EMPTY — keep the common plan
     // identical to the unguarded form (no extra join) and pay the
     // broadcast anti-join only when some block actually overflows
@@ -731,7 +731,7 @@ object Dedup {
       .select(col("a"), col("b"),
         size(col("grams_a")).cast("long").as("na"),
         size(col("grams_b")).cast("long").as("nb"),
-        size(array_intersect(col("grams_a"), col("grams_b")))
+        TextFunctions.intersectCount(col("grams_a"), col("grams_b"))
           .cast("long").as("inter"))
       .filter(col("na") > 0 && col("nb") > 0)
       .select(col("a"), col("b"), col("na"), col("nb"), col("inter"),

@@ -422,29 +422,39 @@ object Dimensional {
     val LookbackUs = AttributionLookbackUs
     val BlockUs = 86400L * 1000000L
     val events = Tables.load(spark, dir, "events")
+    // Round 21 (guide §2.4): the per-(user, ts) touch pre-collapse
+    // (groupBy + max-of-struct — one whole extra exchange of the
+    // touch stream) is FOLDED into the one merge sort this operator
+    // already pays: event_id rides the touch struct, the local
+    // window orders same-ts touches by it (max last, where the
+    // running `last` picks it up), and the block summary's
+    // max-of-struct breaks t_us ties by event_id — the same winner
+    // the collapse pre-picked, row for row.
     val touches = events
       .filter(col("event_type") === "click" || col("event_type") === "view")
-      .groupBy(col("user_id"), col("ts"))
-      .agg(max(struct(col("event_id"), col("event_type"))).as("m"))
       .select(col("user_id"), col("ts"), lit(0).as("kind"),
         lit(null).cast("long").as("conv_id"),
         lit(null).cast("double").as("value"),
         struct(unix_micros(col("ts")).as("t_us"),
-          col("m.event_type").as("channel")).as("touch"))
+          col("event_id").as("eid"),
+          col("event_type").as("channel")).as("touch"))
     val convs = events.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), lit(1).as("kind"),
         col("event_id").as("conv_id"), col("value"),
         lit(null).cast(touches.schema("touch").dataType).as("touch"))
     val merged = touches.unionByName(convs)
       .withColumn("block", floor(unix_micros(col("ts")) / BlockUs))
+    // total order within (user, block): same-ts touches by touch
+    // struct (t_us equal → event_id decides), same-ts purchases by
+    // conv_id — deterministic without the pre-collapse
     val wLocal = Window.partitionBy("user_id", "block")
-      .orderBy(col("ts"), col("kind"), col("conv_id"))
+      .orderBy(col("ts"), col("kind"), col("conv_id"), col("touch"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = merged.withColumn("localLast",
       last(col("touch"), ignoreNulls = true).over(wLocal))
     // one row per (user, block): the block's final touch — touch
-    // structs order by (t_us, channel) and t_us is unique per user
-    // after the per-(user, ts) collapse, so max-of-struct IS "latest"
+    // structs order by (t_us, eid, channel), so max-of-struct IS
+    // "latest touch, max event_id on ties"
     val wCarry = Window.partitionBy("user_id").orderBy(col("block"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val blockTouch = merged.filter(col("kind") === 0)
@@ -836,7 +846,8 @@ object Dimensional {
       .groupBy("day").agg(count(lit(1)).as("n_new"))
     val actives = ev.distinct()
       .groupBy("day").agg(count(lit(1)).as("n_active"))
-    val w = Window.orderBy("day")
+    // partitionBy(lit(0)): the day table is calendar-bounded
+    val w = Window.partitionBy(lit(0)).orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     actives.join(firstSeen, Seq("day"), "left")
       .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
@@ -1060,11 +1071,14 @@ object Dimensional {
         // spec-proven, the quintile identity is shared arithmetic.
         val W = org.apache.spark.sql.expressions.Window
         users.select(col("user_id"), col("mon"),
-          row_number().over(W.orderBy(col("last_us").desc,
+          row_number().over(W.partitionBy(lit(0)).orderBy(
+            col("last_us").desc,
             col("user_id").asc)).cast("long").as("rr"),
-          row_number().over(W.orderBy(col("freq").desc,
+          row_number().over(W.partitionBy(lit(0)).orderBy(
+            col("freq").desc,
             col("user_id").asc)).cast("long").as("fr"),
-          row_number().over(W.orderBy(col("mon").desc,
+          row_number().over(W.partitionBy(lit(0)).orderBy(
+            col("mon").desc,
             col("user_id").asc)).cast("long").as("mr"))
       } else {
         val r = Rank.twoLevelRank(users, Seq.empty,

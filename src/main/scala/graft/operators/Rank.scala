@@ -49,7 +49,13 @@ object Rank {
       .orderBy(order: _*)
     val local = withBlk
       .withColumn("__lrnk", row_number().over(wLocal).cast("long"))
-    val wOff = Window.partitionBy(partCols: _*)
+    // partitionBy(lit(0)) when `part` is empty: the offsets table is
+    // |blocks|-row bounded, so one partition is the intended shape —
+    // naming it silences WindowExec's "No Partition Defined" warning
+    // (which would otherwise mask a REAL single-partition regression
+    // elsewhere) without changing the computation
+    val wOff = (if (part.isEmpty) Window.partitionBy(lit(0))
+                else Window.partitionBy(partCols: _*))
       .orderBy(if (blkAscending) col("__blk").asc else col("__blk").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val wN =
@@ -82,7 +88,10 @@ object Rank {
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = withBlk
       .withColumn("__lsum", coalesce(sum(col("__v")).over(wLocal), lit(0L)))
-    val wOff = Window.partitionBy(partCols: _*).orderBy(col("__blk").asc)
+    // same bounded-offsets single-partition naming as twoLevelRank
+    val wOff = (if (part.isEmpty) Window.partitionBy(lit(0))
+                else Window.partitionBy(partCols: _*))
+      .orderBy(col("__blk").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val wN =
       if (part.isEmpty) Window.partitionBy(lit(0))

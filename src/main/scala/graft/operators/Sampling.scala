@@ -298,7 +298,8 @@ object Sampling {
         // frame sums — the decomposition's extra exchanges dominate
         // at dim-sized corpora (footer-only count)
         val W = org.apache.spark.sql.expressions.Window
-        val ord = W.orderBy(col("skey"), col("doc_id"))
+        val ord = W.partitionBy(lit(0))
+          .orderBy(col("skey"), col("doc_id"))
         docs
           .withColumn("cum", coalesce(sum(col("w")).over(
             ord.rowsBetween(org.apache.spark.sql.expressions

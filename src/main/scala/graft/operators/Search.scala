@@ -103,7 +103,9 @@ object Search {
         termScores.reduceLeft(_ + _).as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(TopK)
+    // partitionBy(lit(0)): runs over the TopK survivors only
     val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0))
       .orderBy(col("score").desc, col("doc_id").asc)
     topDocs
       .withColumn("rnk", row_number().over(w).cast("long"))
@@ -187,7 +189,9 @@ object Search {
     val e = Similarity.emb(spark, dir)
     val q = e.filter(col("vec_id") === 0L)
       .select(col("vec").as("qvec"))
+    // partitionBy(lit(0)): runs over the TopK survivors only
     val vw = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0))
       .orderBy(col("cos").desc, col("doc_id").asc)
     val vr = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= 0L)
@@ -196,7 +200,9 @@ object Search {
       .orderBy(col("cos").desc, col("doc_id").asc).limit(TopK)
       .withColumn("r_vec", row_number().over(vw).cast("long"))
       .select("doc_id", "r_vec")
+    // partitionBy(lit(0)): runs over the fused HybridTopK rows
     val fw = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0))
       .orderBy(col("rrf").desc, col("doc_id").asc)
     bm.join(vr, Seq("doc_id"), "full_outer")
       .withColumn("rrf",
@@ -229,7 +235,12 @@ object Search {
   def keywordExtract(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
       .filter(col("text").isNotNull)
-    val n = docs.count()
+    // corpus size as a broadcast one-row aggregate riding the plan —
+    // round 21: the previous `docs.count()` driver action was a
+    // separate job (plus its own documents scan) per call just to
+    // embed one scalar literal; the crossJoin keeps the same double
+    // value (long count cast) inside a single scheduled query
+    val nRow = docs.agg(count(lit(1)).cast("double").as("__n"))
     val tf = docs.select(col("doc_id"),
         explode(filter(split(lower(trim(col("text"))), "\\s+"),
           t => t =!= "")).as("tok"))
@@ -237,9 +248,11 @@ object Search {
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint() // pinned: df branch + the scoring join
     val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nRow))
       .withColumn("idf9",
-        round(log(lit(n.toDouble) / col("df").cast("double")), 9)
+        round(log(col("__n") / col("df").cast("double")), 9)
           .cast("decimal(28,9)"))
+      .drop("__n")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id")
       .orderBy(col("score").desc, col("tok").asc)

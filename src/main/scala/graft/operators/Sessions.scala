@@ -189,7 +189,9 @@ object Sessions {
       .select(concat_ws(">", transform(
         slice(array_sort(col("evs")), 1, 8),
         e => e.getField("event_type"))).as("path"))
-    val w = Window.orderBy(col("n").desc, col("path").asc)
+    // partitionBy(lit(0)): runs over the 20 survivors only
+    val w = Window.partitionBy(lit(0))
+      .orderBy(col("n").desc, col("path").asc)
     paths.groupBy("path").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("path").asc).limit(20)
       .withColumn("rnk", row_number().over(w).cast("long"))

@@ -57,20 +57,38 @@ object TimeSeries {
     // timestamp_seconds at the end — cheaper per generated row than
     // timestamp+INTERVAL sequence arithmetic)
     val w = Window.partitionBy("user_id").orderBy("hour")
-    obs
+    val ranges = obs
       .crossJoin(broadcast(p.agg(max(col("hour")).as("mh"))
         .select(expr("unix_micros(mh) DIV 3600000000").as("h1"))))
       .withColumn("h", expr("unix_micros(hour) DIV 3600000000"))
       .withColumn("next_h", lead(col("h"), 1).over(w))
       .withColumn("end_h", coalesce(col("next_h") - 1L, col("h1")))
-      .select(col("user_id").as("ticker_id"), col("h").as("obs_h"),
-        col("obs_price"),
+      .select(col("user_id").as("ticker_id"), col("h"),
+        col("end_h"), col("obs_price"))
+    // Sort the RANGES, not the exploded grid (round 21, guide §8:
+    // order the lightweight proxy, move/produce the payload once).
+    // A ticker's validity ranges are DISJOINT and h-ordered, so
+    // exploding range-sorted rows emits the grid already in the
+    // exact (ticker_id, hour) total order the old terminal orderBy
+    // produced — same rows, same order, with the ~50×-wider grid
+    // never shuffled or sorted. This also fixes a measured AQE
+    // parallelism cliff (JobProfile): the pre-explode shuffle is
+    // tiny (~344 KB), so AQE coalesced the window+explode stage to
+    // ONE task that then generated the whole grid single-threaded;
+    // the explicit range repartition of the range rows spreads the
+    // explode across the session's cores (defaultParallelism —
+    // scale-adaptive, not a local constant).
+    ranges
+      .repartitionByRange(
+        ranges.sparkSession.sparkContext.defaultParallelism,
+        col("ticker_id"), col("h"))
+      .sortWithinPartitions("ticker_id", "h")
+      .select(col("ticker_id"), col("h").as("obs_h"), col("obs_price"),
         explode(sequence(col("h"), col("end_h"))).as("gh"))
       .select(col("ticker_id"),
         timestamp_seconds(col("gh") * 3600L).as("hour"),
         round(col("obs_price"), 6).as("price"),
         (col("gh") === col("obs_h")).cast("long").as("is_observed"))
-      .orderBy("ticker_id", "hour")
   }
 
   /** Rolling stats window: the 20 trades BEFORE the current one. */
@@ -323,7 +341,8 @@ object TimeSeries {
       .select(explode(sequence(col("d0"), col("d1"))).as("day"))
     val series = spine.join(daily, Seq("day"), "left")
       .select(col("day"), coalesce(col("rev_u"), lit(0L)).as("rev_u"))
-    val w = Window.orderBy("day").rowsBetween(-3, 3)
+    // partitionBy(lit(0)): the daily series is calendar-bounded
+    val w = Window.partitionBy(lit(0)).orderBy("day").rowsBetween(-3, 3)
     val trended = series
       .withColumn("trend_sum_u",
         when(count(lit(1)).over(w) === 7, sum(col("rev_u")).over(w)))

@@ -80,7 +80,8 @@ object Worklist {
       .select(col("user_id").as("key"),
         concat(lit("T"), col("user_id")).as("symbol"),
         pageKey(col("user_id")).as("skey"))
-    val wDoc = Window.orderBy(col("skey"), col("key"))
+    // partitionBy(lit(0)): the member list is worklist-bounded
+    val wDoc = Window.partitionBy(lit(0)).orderBy(col("skey"), col("key"))
     val memberLines = members
       .withColumn("line_no", row_number().over(wDoc).cast("long"))
       .select(col("line_no"),
@@ -109,14 +110,14 @@ object Worklist {
         regexp_extract(col("line"), "^<tr><td>([A-Z0-9]+)</td>", 1)
           .as("symbol"))
       .filter(col("symbol") =!= "")
-    val wPos = Window.orderBy(col("line_no"))
+    val wPos = Window.partitionBy(lit(0)).orderBy(col("line_no"))
     val ledger = parsed
       .withColumn("pos", row_number().over(wPos).cast("long"))
       .withColumn("key", expr("cast(substring(symbol, 2) as bigint)"))
       .withColumn("status",
         when(col("symbol").isin(ExcludedSymbols: _*), "excluded")
           .otherwise("included"))
-    val wShard = Window.orderBy(col("pos"))
+    val wShard = Window.partitionBy(lit(0)).orderBy(col("pos"))
     val shards = ledger.filter(col("status") === "included")
       .withColumn("shard",
         least(floor((row_number().over(wShard).cast("long") - 1L) /
