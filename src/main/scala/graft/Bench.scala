@@ -77,6 +77,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The repo's deliberate single-partition windows (top-k reranks,
+    // |blocks|-row offset tables, calendar series) are all
+    // partitionBy(lit(0)) — documented bounded at every site — but
+    // Catalyst folds the literal key away, so WindowExec still logs
+    // its generic "No Partition Defined" warning PER EXECUTION:
+    // 1200+ lines per suite run that bury the tail the driver
+    // captures (and any real warning in it). Quiet exactly that one
+    // logger in the bench harness; ERROR-level signals still pass.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     val tStage = System.nanoTime()
     val runDir = if (stageFiles > 0) stage(spark, sfDir, stageFiles) else sfDir
     val stageSec = (System.nanoTime() - tStage) / 1e9

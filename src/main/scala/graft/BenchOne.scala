@@ -43,6 +43,11 @@ object BenchOne {
       })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // deliberate bounded single-partition windows log a generic
+    // WindowExec warning per execution (see Bench.scala) — quiet it
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     // same staged layout as Bench, so numbers stay comparable
     // (SPARK_GRAFT_STAGE_FILES=0 to profile the raw single-file SF)
     val staged = if (stageFiles > 0) Bench.stage(spark, sfDir, stageFiles) else sfDir

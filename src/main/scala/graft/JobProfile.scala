@@ -28,6 +28,11 @@ object JobProfile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // deliberate bounded single-partition windows log a generic
+    // WindowExec warning per execution (see Bench.scala) — quiet it
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     val runDir =
       if (stageFiles > 0) Bench.stage(spark, sfDir, stageFiles) else sfDir
 

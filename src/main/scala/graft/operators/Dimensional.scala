@@ -434,21 +434,25 @@ object Dimensional {
       .filter(col("event_type") === "click" || col("event_type") === "view")
       .select(col("user_id"), col("ts"), lit(0).as("kind"),
         lit(null).cast("long").as("conv_id"),
+        col("event_id").as("tie"),
         lit(null).cast("double").as("value"),
         struct(unix_micros(col("ts")).as("t_us"),
           col("event_id").as("eid"),
           col("event_type").as("channel")).as("touch"))
     val convs = events.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), lit(1).as("kind"),
-        col("event_id").as("conv_id"), col("value"),
+        col("event_id").as("conv_id"),
+        lit(null).cast("long").as("tie"), col("value"),
         lit(null).cast(touches.schema("touch").dataType).as("touch"))
     val merged = touches.unionByName(convs)
       .withColumn("block", floor(unix_micros(col("ts")) / BlockUs))
-    // total order within (user, block): same-ts touches by touch
-    // struct (t_us equal → event_id decides), same-ts purchases by
-    // conv_id — deterministic without the pre-collapse
+    // total order within (user, block): same-ts touches by event_id
+    // (`tie` — a PRIMITIVE sort key; ordering by the touch struct
+    // itself would put an interpreted struct comparator in the sort),
+    // same-ts purchases by conv_id — deterministic without the
+    // pre-collapse
     val wLocal = Window.partitionBy("user_id", "block")
-      .orderBy(col("ts"), col("kind"), col("conv_id"), col("touch"))
+      .orderBy(col("ts"), col("kind"), col("conv_id"), col("tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = merged.withColumn("localLast",
       last(col("touch"), ignoreNulls = true).over(wLocal))

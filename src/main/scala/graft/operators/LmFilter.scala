@@ -124,15 +124,21 @@ object LmFilter {
     // the pinned shared bigram-type model (round 15) — steady state
     // touches no corpus-scale data at all
     val c2 = bigramCounts(spark, dir)
-    val n = c2.agg(sum(col("c2"))).head().getLong(0)
+    // N as a broadcast one-row aggregate riding the plan (round 21):
+    // the `.head()` driver action was one extra job per call for a
+    // scalar the scoring join can carry as a column — same exact long
+    val nRow = c2.agg(sum(col("c2")).as("__N"))
     val ctx1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
     val ctx2 = c2.groupBy("w2").agg(sum(col("c2")).as("cr"))
     val scored = c2.filter(col("c2") >= PmiMinCount)
       .join(ctx1, "w1").join(ctx2, "w2")
+      .crossJoin(broadcast(nRow))
       .select(col("w1"), col("w2"), col("c2"),
-        round(log((col("c2") * lit(n)).cast("double") /
+        round(log((col("c2") * col("__N")).cast("double") /
           (col("c1") * col("cr")).cast("double")), 6).as("pmi"))
+    // partitionBy(lit(0)): runs over the 20 survivors only
     val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0))
       .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
     scored.orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
       .limit(20)

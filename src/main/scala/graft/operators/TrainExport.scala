@@ -220,10 +220,12 @@ object TrainExport {
     val wLocal = org.apache.spark.sql.expressions.Window
       .partitionBy("blk").orderBy(col("n_tok").desc, col("doc_id").asc)
     val local = t.withColumn("lrnk", row_number().over(wLocal).cast("long"))
-    // unpartitioned window — deliberately: it runs over the per-BLOCK
-    // counts table (≤ max_doc_tokens/32 rows, e.g. ~31k rows even for
-    // million-token documents), never over data rows
+    // single-partition window — deliberately: it runs over the
+    // per-BLOCK counts table (≤ max_doc_tokens/32 rows, e.g. ~31k
+    // rows even for million-token documents), never over data rows;
+    // partitionBy(lit(0)) names that intent (no WindowExec warning)
     val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0))
       .orderBy(col("blk").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window
         .unboundedPreceding, -1)
