@@ -141,8 +141,14 @@ object AsOfJoin {
       .select("event_id", "user_id", "ts")
     val build = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("value").as("asof_value"))
-    asOf(probe, build, "user_id", "ts", Seq("asof_value"),
-      buildOrder = Seq(col("asof_value")))
+    // adaptive plan (round 21, the scd2_lookup pattern): below
+    // Rank.SingleWindowMax events the single-window merge wins —
+    // forms AsOfTwoLevelSpec-proven equal, skew shape still gated at
+    // kill-test volume (see the bound's scaladoc)
+    asOfImpl(probe, build, "user_id", "ts", Seq("asof_value"),
+      buildOrder = Seq(col("asof_value")),
+      twoLevel = Tables.rowCount(spark, dir, "events") >
+        Rank.SingleWindowMax)
       .select("event_id", "user_id", "ts", "asof_value")
       .orderBy("event_id")
   }
@@ -173,8 +179,12 @@ object AsOfJoin {
     val ageUs = unix_micros(col("ts")) - unix_micros(col("asof_ts"))
     val fresh = col("asof_ts").isNotNull &&
       ageUs <= lit(ToleranceS * 1000000L)
-    asOf(probe, build, "user_id", "ts", Seq("asof_value", "asof_ts"),
-      buildOrder = Seq(col("asof_value")))
+    asOfImpl(probe, build, "user_id", "ts",
+      Seq("asof_value", "asof_ts"),
+      buildOrder = Seq(col("asof_value")),
+      // same adaptive gate as clicksAsOfPurchases
+      twoLevel = Tables.rowCount(spark, dir, "events") >
+        Rank.SingleWindowMax)
       .select(col("event_id"), col("user_id"), col("ts"),
         when(fresh, col("asof_value")).as("asof_value"),
         when(fresh, (ageUs / lit(1000000L)).cast("long")).as("age_s"))

@@ -418,7 +418,19 @@ object Dimensional {
     * purchase's effective touch = coalesce(block-local, carried) —
     * blocks partition time per user, so this is exactly the
     * single-window answer (the oracle's ASOF form verifies it). */
-  def attribution(spark: SparkSession, dir: String): DataFrame = {
+  def attribution(spark: SparkSession, dir: String): DataFrame =
+    // adaptive plan (round 21, the scd2_lookup pattern): below
+    // Rank.SingleWindowMax events the textbook one-window-per-user
+    // merge wins (the blocked form's summary/carry/join passes cost
+    // more than they save); forms AttributionTwoLevelSpec-proven
+    // equal, and the skew kill-test corpus (≥1M events) stays on the
+    // two-level shape — see the bound's scaladoc.
+    attributionImpl(spark, dir,
+      twoLevel = Tables.rowCount(spark, dir, "events") >
+        Rank.SingleWindowMax)
+
+  private[graft] def attributionImpl(spark: SparkSession, dir: String,
+      twoLevel: Boolean): DataFrame = {
     val LookbackUs = AttributionLookbackUs
     val BlockUs = 86400L * 1000000L
     val events = Tables.load(spark, dir, "events")
@@ -451,34 +463,48 @@ object Dimensional {
     // itself would put an interpreted struct comparator in the sort),
     // same-ts purchases by conv_id — deterministic without the
     // pre-collapse
-    val wLocal = Window.partitionBy("user_id", "block")
-      .orderBy(col("ts"), col("kind"), col("conv_id"), col("tie"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = merged.withColumn("localLast",
-      last(col("touch"), ignoreNulls = true).over(wLocal))
-    // one row per (user, block): the block's final touch — touch
-    // structs order by (t_us, eid, channel), so max-of-struct IS
-    // "latest touch, max event_id on ties"
-    val wCarry = Window.partitionBy("user_id").orderBy(col("block"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val blockTouch = merged.filter(col("kind") === 0)
-      .groupBy("user_id", "block")
-      .agg(max(col("touch")).as("blockLast"))
-    // spine over EVERY (user, block) present — a purchase block with
-    // no touches of its own must still receive the carry
-    val carried = merged.select("user_id", "block").distinct()
-      .join(blockTouch, Seq("user_id", "block"), "left")
-      .withColumn("prevTouch",
-        last(col("blockLast"), ignoreNulls = true).over(wCarry))
-      .select("user_id", "block", "prevTouch")
-    val attributed = local.filter(col("kind") === 1)
-      .join(carried, Seq("user_id", "block"), "left")
-      .withColumn("eff", coalesce(col("localLast"), col("prevTouch")))
+    val attributed = if (twoLevel) {
+      val wLocal = Window.partitionBy("user_id", "block")
+        .orderBy(col("ts"), col("kind"), col("conv_id"), col("tie"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val local = merged.withColumn("localLast",
+        last(col("touch"), ignoreNulls = true).over(wLocal))
+      // one row per (user, block): the block's final touch — touch
+      // structs order by (t_us, eid, channel), so max-of-struct IS
+      // "latest touch, max event_id on ties"
+      val wCarry = Window.partitionBy("user_id").orderBy(col("block"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val blockTouch = merged.filter(col("kind") === 0)
+        .groupBy("user_id", "block")
+        .agg(max(col("touch")).as("blockLast"))
+      // spine over EVERY (user, block) present — a purchase block with
+      // no touches of its own must still receive the carry
+      val carried = merged.select("user_id", "block").distinct()
+        .join(blockTouch, Seq("user_id", "block"), "left")
+        .withColumn("prevTouch",
+          last(col("blockLast"), ignoreNulls = true).over(wCarry))
+        .select("user_id", "block", "prevTouch")
+      local.filter(col("kind") === 1)
+        .join(carried, Seq("user_id", "block"), "left")
+        .withColumn("eff", coalesce(col("localLast"), col("prevTouch")))
+    } else {
+      // the textbook single-window form the blocked decomposition
+      // reproduces (its scaladoc proof): blocks partition a user's
+      // timeline, so global running last ≡ block-local last when one
+      // exists, else the latest earlier block's winner
+      val wUser = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("kind"), col("conv_id"), col("tie"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      merged
+        .withColumn("eff", last(col("touch"), ignoreNulls = true).over(wUser))
+        .filter(col("kind") === 1)
+    }
+    attributed
       .withColumn("channel",
         when(col("eff").isNotNull &&
           unix_micros(col("ts")) - col("eff.t_us") <= LookbackUs,
           col("eff.channel")).otherwise(lit("unattributed")))
-    attributed.groupBy("channel")
+      .groupBy("channel")
       .agg(count(lit(1)).as("n_conv"),
         round(Num.dsum(col("value")), 6).as("revenue"))
       .orderBy("channel")

@@ -56,7 +56,12 @@ object Intervals {
     * IS the global prefix max — spec-asserted equal to the
     * single-window form. */
   def intervalMerge(spark: SparkSession, dir: String): DataFrame =
-    mergeStats(intervals(spark, dir), twoLevel = true)
+    // adaptive plan (round 21, the scd2_lookup pattern): below
+    // Rank.SingleWindowMax events the single-window form wins (see
+    // the bound's scaladoc); the forms are IntervalsSpec-proven equal
+    mergeStats(intervals(spark, dir), twoLevel =
+      graft.sources.Tables.rowCount(spark, dir, "events") >
+        Rank.SingleWindowMax)
 
   /** [[intervalMerge]] core, parameterized for the equivalence spec:
     * `twoLevel = false` is the textbook one-window-per-user form. */
@@ -111,7 +116,10 @@ object Intervals {
     * same multiset under any tie order, so peak and first-instant
     * are deterministic. */
   def concurrencyPeak(spark: SparkSession, dir: String): DataFrame =
-    peakStats(intervals(spark, dir), twoLevel = true)
+    // adaptive plan — same gate and spec coverage as intervalMerge
+    peakStats(intervals(spark, dir), twoLevel =
+      graft.sources.Tables.rowCount(spark, dir, "events") >
+        Rank.SingleWindowMax)
 
   /** [[concurrencyPeak]] core, parameterized for the equivalence
     * spec (single-window vs two-level prefix sums). */

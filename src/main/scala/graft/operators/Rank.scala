@@ -30,6 +30,21 @@ object Rank {
     * only shape that survives 100 TB. */
   val SingleTaskMax = 5000000L
 
+  /** Adaptive single-window bound for the KEYED ordered-window family
+    * (as-of merges, interval sweeps, attribution): at or below this
+    * many input rows the single-window form — one exchange, one
+    * in-task sort per key partition — beats the two-level
+    * decomposition's extra summary/carry exchanges, and even a
+    * 90%-one-key corpus sorts ≤ 500k rows in one task in ~100-200 ms.
+    * Deliberately an order of magnitude below [[SingleTaskMax]]: the
+    * skew kill-tests (ScaleBench mode=skew) run at mult ≥ 10
+    * (≥ 1M events), so every skewed gate corpus keeps exercising the
+    * two-level shape — the gate can never hide a reintroduced
+    * one-task sort from SKEW_full.json. Equivalence of the two forms
+    * is spec-proven per operator (AsOfTwoLevelSpec, IntervalsSpec,
+    * AttributionTwoLevelSpec). */
+  val SingleWindowMax = 500000L
+
   /** Adds `rankName` (1-based global row_number within `part` over
     * `order`) and `nName` (the partition's row count) to `df`.
     *

@@ -50,44 +50,78 @@ object Sessions {
     * the 128-bit kernel, and session starts are strictly increasing
     * per user (sessions are >gap apart), so the renumbering matches
     * the running-sum ids. */
-  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    // adaptive plan (round 21, the scd2_lookup pattern): below
+    // Rank.SingleWindowMax events the one-window-per-user form wins
+    // (the block assembly's second window + regroup cost more than
+    // they save); forms SessionTwoLevelSpec-proven equal, and the
+    // skew kill-test corpus (≥1M events) stays on the two-level
+    // shape — see the bound's scaladoc.
+    sessionizeImpl(spark, dir,
+      twoLevel = Tables.rowCount(spark, dir, "events") >
+        Rank.SingleWindowMax)
+
+  private[graft] def sessionizeImpl(spark: SparkSession, dir: String,
+      twoLevel: Boolean): DataFrame = {
     val gapUs = SessionGapMinutes * 60L * 1000000L
     val blockUs = 86400L * 1000000L // 1 day >> gap
-    val byBlock = Window.partitionBy("user_id", "block")
-      .orderBy(col("ts"), col("event_id"))
-    val local = Tables.load(spark, dir, "events")
+    val ev = Tables.load(spark, dir, "events")
       .withColumn("us", unix_micros(col("ts")))
-      .withColumn("block", floor(col("us") / blockUs))
-      .withColumn("prev_us", lag(col("us"), 1).over(byBlock))
-      .withColumn("new_sess",
-        when(col("prev_us").isNull ||
-          col("us") - col("prev_us") > gapUs, 1L).otherwise(0L))
-      .withColumn("lsess", sum(col("new_sess")).over(
-        byBlock.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      // same (user, block) clustering — no extra shuffle for this agg
-      .groupBy("user_id", "block", "lsess")
-      .agg(min(col("ts")).as("sess_start"), max(col("ts")).as("sess_end"),
-        min(col("us")).as("start_us"), max(col("us")).as("end_us"),
-        count(lit(1)).as("n_events"),
-        // 128-bit exact partial (same kernel as salted phase-1
-        // aggregates): block-local sums are unbounded by design
-        Num.dsumExact(col("value")).as("sum_dec"))
-    val byUser = Window.partitionBy("user_id")
-      .orderBy(col("start_us"), col("lsess"))
-    local
-      .withColumn("prev_end", lag(col("end_us"), 1).over(byUser))
-      .withColumn("new_chain",
-        when(col("prev_end").isNull ||
-          col("start_us") - col("prev_end") > gapUs, 1L).otherwise(0L))
-      .withColumn("sess_id", sum(col("new_chain")).over(
-        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy("user_id", "sess_id")
-      .agg(min(col("sess_start")).as("sess_start"),
-        max(col("sess_end")).as("sess_end"),
-        sum(col("n_events")).as("n_events"),
-        // exact decimal re-sum of exact partials → identical double
-        sum(col("sum_dec")).cast("double").as("sum_value"))
-      .orderBy("user_id", "sess_id")
+    val sessions = if (twoLevel) {
+      val byBlock = Window.partitionBy("user_id", "block")
+        .orderBy(col("ts"), col("event_id"))
+      val local = ev
+        .withColumn("block", floor(col("us") / blockUs))
+        .withColumn("prev_us", lag(col("us"), 1).over(byBlock))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            col("us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+        .withColumn("lsess", sum(col("new_sess")).over(
+          byBlock.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        // same (user, block) clustering — no extra shuffle for this agg
+        .groupBy("user_id", "block", "lsess")
+        .agg(min(col("ts")).as("sess_start"), max(col("ts")).as("sess_end"),
+          min(col("us")).as("start_us"), max(col("us")).as("end_us"),
+          count(lit(1)).as("n_events"),
+          // 128-bit exact partial (same kernel as salted phase-1
+          // aggregates): block-local sums are unbounded by design
+          Num.dsumExact(col("value")).as("sum_dec"))
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("start_us"), col("lsess"))
+      local
+        .withColumn("prev_end", lag(col("end_us"), 1).over(byUser))
+        .withColumn("new_chain",
+          when(col("prev_end").isNull ||
+            col("start_us") - col("prev_end") > gapUs, 1L).otherwise(0L))
+        .withColumn("sess_id", sum(col("new_chain")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sess_id")
+        .agg(min(col("sess_start")).as("sess_start"),
+          max(col("sess_end")).as("sess_end"),
+          sum(col("n_events")).as("n_events"),
+          // exact decimal re-sum of exact partials → identical double
+          sum(col("sum_dec")).cast("double").as("sum_value"))
+    } else {
+      // the classic single-window form the blocked assembly
+      // reproduces (its scaladoc proof): sess_id = running count of
+      // >gap boundaries in (ts, event_id) order ≡ the renumbered
+      // chain ids (both number sessions 1..k by start instant), and
+      // the exact decimal sum is association-free
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      ev
+        .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            col("us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+        .withColumn("sess_id", sum(col("new_sess")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sess_id")
+        .agg(min(col("ts")).as("sess_start"), max(col("ts")).as("sess_end"),
+          count(lit(1)).as("n_events"),
+          Num.dsumExact(col("value")).cast("double").as("sum_value"))
+    }
+    sessions.orderBy("user_id", "sess_id")
   }
 
   /** #42 Per-key lag + moving window: previous price, absolute and
@@ -212,39 +246,68 @@ object Sessions {
     * lexicographic order IS the session's event order (event_id
     * breaks ts ties), so no second pass over the events. Output is
     * ≤|types|² rows at any scale. */
-  def sessionEntryExit(spark: SparkSession, dir: String): DataFrame = {
+  def sessionEntryExit(spark: SparkSession, dir: String): DataFrame =
+    // adaptive plan — same gate and spec coverage as [[sessionize]]
+    sessionEntryExitImpl(spark, dir,
+      twoLevel = Tables.rowCount(spark, dir, "events") >
+        Rank.SingleWindowMax)
+
+  private[graft] def sessionEntryExitImpl(spark: SparkSession, dir: String,
+      twoLevel: Boolean): DataFrame = {
     val gapUs = SessionGapMinutes * 60L * 1000000L
     val blockUs = 86400L * 1000000L
-    val byBlock = Window.partitionBy("user_id", "block")
-      .orderBy(col("ts"), col("event_id"))
-    val local = Tables.load(spark, dir, "events")
+    val ev = Tables.load(spark, dir, "events")
       .withColumn("us", unix_micros(col("ts")))
-      .withColumn("block", floor(col("us") / blockUs))
-      .withColumn("prev_us", lag(col("us"), 1).over(byBlock))
-      .withColumn("new_sess",
-        when(col("prev_us").isNull ||
-          col("us") - col("prev_us") > gapUs, 1L).otherwise(0L))
-      .withColumn("lsess", sum(col("new_sess")).over(
-        byBlock.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy("user_id", "block", "lsess")
-      .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"),
-        min(struct(col("us"), col("event_id"), col("event_type")))
-          .as("fst"),
-        max(struct(col("us"), col("event_id"), col("event_type")))
-          .as("lst"),
-        count(lit(1)).as("n_events"))
-    val byUser = Window.partitionBy("user_id")
-      .orderBy(col("start_us"), col("lsess"))
-    local
-      .withColumn("prev_end", lag(col("end_us"), 1).over(byUser))
-      .withColumn("new_chain",
-        when(col("prev_end").isNull ||
-          col("start_us") - col("prev_end") > gapUs, 1L).otherwise(0L))
-      .withColumn("sess_id", sum(col("new_chain")).over(
-        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy("user_id", "sess_id")
-      .agg(min(col("fst")).as("fst"), max(col("lst")).as("lst"),
-        sum(col("n_events")).as("n_events"))
+    val perSession = if (twoLevel) {
+      val byBlock = Window.partitionBy("user_id", "block")
+        .orderBy(col("ts"), col("event_id"))
+      val local = ev
+        .withColumn("block", floor(col("us") / blockUs))
+        .withColumn("prev_us", lag(col("us"), 1).over(byBlock))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            col("us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+        .withColumn("lsess", sum(col("new_sess")).over(
+          byBlock.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "block", "lsess")
+        .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"),
+          min(struct(col("us"), col("event_id"), col("event_type")))
+            .as("fst"),
+          max(struct(col("us"), col("event_id"), col("event_type")))
+            .as("lst"),
+          count(lit(1)).as("n_events"))
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("start_us"), col("lsess"))
+      local
+        .withColumn("prev_end", lag(col("end_us"), 1).over(byUser))
+        .withColumn("new_chain",
+          when(col("prev_end").isNull ||
+            col("start_us") - col("prev_end") > gapUs, 1L).otherwise(0L))
+        .withColumn("sess_id", sum(col("new_chain")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sess_id")
+        .agg(min(col("fst")).as("fst"), max(col("lst")).as("lst"),
+          sum(col("n_events")).as("n_events"))
+    } else {
+      // single-window twin — the same session set ([[sessionize]]'s
+      // proof), entry/exit as one min/max-of-struct pass per session
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      ev
+        .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            col("us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+        .withColumn("sess_id", sum(col("new_sess")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sess_id")
+        .agg(min(struct(col("us"), col("event_id"), col("event_type")))
+            .as("fst"),
+          max(struct(col("us"), col("event_id"), col("event_type")))
+            .as("lst"),
+          count(lit(1)).as("n_events"))
+    }
+    perSession
       .select(col("fst.event_type").as("entry_type"),
         col("lst.event_type").as("exit_type"), col("n_events"))
       .groupBy("entry_type", "exit_type")
