@@ -116,10 +116,13 @@ object Intervals {
     * same multiset under any tie order, so peak and first-instant
     * are deterministic. */
   def concurrencyPeak(spark: SparkSession, dir: String): DataFrame =
-    // adaptive plan — same gate and spec coverage as intervalMerge
-    peakStats(intervals(spark, dir), twoLevel =
-      graft.sources.Tables.rowCount(spark, dir, "events") >
-        Rank.SingleWindowMax)
+    // NO adaptive single-window gate here (round 21, measured): the
+    // sweep partitions by EVENT_TYPE — a handful of keys — so the
+    // single-window form concentrates the whole corpus into ~5 sort
+    // tasks at ANY volume (in-suite 0.56 → 0.72 s when gated). The
+    // (type, day)-blocked decomposition is about parallelism, not
+    // just hot keys; it stays unconditional.
+    peakStats(intervals(spark, dir), twoLevel = true)
 
   /** [[concurrencyPeak]] core, parameterized for the equivalence
     * spec (single-window vs two-level prefix sums). */
