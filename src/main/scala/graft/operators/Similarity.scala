@@ -62,12 +62,25 @@ object Similarity {
     * self-join over the bounded sample; output |thresholds| rows. */
   def dedupCurve(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).filter(col("vec_id") < CurveSample)
+    // spread the streamed side over the session's cores before the
+    // broadcast pair loop (round 21, JobProfile): the sample reads
+    // from 8 input splits, so the O(sample²) cosine scan ran on 8
+    // tasks (~0.9 s each) with 24 cores idle; repartitioning the
+    // 2000-row lean side is a ~100 KB shuffle. defaultParallelism —
+    // scale-adaptive, not a local constant.
     val a = e.select(col("vec_id").as("ia"), col("vec").as("va"))
+      .repartition(spark.sparkContext.defaultParallelism)
     val b = e.select(col("vec_id").as("ib"), col("vec").as("vb"))
+    // pin the qualifying pairs ONCE (round 21, JobProfile): the
+    // n_pairs and n_docs branches each re-ran the full O(sample²)
+    // cosine scan (~2M kernel calls twice per rep); the checkpoint
+    // holds only the lean (ia, ib, c) survivors of the lowest
+    // threshold — bounded by the curve's own report
     val pairs = a.join(broadcast(b), col("ia") < col("ib"))
       .select(col("ia"), col("ib"),
         round(cosine(col("va"), col("vb")), 6).as("c"))
       .filter(col("c") >= CurveThresholds.min)
+      .localCheckpoint()
     val spine = spark.createDataFrame(
       CurveThresholds.map(Tuple1(_))).toDF("threshold")
     val q = pairs.select(col("ia"), col("ib"), col("c"),
