@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked run inherits sbt's own stdout/stderr instead of being
+// piped through sbt's logger: every logger-piped line gets an
+// "[info] " prefix, so no stdout line of any runMain has ever started
+// with '{' — which is why the driver's line-oriented JSON parse of
+// the Bench output returned null in all 21 rounds (VERDICT r21 #1).
+// With StdoutOutput the Bench's canonical one-line JSON reaches the
+// driver bare; stderr (Spark logs, human telemetry) stays stderr.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

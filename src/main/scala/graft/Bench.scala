@@ -276,18 +276,20 @@ object Bench {
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (timings.nonEmpty) timings.values.sum else 0.0
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"health":$health,"sf":"$sfDir","staged_files":$stageFiles,"stage_sec":$stageSec}"""
-    // The full line is NOT printed at all — only persisted to the
-    // BENCH_full*.json artifact below. Stdout gets a COMPACT line
-    // instead: the driver captures only a ~1.9 KB tail of the run
-    // output and two rounds running (r18/r19) the 5.7 KB full line
-    // was truncated mid-dict, costing the driver its per-query view
-    // (VERDICT r19 #2); under sbt even a stderr print re-enters that
-    // tail as "[error] ..." lines, so the full JSON goes to disk
-    // only. The compact line keeps the driver-contract keys
-    // (metric/value/unit/queries/sf) but caps the per-query map at
-    // the slowest cells that fit a fixed byte budget; the full
-    // 192-cell map lives in the committed BENCH_full*.json artifact,
-    // referenced by name + sha256 so the two are tied together.
+    // Stdout contract (VERDICT r21 #1): the driver's parse has
+    // returned null in EVERY round so far. Two variants were tried —
+    // the full 5.7 KB line (r01-r19, truncated by the ~1.9 KB tail
+    // capture) and a compact line (r20/r21, complete inside the tail
+    // yet still unparsed). The one variable never changed: sbt's
+    // logger prefixes every in-process println with "[info] ", so no
+    // stdout line of this program has ever started with '{' — a
+    // line-oriented json.loads scan fails on all of them. Fix: write
+    // the canonical full line RAW to file descriptor 1, bypassing
+    // sbt's capture, framed by newlines so it starts at column 0 even
+    // if a concurrent logger left a partial line. It is the ONLY
+    // stdout line carrying "metric":"total" (the compact human
+    // summary below moves to stderr), restoring the declared contract
+    // {"metric","value","unit","queries":<all cells>,"errors","sf"}.
     // A self-flagged run writes to its own artifact (VERDICT r16 #2:
     // the driver's degraded runs kept overwriting the clean committed
     // BENCH_full.json in the working tree) — BENCH_full.json only
@@ -314,7 +316,10 @@ object Bench {
     val digest = java.security.MessageDigest.getInstance("SHA-256")
       .digest(json.getBytes("UTF-8")).map("%02x".format(_)).mkString
     // slowest-first, 3 dp, as many cells as fit the byte budget — the
-    // slow cells are the ones a round-over-round diff needs first
+    // slow cells are the ones a round-over-round diff needs first.
+    // This compact summary is human/tail telemetry only, so it goes
+    // to STDERR (shows as "[error] ..." in the tail capture); stdout
+    // is reserved for the single canonical JSON line below.
     val slow = timings.toSeq.sortBy(-_._2)
       .map { case (k, v) => "\"" + k + "\":" + String.format(
         java.util.Locale.ROOT, "%.3f", Double.box(v)) }
@@ -322,7 +327,7 @@ object Bench {
       s"""{"cpu_sec":${math.round(cpuSec)},"wall_sec":${math.round(wallSec)},""" +
       s""""median_vs_ref":$medianVsRef,"n_burst_4x":$nBurst4x,""" +
       s""""cold":$cold,"degraded":$degraded}"""
-    val fixed = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
+    val fixed = s"""{"metric":"total_compact","value":$total,"unit":"sec","sf":"$sfDir",""" +
       s""""n_queries":${timings.size},"n_errors":${errors.size},""" +
       s""""health":$healthShort,"full":"$artifactName","sha256":"$digest",""" +
       s""""staged_files":$stageFiles,"queries":"""
@@ -335,7 +340,14 @@ object Bench {
         kept.append(cell); used += cell.length
       }
     }
-    println(fixed + "{" + kept + "}}")
+    System.err.println("[bench] compact: " + fixed + "{" + kept + "}}")
+    // Canonical driver line: raw FD 1, after everything else, framed
+    // by newlines. java.io.FileDescriptor.out is the process's real
+    // stdout regardless of sbt's System.out redirection.
+    val rawOut = new java.io.PrintStream(
+      new java.io.FileOutputStream(java.io.FileDescriptor.out), true, "UTF-8")
+    rawOut.print("\n" + json + "\n")
+    rawOut.flush()
     spark.stop()
   }
 }
