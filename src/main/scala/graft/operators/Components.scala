@@ -384,7 +384,7 @@ object Components {
       val deg = adj.select(col("node"),
         size(col("nbrs")).cast("long").as("deg"))
       var ranks = deg.withColumn("rank_u", lit(PrScale))
-      for (_ <- 1 to PrIters) {
+      for (it <- 1 to PrIters) {
         // DIV, not `/`: double division of exact integers can round
         // x.999… up before a cast truncates, off-by-one vs true floor
         val contrib = adj
@@ -398,6 +398,13 @@ object Components {
           .select(col("node"), col("deg"),
             (lit(PrBase) + expr("(17 * coalesce(s, 0L)) DIV 20"))
               .as("rank_u"))
+        // ADVICE r21: near the 500k-node gate the 5-deep nested
+        // broadcast lineage means an executor-loss broadcast rebuild
+        // replays the whole chain and driver-side plan nesting grows
+        // per round — truncate per round for node sets within 10× of
+        // the gate (the small-graph default skips the extra job).
+        if (nNodes > PrBroadcastNodeMax / 10 && it < PrIters)
+          ranks = ranks.localCheckpoint()
       }
       pageRankTop(ranks)
     } else {
@@ -431,8 +438,10 @@ object Components {
   /** TakeOrdered top-20 FIRST (no global window over the catalog),
     * then rank the 20 survivors; deg already rides the rank state.
     * partitionBy(lit(0)): the window runs over the 20 survivors by
-    * construction — naming the single partition silences WindowExec's
-    * "No Partition Defined" warning without changing anything. */
+    * construction — the literal key documents that intent (ADVICE
+    * r21: it does NOT silence WindowExec's "No Partition Defined"
+    * warning, which Catalyst's constant folding preserves; the bench
+    * harnesses quiet that logger instead — see Bench.scala). */
   private def pageRankTop(ranks: DataFrame): DataFrame = {
     val top = ranks
       .orderBy(col("rank_u").desc, col("node").asc).limit(20)
@@ -487,25 +496,16 @@ object Components {
         case r if r.isNullAt(0) => 0L
         case r => r.getLong(0)
       })
-    val tris = if (mEdges <= TriBroadcastEdgeMax) {
-      adjO.select(col("src").as("pa"), col("nbrs").as("nu"))
-        .select(col("pa"), col("nu"), explode(col("nu")).as("pb"))
-        .join(broadcast(adjO.select(col("src").as("pb"),
-          col("nbrs").as("nv"))), "pb")
-        .select(col("pa"), col("pb"),
-          explode(array_intersect(col("nu"), col("nv"))).as("pc"))
-    } else {
-      val oriented = adjO.select(col("src"),
-        explode(col("nbrs")).as("dst"))
-      val adj = adjO.select(col("src").as("u"), col("nbrs"))
-      oriented
-        .join(adj.select(col("u"), col("nbrs").as("nu")),
-          col("src") === col("u"))
-        .join(adj.select(col("u").as("v"), col("nbrs").as("nv")),
-          col("dst") === col("v"))
-        .select(col("src").as("pa"), col("dst").as("pb"),
-          explode(array_intersect(col("nu"), col("nv"))).as("pc"))
-    }
+    // Round 22 (VERDICT r21 #3): the closing N⁺(u)∩N⁺(v) was the last
+    // `array_intersect` in a graph/gram hot path — per oriented edge
+    // it built an OpenHashSet over nu and hashed every element of nv,
+    // the exact per-pair cost the round-21 gram kernels eliminated
+    // elsewhere. The adjacency arrays are sorted distinct longs by
+    // construction (sort_array over the distinct-pairs collapse), so
+    // the linear-merge SortedLongIntersect kernel computes the same
+    // intersection (same elements, same order) with zero per-pair
+    // allocation beyond the result array.
+    val tris = triangleTriples(adjO, mEdges)
     // tris is consumed exactly ONCE (no checkpoint, no second pass):
     // the 3-role explode feeds the per-part tally, and the grand
     // total rides the PLAN as Σ n_tri / 3 over that tiny table — an
@@ -526,6 +526,35 @@ object Components {
       .crossJoin(broadcast(total))
       .select("rnk", "part_id", "n_tri", "total_tri")
       .orderBy("rnk")
+  }
+
+  /** The (pa, pb, pc) triangle-triple stream of [[triangleCount]] —
+    * extracted so its pre-checkpoint plan (where the closing
+    * intersect lives) stays assertable by the spec and dumpable by
+    * Plans even though triangleCount's tally checkpoint truncates
+    * the outer explain. */
+  private[graft] def triangleTriples(adjO: DataFrame,
+      mEdges: Long): DataFrame = {
+    import graft.functions.TextFunctions.sortedIntersect
+    if (mEdges <= TriBroadcastEdgeMax) {
+      adjO.select(col("src").as("pa"), col("nbrs").as("nu"))
+        .select(col("pa"), col("nu"), explode(col("nu")).as("pb"))
+        .join(broadcast(adjO.select(col("src").as("pb"),
+          col("nbrs").as("nv"))), "pb")
+        .select(col("pa"), col("pb"),
+          explode(sortedIntersect(col("nu"), col("nv"))).as("pc"))
+    } else {
+      val oriented = adjO.select(col("src"),
+        explode(col("nbrs")).as("dst"))
+      val adj = adjO.select(col("src").as("u"), col("nbrs"))
+      oriented
+        .join(adj.select(col("u"), col("nbrs").as("nu")),
+          col("src") === col("u"))
+        .join(adj.select(col("u").as("v"), col("nbrs").as("nv")),
+          col("dst") === col("v"))
+        .select(col("src").as("pa"), col("dst").as("pb"),
+          explode(sortedIntersect(col("nu"), col("nv"))).as("pc"))
+    }
   }
 
   /** #163 Canonical-document selection per near-dup cluster: within
@@ -587,13 +616,21 @@ object Components {
     // sets are identical either way, so hops and hashes are too.
     val adj = basketAdjacency(spark, dir)
     val nNodes = cachedCount(dir, "basket_n_nodes")(adj.count())
-    val bcastFrontier = nNodes <= PrBroadcastNodeMax
     lazy val pairs = basketPairsSym(spark, dir)
     val part = Tables.load(spark, dir, "part").select("p_partkey")
     var visited = part
       .filter(col("p_partkey") % 97 === 0)
       .select(col("p_partkey").as("node"), lit(0L).as("hop"))
       .localCheckpoint()
+    // ADVICE r21: the hop-1 frontier is the PART-CATALOG seed slice,
+    // which the adjacency node count does not bound — a corpus with a
+    // huge part catalog but a small basket graph would broadcast an
+    // ungated frontier. Gate on BOTH counts (hop ≥ 2 frontiers are
+    // ⊆ nodes, so the node gate alone bounds them; the seed count is
+    // corpus-keyed like the node count, one tiny catalog scan).
+    val nSeeds = cachedCount(dir, "khop_n_seeds")(visited.count())
+    val bcastFrontier =
+      nNodes <= PrBroadcastNodeMax && nSeeds <= PrBroadcastNodeMax
     var frontier = visited
     for (h <- 1 to KhopMaxHops) {
       // one checkpoint per hop (the frontier, consumed twice: the

@@ -349,7 +349,15 @@ object Dedup {
     * exchange on the corpus side — the ingest shuffle is paid once,
     * not per batch. */
   def buildGramIndex(spark: SparkSession, dir: String): String = {
-    val name = s"graft_gram_index_${graft.sources.StagePath.key(dir)}"
+    // `_codes` versions the PHYSICAL grams representation (ADVICE
+    // r21): round 21 changed grams_a from array<string> to packed
+    // long codes, and a warehouse table persisted by the old code
+    // would otherwise be served to jaccardCodes/SortedLongIntersect-
+    // Count, whose getLong over a string array reads garbage — wrong
+    // Jaccard verdicts with no error. A new name means an old-layout
+    // table is simply never matched (and a future representation
+    // change must bump the suffix again).
+    val name = s"graft_gram_index_codes_${graft.sources.StagePath.key(dir)}"
     if (spark.catalog.tableExists(name)) return name
     spark.sql(s"DROP TABLE IF EXISTS $name")
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")

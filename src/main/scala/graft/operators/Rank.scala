@@ -66,9 +66,11 @@ object Rank {
       .withColumn("__lrnk", row_number().over(wLocal).cast("long"))
     // partitionBy(lit(0)) when `part` is empty: the offsets table is
     // |blocks|-row bounded, so one partition is the intended shape —
-    // naming it silences WindowExec's "No Partition Defined" warning
-    // (which would otherwise mask a REAL single-partition regression
-    // elsewhere) without changing the computation
+    // the literal key DOCUMENTS that intent (ADVICE r21: it does NOT
+    // silence WindowExec's "No Partition Defined" warning — Catalyst
+    // constant-folds the key away; the bench harnesses quiet that
+    // logger instead, see Bench.scala) without changing the
+    // computation
     val wOff = (if (part.isEmpty) Window.partitionBy(lit(0))
                 else Window.partitionBy(partCols: _*))
       .orderBy(if (blkAscending) col("__blk").asc else col("__blk").desc)

@@ -223,7 +223,8 @@ object TrainExport {
     // single-partition window — deliberately: it runs over the
     // per-BLOCK counts table (≤ max_doc_tokens/32 rows, e.g. ~31k
     // rows even for million-token documents), never over data rows;
-    // partitionBy(lit(0)) names that intent (no WindowExec warning)
+    // partitionBy(lit(0)) names that intent (documentation only —
+    // the WindowExec warning survives constant folding, ADVICE r21)
     val wOff = org.apache.spark.sql.expressions.Window
       .partitionBy(lit(0))
       .orderBy(col("blk").desc)
